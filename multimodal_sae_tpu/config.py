@@ -1,0 +1,287 @@
+"""Configuration dataclasses for the whole framework.
+
+Mirrors the reference's config surface (reference sae_auto_interp/config.py:8-139,
+sae_auto_interp/sae/config.py:8-29, train/sae/sae/config.py:8-79) so that CLI
+flags, defaults, and persisted `cfg.json` files are interchangeable.  The
+reference uses `simple_parsing`; we use a small built-in dataclass→argparse
+engine (`multimodal_sae_tpu.utils.cli`) with the same flag names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Literal, Optional
+
+
+@dataclass
+class SaeConfig:
+    """Configuration of a TopK sparse autoencoder.
+
+    Field-for-field compatible with the reference `SaeConfig`
+    (reference sae_auto_interp/sae/config.py:8-29) so that `cfg.json` files in
+    released checkpoints (e.g. lmms-lab/llama3-llava-next-8b-hf-sae-131k) load
+    unchanged.
+    """
+
+    expansion_factor: int = 32
+    """Multiple of the input dimension to use as the SAE dimension."""
+
+    normalize_decoder: bool = True
+    """Normalize the decoder weights to have unit norm."""
+
+    num_latents: int = 0
+    """Number of latents to use. If 0, use `expansion_factor`."""
+
+    k: int = 32
+    """Number of nonzero features."""
+
+    multi_topk: bool = False
+    """Use Multi-TopK loss."""
+
+    signed: bool = False
+    """Legacy-checkpoint compatibility flag (reference sae/config.py:28-29)."""
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SaeConfig":
+        """Build from a dict, ignoring unknown keys (forward/backward compat:
+        the reference's two SaeConfig copies differ by `signed`/`mm_data`)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def num_latents_for(self, d_in: int) -> int:
+        return self.num_latents or d_in * self.expansion_factor
+
+
+@dataclass
+class TrainConfig:
+    """SAE training configuration (reference train/sae/sae/config.py:29-79)."""
+
+    sae: SaeConfig = field(default_factory=SaeConfig)
+
+    batch_size: int = 8
+    """Batch size measured in sequences."""
+
+    grad_acc_steps: int = 1
+    """Number of steps over which to accumulate gradients."""
+
+    micro_acc_steps: int = 1
+    """Chunk the activations into this number of microbatches for SAE training."""
+
+    lr: Optional[float] = None
+    """Base LR. If None, auto-chosen as 2e-4 / sqrt(num_latents / 2**14)
+    (reference trainer.py:131)."""
+
+    lr_warmup_steps: int = 1000
+
+    auxk_alpha: float = 0.0
+    """Weight of the auxiliary (dead-latent) loss term."""
+
+    dead_feature_threshold: int = 10_000_000
+    """Number of tokens after which a feature is considered dead."""
+
+    hookpoints: List[str] = field(default_factory=list)
+    """List of hookpoints to train SAEs on (supports fnmatch wildcards)."""
+
+    layers: List[int] = field(default_factory=list)
+    """List of layer indices to train SAEs on."""
+
+    layer_stride: int = 1
+    """Stride between layers to train SAEs on."""
+
+    distribute_modules: bool = False
+    """Store a single copy of each SAE per device instead of replicating
+    (reference trainer.py:495-538; here: a `module` mesh axis + all_to_all)."""
+
+    save_every: int = 1000
+    """Save SAEs every `save_every` optimizer steps."""
+
+    log_to_wandb: bool = True
+    run_name: Optional[str] = None
+    wandb_log_frequency: int = 1
+
+    mm_data: bool = False
+    """Multimodal (image+conversation) training data (reference
+    train/sae/sae/config.py:72)."""
+
+    def __post_init__(self):
+        assert not (
+            self.layers and self.layer_stride != 1
+        ), "Cannot specify both `layers` and `layer_stride`."
+
+
+@dataclass
+class RunConfig(TrainConfig):
+    """`python -m multimodal_sae_tpu` CLI configuration
+    (reference train/sae/sae/__main__.py:25-63)."""
+
+    model: str = field(default="EleutherAI/pythia-160m", metadata={"positional": True})
+    """Name or path of the subject model."""
+
+    dataset: str = field(
+        default="togethercomputer/RedPajama-Data-1T-Sample",
+        metadata={"positional": True},
+    )
+    """Path to the dataset to use for training."""
+
+    split: str = "train"
+    """Dataset split to use for training."""
+
+    ctx_len: int = 2048
+    """Context length to use for training."""
+
+    hf_token: Optional[str] = None
+    """Huggingface API token for downloading models."""
+
+    load_in_8bit: bool = False
+    """Load the subject model in reduced precision."""
+
+    max_examples: Optional[int] = None
+    """Maximum number of examples to use for training."""
+
+    resume: bool = False
+    """Whether to try resuming from the checkpoint present at `run_name`."""
+
+    seed: int = 42
+    """Random seed for shuffling the dataset."""
+
+    data_preprocessing_num_proc: int = 1
+    """Number of processes to use for preprocessing data."""
+
+
+@dataclass
+class ExperimentConfig:
+    """Interpretation-experiment configuration
+    (reference sae_auto_interp/config.py:8-54)."""
+
+    model: str = "EleutherAI/pythia-160m"
+    """Name of the subject model."""
+
+    dataset: str = "togethercomputer/RedPajama-Data-1T-Sample"
+    """Path to the dataset."""
+
+    sae_path: Optional[str] = None
+    """Path to your trained sae. Should be local."""
+
+    train_type: Literal["top", "random", "quantile"] = "top"
+    """Type of sampler to use for training examples."""
+
+    n_examples_train: int = 10
+    """Number of examples to sample for training."""
+
+    n_examples_test: int = 7
+    """Number of examples to sample for testing."""
+
+    n_quantiles: int = 10
+    """Number of quantiles to sample."""
+
+    n_random: int = 5
+    """Number of random examples to sample."""
+
+    explainer: str = "meta-llama/Meta-Llama-3.1-405B-Instruct-FP8"
+    """The name of the explainer model."""
+
+    explanation_dir: str = "./explanation_dir"
+    """Dir to save your explanation result."""
+
+    scores_dir: str = "./scores_dir"
+    """Dir to save your scores result."""
+
+    selected_layers: List[int] = field(default_factory=list)
+
+    split: str = "train"
+    """Dataset split to use."""
+
+    save_dir: str = "./features_cache"
+    """Save dir of previously cached features."""
+
+    filters_path: Optional[str] = None
+    """Json file mapping hookpoint -> list of feature indices to keep."""
+
+
+@dataclass
+class FeatureConfig:
+    """Cached-feature dataset configuration (reference sae_auto_interp/config.py:57-72)."""
+
+    width: int = 131072
+    """Number of features in the autoencoder."""
+
+    example_ctx_len: int = 64
+    """Length of each example."""
+
+    min_examples: int = 200
+    """Minimum number of examples for a feature to be included."""
+
+    max_examples: int = 10000
+    """Maximum number of examples for a feature to be included."""
+
+    n_splits: int = 2
+    """Number of splits that features were divided into."""
+
+
+@dataclass
+class CacheConfig:
+    """Activation-caching CLI configuration (reference sae_auto_interp/config.py:75-117)."""
+
+    model: str = field(default="EleutherAI/pythia-160m", metadata={"positional": True})
+    """Name of the subject model."""
+
+    dataset: str = field(
+        default="togethercomputer/RedPajama-Data-1T-Sample",
+        metadata={"positional": True},
+    )
+    """Path to the dataset."""
+
+    sae_path: Optional[str] = None
+    """Path to the trained sae, local dir or hub name."""
+
+    batch_size: int = 32
+    """Number of sequences to process in a batch."""
+
+    load_in_8bit: bool = False
+    """Load the model in reduced precision."""
+
+    split: str = "train"
+    """Dataset split to use."""
+
+    n_splits: int = 2
+    """Number of feature-axis splits to divide .safetensors into."""
+
+    ctx_len: int = 2048
+    """Context length. Each batch is shape (batch_size, ctx_len)."""
+
+    hf_token: Optional[str] = None
+    """Huggingface API token for downloading models."""
+
+    save_dir: str = "./features_cache"
+    """Save dir for the cached features."""
+
+    verbosity: str = "INFO"
+    """Verbosity level."""
+
+    filters_path: Optional[str] = None
+    """Json file mapping hookpoint -> list of feature indices to keep."""
+
+
+@dataclass
+class AttributionConfig:
+    """Attribution-patching CLI configuration (reference sae_auto_interp/config.py:120-139)."""
+
+    model: str = field(default="EleutherAI/pythia-160m", metadata={"positional": True})
+    """Name of the subject model."""
+
+    data_path: str = "./data/digit.json"
+    """Path to the probing dataset, a json list of
+    {"prompt", "answer", "baseline", "image"} dicts."""
+
+    sae_path: Optional[str] = None
+    """Path to the trained sae."""
+
+    selected_sae: str = "layers.24"
+    """Name of the selected sae hookpoint."""
+
+    save_dir: str = "./attribution_cache"
+    """Save dir for attribution results."""

@@ -1,0 +1,330 @@
+"""Activation caching: frozen-LMM forward → TopK SAE latents → sparse COO
+safetensors shards.
+
+Re-designed from the reference (reference sae_auto_interp/features/cache.py)
+for TPU:
+
+* The reference registers forward hooks, scatters the top-k back into a dense
+  (B, S, 131072) buffer, then scans it with `torch.nonzero` on device and
+  copies COO triples to host (reference cache.py:158-230, 402-417).  Here the
+  jitted device step returns the top-k (values, indices) directly — sorted by
+  feature index on-device so the host-side COO stream is already in the
+  reference's row-major (batch, seq, feature) order — and only (B, S, k)
+  elements ever cross the host↔device boundary (~500× less traffic at
+  k=256/width=131072).
+* Subject-model access is a functional capture API (`capture_fn`) instead of
+  hooks: any callable mapping a batch to {hookpoint: hiddens (B, S, d)}.
+
+On-disk format is byte-compatible with the reference:
+`{save_dir}/{module}/Rank{r}_{start}_{end}.safetensors` per-rank shards merged
+into `{start}_{end}.safetensors` (reference cache.py:243-309), tensors
+`locations (N, 3) int64` and `activations (N,)`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SaeConfig
+from ..sae import Sae
+from ..sae.model import pre_acts as sae_pre_acts
+from ..ops import top_k
+
+
+def topk_latents_step(params, x: jax.Array, cfg: SaeConfig):
+    """Jitted cache step: pre_acts → top-k → sort by feature index.
+
+    Returns (vals, idx) of shape (..., k), index-ascending within each
+    position, so masking host-side in row-major order reproduces the
+    reference's `torch.nonzero` ordering exactly (reference cache.py:80-81).
+    """
+    latents = sae_pre_acts(params, x)
+    vals, idx = top_k(latents, cfg.k)
+    order = jnp.argsort(idx, axis=-1)
+    idx = jnp.take_along_axis(idx, order, axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=-1)
+    return vals, idx
+
+
+class Cache:
+    """Host-side COO accumulator (reference cache.py:23-92).
+
+    Stores per-module `locations (N, 3) int64` / `activations (N,)` lists with
+    the global row offset `batch_number * batch_size + shard_size` applied, so
+    rows index into the full (cross-host) dataset (reference cache.py:55).
+    """
+
+    def __init__(
+        self,
+        shard_size: int,
+        filters: Optional[Dict[str, np.ndarray]] = None,
+        batch_size: int = 64,
+    ):
+        self.feature_locations = defaultdict(list)
+        self.feature_activations = defaultdict(list)
+        self.filters = (
+            {k: np.asarray(v) for k, v in filters.items()} if filters else None
+        )
+        self._filter_sets = (
+            {k: set(v.tolist()) for k, v in self.filters.items()}
+            if self.filters
+            else None
+        )
+        self.batch_size = batch_size
+        self.shard_size = shard_size
+
+    def add_topk(
+        self,
+        vals: np.ndarray,
+        idx: np.ndarray,
+        batch_number: int,
+        module_path: str,
+        threshold: float = 1e-5,
+    ):
+        """Add a (B, S, k) top-k batch. Equivalent to the reference's
+        dense-scatter + nonzero (cache.py:42-57, 209-218) without the dense
+        buffer."""
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        B, S, k = vals.shape
+        mask = np.abs(vals) > threshold
+        if self.filters is not None:
+            selected = self.filters[module_path]
+            mask &= np.isin(idx, selected)
+        b, s, j = np.nonzero(mask)
+        locations = np.empty((b.shape[0], 3), dtype=np.int64)
+        locations[:, 0] = b + batch_number * self.batch_size + self.shard_size
+        locations[:, 1] = s
+        locations[:, 2] = idx[b, s, j]
+        activations = vals[mask]
+        self.feature_locations[module_path].append(locations)
+        self.feature_activations[module_path].append(activations)
+
+    def add(self, latents: np.ndarray, batch_number: int, module_path: str):
+        """Reference-compatible dense path: (B, S, F) masked latents
+        (cache.py:42-57)."""
+        latents = np.asarray(latents)
+        locations, activations = self.get_nonzeros(latents, module_path)
+        locations = locations.copy()
+        locations[:, 0] += batch_number * self.batch_size + self.shard_size
+        self.feature_locations[module_path].append(locations)
+        self.feature_activations[module_path].append(activations)
+
+    def get_nonzeros(self, latents: np.ndarray, module_path: str):
+        mask = np.abs(latents) > 1e-5
+        locations = np.argwhere(mask).astype(np.int64)
+        activations = latents[mask]
+        if self.filters is None:
+            return locations, activations
+        selected = self.filters[module_path]
+        keep = np.isin(locations[:, 2], selected)
+        return locations[keep], activations[keep]
+
+    def save(self):
+        """Concatenate accumulated chunks (reference cache.py:59-71)."""
+        for module_path in self.feature_locations.keys():
+            self.feature_locations[module_path] = np.concatenate(
+                self.feature_locations[module_path], axis=0
+            )
+            self.feature_activations[module_path] = np.concatenate(
+                self.feature_activations[module_path], axis=0
+            )
+
+    def nonempty_modules(self) -> Iterable[str]:
+        return self.feature_locations.keys()
+
+
+class FeatureCache:
+    """Drives caching over a token dataset (reference cache.py:95-310).
+
+    Args:
+        capture_fn: callable (batch) -> {module_path: hiddens (B, S, d)} — the
+            functional replacement for the reference's forward hooks
+            (reference cache.py:178-204).  `batch` is whatever the dataset
+            yields (e.g. {"input_ids": (B, S)}).
+        submodule_dict: {module_path: Sae}.
+        shard_size: global row offset of this host's contiguous dataset shard.
+        activation_dtype: dtype written to disk (reference writes the model
+            dtype; fp32 gives bit-stable caches).
+    """
+
+    def __init__(
+        self,
+        capture_fn: Callable[[dict], Dict[str, jax.Array]],
+        submodule_dict: Dict[str, Sae],
+        batch_size: int,
+        shard_size: int = 0,
+        filters: Optional[Dict[str, np.ndarray]] = None,
+        activation_dtype=np.float32,
+    ):
+        self.capture_fn = capture_fn
+        self.submodule_dict = dict(submodule_dict)
+        self.batch_size = batch_size
+        self.activation_dtype = activation_dtype
+
+        first_sae = next(iter(submodule_dict.values()))
+        self.width = first_sae.cfg.num_latents_for(first_sae.d_in)
+
+        self.cache = Cache(shard_size, filters, batch_size=batch_size)
+        if filters is not None:
+            self.filter_submodules(filters)
+
+        self._topk_fns = {
+            name: jax.jit(partial(topk_latents_step, cfg=sae.cfg))
+            for name, sae in self.submodule_dict.items()
+        }
+
+    def filter_submodules(self, filters: Dict[str, np.ndarray]):
+        """Keep only hookpoints present in the filter (reference cache.py:151-156)."""
+        self.submodule_dict = {
+            k: v for k, v in self.submodule_dict.items() if k in filters
+        }
+
+    def process_batch(self, batch: dict, batch_number: int, skip_bos: bool = False):
+        """One cache step: capture hiddens, encode each hookpoint, accumulate."""
+        hiddens = self.capture_fn(batch)
+        for module_path, h in hiddens.items():
+            if module_path not in self.submodule_dict:
+                continue
+            if skip_bos:
+                # Image path drops the leading BOS token (reference cache.py:402-409).
+                h = h[:, 1:, :]
+            sae = self.submodule_dict[module_path]
+            vals, idx = self._topk_fns[module_path](sae.params, h)
+            vals = np.asarray(vals, dtype=self.activation_dtype)
+            idx = np.asarray(idx)
+            self.cache.add_topk(vals, idx, batch_number, module_path)
+
+    def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
+        """Iterate fixed-size batches over `tokens` (a sequence/dataset of
+        {"input_ids": ...} rows or prepared batches) and fill the cache
+        (reference cache.py:158-230)."""
+        iterator = _batched(tokens, self.batch_size)
+        total = 0
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="Caching features", disable=not progress)
+        except ImportError:
+            pass
+        for batch_number, batch in enumerate(iterator):
+            self.process_batch(batch, batch_number, skip_bos=skip_bos)
+            total += n_tokens
+        self.cache.save()
+
+    # ---- persistence (format identical to the reference) -------------------
+    def _generate_split_indices(self, n_splits: int):
+        boundaries = np.linspace(0, self.width, n_splits + 1).astype(np.int64)
+        # End is made inclusive in the filename (reference cache.py:243-247).
+        return list(zip(boundaries[:-1], boundaries[1:] - 1))
+
+    def save_splits(
+        self,
+        n_splits: int,
+        save_dir: str,
+        rank: int = 0,
+        *,
+        replicate_boundary_drop: bool = False,
+    ):
+        """Write this rank's feature-range shards
+        (`Rank{r}_{start}_{end}.safetensors`, reference cache.py:282-309).
+
+        Note: the reference masks with `features < end` where `end` is the
+        *inclusive* filename bound (reference cache.py:243-247, 293-294),
+        silently dropping features that sit exactly on a split boundary
+        (e.g. 128 features at width 131072 / 128 splits).  We keep those
+        features by default; pass `replicate_boundary_drop=True` only when
+        bit-matching reference-produced caches."""
+        from safetensors.numpy import save_file
+
+        split_indices = self._generate_split_indices(n_splits)
+        for module_path in self.cache.nonempty_modules():
+            locations = self.cache.feature_locations[module_path]
+            activations = self.cache.feature_activations[module_path]
+            features = locations[:, 2]
+            for start, end in split_indices:
+                upper = end if replicate_boundary_drop else end + 1
+                mask = (features >= start) & (features < upper)
+                module_dir = f"{save_dir}/{module_path}"
+                os.makedirs(module_dir, exist_ok=True)
+                save_file(
+                    {
+                        "locations": locations[mask],
+                        "activations": activations[mask],
+                    },
+                    f"{module_dir}/Rank{rank}_{start}_{end}.safetensors",
+                )
+
+    def concate_safetensors(self, n_splits: int, save_dir: str):
+        """Merge per-rank shards into `{start}_{end}.safetensors`, deleting the
+        shards (rank-0 only; reference cache.py:249-280)."""
+        from safetensors.numpy import load_file, save_file
+
+        split_indices = self._generate_split_indices(n_splits)
+        for module_path in self.cache.nonempty_modules():
+            module_dir = f"{save_dir}/{module_path}"
+            for start, end in split_indices:
+                shard_files = [
+                    f
+                    for f in os.listdir(module_dir)
+                    if re.search(rf"Rank[0-9]+_{start}_{end}\.safetensors", f)
+                ]
+                locations, activations = [], []
+                for fname in sorted(shard_files):
+                    data = load_file(os.path.join(module_dir, fname))
+                    locations.append(data["locations"])
+                    activations.append(data["activations"])
+                    os.remove(os.path.join(module_dir, fname))
+                save_file(
+                    {
+                        "locations": np.concatenate(locations, axis=0),
+                        "activations": np.concatenate(activations, axis=0),
+                    },
+                    f"{module_dir}/{start}_{end}.safetensors",
+                )
+
+
+class FeatureImageCache(FeatureCache):
+    """Image-input caching (reference cache.py:312-429): the capture_fn runs
+    the multimodal forward on `"<image>"`-prompted inputs; the leading BOS
+    position is dropped before encoding (reference cache.py:402-409)."""
+
+    def run(self, n_tokens: int, tokens, progress: bool = True, **kw):
+        super().run(n_tokens, tokens, progress=progress, skip_bos=True)
+
+
+def _batched(items, batch_size: int):
+    """Fixed-size batches, dropping the final ragged one (reference
+    DataLoader(drop_last=True), cache.py:159-161). Dict-of-arrays datasets
+    pass through pre-batched iterables unchanged."""
+    if hasattr(items, "__getitem__") and not isinstance(items, dict):
+        n = len(items) // batch_size
+        for i in range(n):
+            chunk = [items[j] for j in range(i * batch_size, (i + 1) * batch_size)]
+            yield _collate(chunk)
+    else:
+        yield from items
+
+
+def _collate(chunk: Sequence):
+    if isinstance(chunk[0], dict):
+        out = {}
+        for key in chunk[0]:
+            vals = [c[key] for c in chunk]
+            if isinstance(vals[0], (np.ndarray, list)) or np.isscalar(vals[0]):
+                try:
+                    out[key] = np.stack([np.asarray(v) for v in vals])
+                    continue
+                except Exception:
+                    pass
+            out[key] = vals
+        return out
+    return np.stack([np.asarray(c) for c in chunk])

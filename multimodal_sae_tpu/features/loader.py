@@ -1,0 +1,198 @@
+"""Lazy readers over the cached COO safetensors splits.
+
+Behavior-matched to the reference (reference sae_auto_interp/features/loader.py):
+`TensorBuffer` lazily loads one `{start}_{end}.safetensors` split and yields
+per-feature `BufferOutput`s (skipping features with fewer than `min_examples`
+occurrences, loader.py:92-118); `FeatureDataset` builds buffers for all splits
+or — via bucketizing requested feature ids over the split edges — only the
+splits that contain them (loader.py:164-196).
+
+Host-side numpy throughout (this layer never touches the TPU).  Per-feature
+extraction uses a sort + searchsorted index over the feature column instead of
+the reference's O(N) boolean mask per feature, which matters at 131k features
+on a single-core host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import numpy as np
+
+from ..config import FeatureConfig
+from .features import Feature, FeatureRecord
+
+
+class BufferOutput(NamedTuple):
+    feature: Feature
+
+    locations: np.ndarray
+    """(n, 2) int64 — (dataset row, sequence position)."""
+
+    activations: np.ndarray
+    """(n,) activations."""
+
+
+class TensorBuffer:
+    """Lazy per-split reader (reference loader.py:28-118)."""
+
+    def __init__(
+        self,
+        path: str,
+        module_path: str,
+        features: Optional[np.ndarray] = None,
+        min_examples: int = 120,
+    ):
+        self.tensor_path = path
+        self.module_path = module_path
+        self.features = None if features is None else np.asarray(features)
+        self.min_examples = min_examples
+
+        self.activations: Optional[np.ndarray] = None
+        self.locations: Optional[np.ndarray] = None
+        self._order: Optional[np.ndarray] = None
+        self._sorted_feats: Optional[np.ndarray] = None
+
+    def _load(self):
+        from safetensors.numpy import load_file
+
+        split_data = load_file(self.tensor_path)
+        self.activations = split_data["activations"]
+        self.locations = split_data["locations"]
+        feats = self.locations[:, 2]
+        # Sorted index over the feature column: per-feature slices become
+        # O(log N) searchsorted instead of O(N) masks.
+        self._order = np.argsort(feats, kind="stable")
+        self._sorted_feats = feats[self._order]
+        if self.features is None:
+            self.features = np.unique(feats)
+
+    def _feature_slice(self, feature: int):
+        lo = np.searchsorted(self._sorted_feats, feature, side="left")
+        hi = np.searchsorted(self._sorted_feats, feature, side="right")
+        sel = self._order[lo:hi]
+        # Preserve original (row-major) order like the boolean-mask reference.
+        sel.sort()
+        return sel
+
+    def __len__(self):
+        if self.features is not None:
+            return len(self.features)
+        if self.locations is None:
+            self._load()
+        return len(np.unique(self.locations[:, 2]))
+
+    def __iter__(self):
+        if self.locations is None:
+            self._load()
+        for feature in self.features:
+            sel = self._feature_slice(int(feature))
+            if sel.shape[0] < self.min_examples:
+                # Too few occurrences (reference loader.py:104-107).
+                continue
+            yield BufferOutput(
+                Feature(self.module_path, int(feature)),
+                self.locations[sel][:, :2],
+                self.activations[sel],
+            )
+        # Free the split eagerly (reference loader.py:93-96).
+        self.activations = None
+        self.locations = None
+        self._order = None
+        self._sorted_feats = None
+
+
+class FeatureDataset:
+    """Constructs TensorBuffers for each module/split (reference loader.py:121-259)."""
+
+    def __init__(
+        self,
+        raw_dir: str,
+        cfg: FeatureConfig,
+        modules: Optional[List[str]] = None,
+        features: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.cfg = cfg
+        self.buffers: List[TensorBuffer] = []
+
+        if features is None:
+            self._build(raw_dir, modules)
+        else:
+            self._build_selected(raw_dir, modules, features)
+
+    def _edges(self) -> np.ndarray:
+        return np.linspace(0, self.cfg.width, self.cfg.n_splits + 1).astype(np.int64)
+
+    def _build(self, raw_dir: str, modules: Optional[List[str]] = None):
+        edges = self._edges()
+        modules = os.listdir(raw_dir) if modules is None else modules
+        for module in modules:
+            for start, end in zip(edges[:-1], edges[1:]):
+                # Filename end is inclusive (reference loader.py:156-158).
+                path = f"{raw_dir}/{module}/{start}_{end - 1}.safetensors"
+                self.buffers.append(
+                    TensorBuffer(path, module, min_examples=self.cfg.min_examples)
+                )
+
+    def _build_selected(
+        self, raw_dir: str, modules: List[str], features: Dict[str, np.ndarray]
+    ):
+        """Only build buffers for splits containing requested features,
+        bucketized over the split edges (reference loader.py:164-196)."""
+        edges = self._edges()
+        for module in modules:
+            selected = np.asarray(features[module])
+            # torch.bucketize(right=True) == searchsorted(side="right").
+            bucketized = np.searchsorted(edges, selected, side="right")
+            for bucket in np.unique(bucketized):
+                mask = bucketized == bucket
+                start, end = edges[bucket - 1], edges[bucket]
+                path = f"{raw_dir}/{module}/{start}_{end - 1}.safetensors"
+                self.buffers.append(
+                    TensorBuffer(
+                        path,
+                        module,
+                        selected[mask],
+                        min_examples=self.cfg.min_examples,
+                    )
+                )
+
+    def __len__(self):
+        return len(self.buffers)
+
+    def load(
+        self,
+        collate: bool = False,
+        constructor: Optional[Callable] = None,
+        sampler: Optional[Callable] = None,
+        transform: Optional[Callable] = None,
+    ):
+        """Per buffer, per feature: construct dense examples, sample, transform
+        (reference loader.py:201-259). Returns a generator of per-buffer
+        record lists, or one flat list when `collate=True`."""
+
+        def _process(buffer_output: BufferOutput) -> FeatureRecord:
+            record = FeatureRecord(buffer_output.feature)
+            if constructor is not None:
+                constructor(record=record, buffer_output=buffer_output)
+            if sampler is not None:
+                sampler(record)
+            if transform is not None:
+                transform(record)
+            return record
+
+        def _worker(buffer: TensorBuffer):
+            return [_process(out) for out in buffer]
+
+        if collate:
+            all_records = []
+            for buffer in self.buffers:
+                all_records.extend(_worker(buffer))
+            return all_records
+
+        def _gen():
+            for buffer in self.buffers:
+                yield _worker(buffer)
+
+        return _gen()

@@ -1,0 +1,80 @@
+"""Example samplers (reference sae_auto_interp/features/samplers.py):
+top / random / quantile selection of constructed examples into record.train,
+with the reference's fixed seed 22 defaults."""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+from typing import Dict, List, Literal
+
+from ..config import ExperimentConfig
+from .features import Example, FeatureRecord
+
+
+def split_activation_quantiles(
+    examples: List[Example], n_quantiles: int, n_samples: int, seed: int = 22
+):
+    """Threshold-based quantiles over max activation (reference samplers.py:9-31)."""
+    random.seed(seed)
+    max_activation = examples[0].max_activation
+    thresholds = [max_activation * i / n_quantiles for i in range(1, n_quantiles)]
+
+    samples = []
+    queue = deque(examples)
+    for threshold in thresholds:
+        quantile = []
+        while queue and queue[0].max_activation < threshold:
+            quantile.append(queue.popleft())
+        samples.append(random.sample(quantile, n_samples))
+    samples.append(random.sample(list(queue), n_samples))
+    return samples
+
+
+def split_quantiles(
+    examples: List[Example], n_quantiles: int, n_samples: int, seed: int = 22
+):
+    """Evenly-chunked quantile sampling (reference samplers.py:34-49)."""
+    random.seed(seed)
+    quantile_size = len(examples) // n_quantiles
+    samples = []
+    for i in range(n_quantiles):
+        quantile = examples[i * quantile_size : (i + 1) * quantile_size]
+        samples.extend(random.sample(quantile, min(len(quantile), n_samples)))
+    return samples
+
+
+def train(
+    examples: List[Example],
+    n_train: int,
+    train_type: Literal["top", "random", "quantile"],
+    seed: int = 22,
+    n_quantiles: int = 10,
+):
+    """(reference samplers.py:52-67)"""
+    if train_type == "top":
+        return examples[:n_train]
+    elif train_type == "random":
+        random.seed(seed)
+        return random.sample(examples, n_train)
+    elif train_type == "quantile":
+        return split_quantiles(examples, n_quantiles, n_train)
+    raise ValueError(f"Invalid train_type: {train_type}")
+
+
+def sample(record: FeatureRecord, cfg: ExperimentConfig):
+    """Fill record.train (reference samplers.py:70-83)."""
+    record.train = train(
+        record.examples,
+        n_train=cfg.n_examples_train,
+        train_type=cfg.train_type,
+        n_quantiles=cfg.n_quantiles,
+    )
+
+
+def sample_with_explanation(
+    record: FeatureRecord, cfg: ExperimentConfig, explanations: Dict[str, str]
+):
+    """Sample + attach a previously-saved explanation (reference samplers.py:86-90)."""
+    sample(record, cfg)
+    record.explanation = explanations[f"{record.feature}"]

@@ -1,0 +1,18 @@
+from .topk import top_k, blockwise_top_k
+from .sparse_decode import (
+    sparse_decode,
+    eager_decode,
+    gather_decode,
+    topk_mask_decode,
+)
+from .geometric_median import geometric_median
+
+__all__ = [
+    "top_k",
+    "blockwise_top_k",
+    "sparse_decode",
+    "eager_decode",
+    "gather_decode",
+    "topk_mask_decode",
+    "geometric_median",
+]

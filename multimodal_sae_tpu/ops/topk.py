@@ -1,0 +1,99 @@
+"""Wide top-k selection for TPU.
+
+The reference selects the top-k of 131,072 latents per token with
+`torch.topk` (reference sae_auto_interp/sae/sae.py:179-185,
+features/cache.py:209-218).  A single `jax.lax.top_k` over such a wide axis is
+the throughput pivot on TPU (SURVEY.md §7 hard part #2): XLA lowers it to a
+sorting network whose cost grows with the full width.  We instead use an exact
+two-pass blockwise reduction:
+
+1. split the latent axis into B blocks and take the per-block top-k
+   (every global top-k element is necessarily in its block's top-k);
+2. take the top-k of the B*k surviving candidates and translate the winner
+   positions back to global indices.
+
+Both passes are `lax.top_k` over much narrower axes, which XLA tiles onto the
+VPU far better.  The result is exact (identical *set* of (value, index) pairs;
+like `torch.topk(sorted=False)` the intra-k ordering is unspecified).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _choose_block_count(width: int, k: int) -> int:
+    """Pick a block count: blocks must be >= k wide, and we aim for
+    block width ~= sqrt(width * k) to balance the two passes."""
+    if width <= max(4096, 4 * k):
+        return 1
+    target_block = max(k, int(math.sqrt(width * max(k, 1))))
+    num_blocks = max(1, width // target_block)
+    # Blocks must evenly divide width for a cheap reshape; walk down to a divisor.
+    while num_blocks > 1 and (width % num_blocks != 0 or width // num_blocks < k):
+        num_blocks -= 1
+    return num_blocks
+
+
+def blockwise_top_k(
+    x: jax.Array, k: int, num_blocks: Optional[int] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over the last axis using a two-pass block reduction.
+
+    Args:
+        x: (..., width) scores.
+        k: number of entries to keep.
+        num_blocks: optional explicit block count (must divide width and
+            leave each block at least k wide). Auto-chosen if None.
+
+    Returns:
+        (values, indices), each (..., k). Matches `jax.lax.top_k` as a set;
+        values are sorted descending (ties may order differently).
+    """
+    width = x.shape[-1]
+    if k >= width:
+        raise ValueError(f"k={k} must be < width={width}")
+    if num_blocks is None:
+        num_blocks = _choose_block_count(width, k)
+    if num_blocks <= 1:
+        return jax.lax.top_k(x, k)
+
+    assert width % num_blocks == 0, (width, num_blocks)
+    block = width // num_blocks
+    assert block >= k, (block, k)
+
+    lead = x.shape[:-1]
+    xb = x.reshape(*lead, num_blocks, block)
+    # Pass 1: per-block top-k.
+    bvals, bidx = jax.lax.top_k(xb, k)  # (..., num_blocks, k)
+    offsets = (jnp.arange(num_blocks, dtype=bidx.dtype) * block)[..., None]
+    gidx = (bidx + offsets).reshape(*lead, num_blocks * k)
+    bvals = bvals.reshape(*lead, num_blocks * k)
+    # Pass 2: top-k of the candidates.
+    vals, cand_pos = jax.lax.top_k(bvals, k)  # (..., k)
+    idx = jnp.take_along_axis(gidx, cand_pos, axis=-1)
+    return vals, idx
+
+
+def top_k(
+    x: jax.Array,
+    k: int,
+    *,
+    num_blocks: Optional[int] = None,
+    approx: bool = False,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k over the last axis.
+
+    `approx=True` uses the TPU-accelerated `jax.lax.approx_max_k`
+    (useful for training where a tiny recall loss is tolerable); the default
+    is the exact blockwise reduction, which the bit-exact cache path requires.
+    """
+    if approx:
+        return jax.lax.approx_max_k(x, k, recall_target=recall_target)
+    return blockwise_top_k(x, k, num_blocks=num_blocks)

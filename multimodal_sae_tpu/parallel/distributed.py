@@ -1,0 +1,60 @@
+"""Multi-host bring-up.
+
+The reference initializes NCCL process groups from torchrun env vars with an
+18,000 s timeout for slow model downloads (reference train/sae/sae/__main__.py:143-153,
+launch/cache/cache_image.py:30-31).  The TPU-native equivalent is
+`jax.distributed.initialize()` once per host; afterwards `jax.devices()` spans
+the slice and a single global mesh covers every chip — all collectives are
+compiled into programs, so no further process-group plumbing exists.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize JAX's multi-host runtime if this looks like a multi-host job.
+
+    Safe to call unconditionally: single-host runs (no coordinator configured
+    and no TPU metadata) are a no-op returning False.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    has_env = (
+        coordinator_address is not None
+        or "COORDINATOR_ADDRESS" in os.environ
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        or "TPU_WORKER_HOSTNAMES" in os.environ
+    )
+    if not has_env:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except Exception as e:  # pragma: no cover - env-specific
+        print(f"jax.distributed.initialize failed ({e}); continuing single-host")
+        return False
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()

@@ -1,0 +1,533 @@
+"""SAE trainer — pjit data-parallel training of TopK SAEs on frozen-LMM
+activations.
+
+Re-design of the reference trainer (reference train/sae/sae/trainer.py) for
+single-controller JAX:
+
+* DDP (reference trainer.py:334-345) disappears: one jitted train step over a
+  `('data',)` mesh with batch-sharded hiddens and replicated params; XLA
+  inserts the gradient all-reduces.
+* The per-batch loop is: renorm decoder → accumulate grads over micro chunks
+  → clip → (on grad-acc boundary) project off decoder directions → Adam with
+  linear-warmup schedule → dead-feature bookkeeping (reference
+  trainer.py:188-461 step for step).
+* b_dec is initialized to the geometric median of the first batch's (global)
+  hiddens (reference trainer.py:325-332); with sharded hiddens the all-gather
+  is compiled in.
+* `distribute_modules` (reference trainer.py:495-538) becomes per-hookpoint
+  device groups: each hookpoint's SAE/optimizer lives on its own sub-mesh and
+  hidden states flow there as compiled transfers — the single-controller
+  equivalent of the reference's `dist.all_to_all` hidden exchange.
+
+Checkpoint layout keeps the reference's interchange files
+({run}/{hookpoint}/sae.safetensors + cfg.json, reference trainer.py:540-569);
+optimizer/scheduler state is saved as safetensors instead of torch .pt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from dataclasses import asdict
+from fnmatch import fnmatchcase
+from functools import partial
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from ..ops import geometric_median
+from ..parallel import data_sharding, get_mesh, replicated_sharding
+from ..sae import (
+    Sae,
+    forward,
+    init_params,
+    remove_gradient_parallel_to_decoder_directions,
+    set_decoder_norm_to_unit_norm,
+)
+from ..utils import natsorted, rank0_print
+
+
+def linear_warmup_schedule(warmup_steps: int, total_steps: int):
+    """transformers.get_linear_schedule_with_warmup semantics
+    (reference trainer.py:155-157): linear 0→1 over warmup, then linear decay
+    to 0 at total_steps."""
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0, (total_steps - step) / jnp.maximum(1.0, total_steps - warmup_steps)
+        )
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def _global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+
+
+class SaeTrainer:
+    """Trains one SAE per hookpoint over a frozen subject model
+    (reference trainer.py:67-461).
+
+    Args:
+        cfg: TrainConfig.
+        dataset: indexable dataset of {"input_ids": (S,)} rows (already
+            shuffled; reference shuffles before passing, __main__.py:133-134).
+        model: an ActivationSource (see models/api.py).
+        mesh: optional jax Mesh; defaults to all devices on a 'data' axis.
+    """
+
+    def __init__(self, cfg: TrainConfig, dataset, model, mesh=None):
+        self.model = model
+        all_names = model.hookpoint_names()
+
+        if cfg.hookpoints:
+            assert not cfg.layers, "Cannot specify both `hookpoints` and `layers`."
+            raw = [
+                name
+                for name in all_names
+                if any(fnmatchcase(name, pat) for pat in cfg.hookpoints)
+            ]
+            cfg.hookpoints = natsorted(raw)
+        else:
+            if not cfg.layers:
+                n_layers = len(all_names)
+                cfg.layers = list(range(0, n_layers, cfg.layer_stride))
+            layers_name = model.layers_name()
+            cfg.hookpoints = [f"{layers_name}.{i}" for i in cfg.layers]
+
+        self.cfg = cfg
+        self.dataset = dataset
+        self.mesh = mesh if mesh is not None else get_mesh(("data",))
+        self.distribute_modules()
+
+        num_examples = len(dataset)
+        input_widths = model.resolve_widths(cfg.hookpoints)
+        unique_widths = set(input_widths.values())
+        if cfg.distribute_modules and len(unique_widths) > 1:
+            raise ValueError(
+                f"All modules must output tensors of the same shape when using "
+                f"`distribute_modules=True`, got {unique_widths}"
+            )
+        self.input_widths = input_widths
+
+        key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, len(self.local_hookpoints()))
+        self.saes: Dict[str, Sae] = {
+            hook: Sae(input_widths[hook], cfg.sae, key=k)
+            for hook, k in zip(self.local_hookpoints(), keys)
+        }
+
+        # Per-SAE auto LR: 2e-4 / sqrt(num_latents / 2**14) (reference trainer.py:131).
+        self.base_lrs = {
+            name: cfg.lr or 2e-4 / (sae.num_latents / (2**14)) ** 0.5
+            for name, sae in self.saes.items()
+        }
+        lrs = [f"{lr:.2e}" for lr in sorted(set(self.base_lrs.values()))]
+        rank0_print(
+            f"Learning rates: {lrs}" if len(lrs) > 1 else f"Learning rate: {lrs[0]}"
+        )
+
+        num_batches = num_examples // cfg.batch_size
+        self.num_batches = num_batches
+        # NOTE: the reference passes batches (not optimizer steps) as the decay
+        # horizon (trainer.py:155-157); kept for parity.
+        self.schedule = linear_warmup_schedule(cfg.lr_warmup_steps, num_batches)
+
+        self.optimizer = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        self.opt_states = {
+            name: self.optimizer.init(sae.params) for name, sae in self.saes.items()
+        }
+        self.grad_accs = {
+            name: jax.tree_util.tree_map(jnp.zeros_like, sae.params)
+            for name, sae in self.saes.items()
+        }
+
+        self.global_step = 0
+        self.opt_step = 0  # number of optimizer updates so far
+        self.num_tokens_since_fired = {
+            name: np.zeros(sae.num_latents, dtype=np.int64)
+            for name, sae in self.saes.items()
+        }
+        self._did_fire = {
+            name: np.zeros(sae.num_latents, dtype=bool) for name, sae in self.saes.items()
+        }
+        self._num_tokens_in_step = 0
+        self._b_dec_initialized = self.cfg.sae is None  # always False; set on resume
+
+        self._build_jitted_fns()
+
+    # ------------------------------------------------------------------ setup
+    def local_hookpoints(self):
+        return (
+            self.module_plan[0] if self.module_plan else self.cfg.hookpoints
+        )
+
+    def distribute_modules(self):
+        """Module-sharding plan (reference trainer.py:495-511). With a single
+        controller every hookpoint is driven from this process; the plan maps
+        hookpoints to device groups instead of ranks."""
+        if not self.cfg.distribute_modules:
+            self.module_plan = []
+            self.device_groups = {}
+            rank0_print(f"Training on modules: {self.cfg.hookpoints}")
+            return
+
+        devices = list(self.mesh.devices.flatten())
+        n_groups = min(len(devices), len(self.cfg.hookpoints))
+        per_group, rem = divmod(len(self.cfg.hookpoints), n_groups)
+        assert rem == 0, "Number of modules must be divisible by the group count"
+        groups = [
+            self.cfg.hookpoints[start : start + per_group]
+            for start in range(0, len(self.cfg.hookpoints), per_group)
+        ]
+        # Flat plan: all hookpoints stay local; each maps to a device group.
+        self.module_plan = [self.cfg.hookpoints]
+        dev_groups = np.array_split(np.array(devices), n_groups)
+        self.device_groups = {}
+        for grp_idx, hooks in enumerate(groups):
+            sub = get_mesh(("data",), devices=dev_groups[grp_idx])
+            for h in hooks:
+                self.device_groups[h] = sub
+            rank0_print(f"Device group {grp_idx} modules: {hooks}")
+
+    def _mesh_for(self, name: str):
+        return self.device_groups.get(name, self.mesh)
+
+    def _build_jitted_fns(self):
+        cfg = self.cfg
+
+        def accumulate(params, grad_acc, hiddens, dead_mask):
+            """Forward/backward over micro chunks; returns clipped accumulated
+            grads + metrics (reference trainer.py:347-391)."""
+            params = (
+                set_decoder_norm_to_unit_norm(params)
+                if cfg.sae.normalize_decoder
+                else params
+            )
+            micro = cfg.micro_acc_steps
+            n = hiddens.shape[0]
+            chunked = hiddens.reshape(micro, n // micro, hiddens.shape[-1])
+            acc_steps = cfg.grad_acc_steps * cfg.micro_acc_steps
+
+            def loss_fn(p, chunk):
+                out = forward(
+                    p,
+                    chunk,
+                    cfg.sae,
+                    dead_mask if cfg.auxk_alpha > 0 else None,
+                )
+                loss = (
+                    out.fvu + cfg.auxk_alpha * out.auxk_loss + out.multi_topk_fvu / 8
+                )
+                return loss / acc_steps, out
+
+            def body(carry, chunk):
+                g_acc, fired_acc, fvu, auxk, mt = carry
+                (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, chunk
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                fired_acc = jnp.logical_or(fired_acc, out.fired)
+                return (g_acc, fired_acc, fvu + out.fvu, auxk + out.auxk_loss, mt + out.multi_topk_fvu), None
+
+            L = params["b_enc"].shape[0]
+            init = (
+                grad_acc,
+                jnp.zeros((L,), dtype=bool),
+                jnp.zeros(()),
+                jnp.zeros(()),
+                jnp.zeros(()),
+            )
+            (grad_acc, fired, fvu, auxk, mt), _ = jax.lax.scan(body, init, chunked)
+
+            # clip_grad_norm_(1.0) on the accumulated grads, every batch
+            # (reference trainer.py:391).
+            norm = _global_norm(grad_acc)
+            scale = jnp.minimum(1.0, 1.0 / (norm + 1e-6))
+            grad_acc = jax.tree_util.tree_map(lambda g: g * scale, grad_acc)
+            metrics = {
+                "fvu": fvu / micro,
+                "auxk": auxk / micro,
+                "multi_topk_fvu": mt / micro,
+            }
+            return params, grad_acc, fired, metrics
+
+        def apply_updates(params, opt_state, grad_acc, lr):
+            """Project, Adam, reset accumulator (reference trainer.py:393-402)."""
+            grads = grad_acc
+            if cfg.sae.normalize_decoder:
+                grads = remove_gradient_parallel_to_decoder_directions(params, grads)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, grad_acc)
+            return params, opt_state, zeros
+
+        def b_dec_init(params, hiddens):
+            median = geometric_median(hiddens)
+            return {**params, "b_dec": median.astype(params["b_dec"].dtype)}
+
+        self._jit_cache = {}
+        self._accumulate_raw = accumulate
+        self._apply_raw = apply_updates
+        self._b_dec_init_raw = b_dec_init
+
+    def _jitted(self, kind: str, name: str):
+        """Per-hookpoint jitted fns, compiled against that hookpoint's mesh
+        with batch-sharded hiddens and replicated params."""
+        key = (kind, name)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        mesh = self._mesh_for(name)
+        repl = replicated_sharding(mesh)
+        if kind == "accumulate":
+            fn = jax.jit(
+                self._accumulate_raw,
+                in_shardings=(repl, repl, data_sharding(mesh), repl),
+                donate_argnums=(1,),
+            )
+        elif kind == "apply":
+            fn = jax.jit(self._apply_raw, donate_argnums=(0, 1, 2))
+        else:
+            fn = jax.jit(
+                self._b_dec_init_raw, in_shardings=(repl, data_sharding(mesh))
+            )
+        self._jit_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------ train
+    def fit(self, log_fn=None):
+        cfg = self.cfg
+        wandb = None
+        if cfg.log_to_wandb and log_fn is None:
+            try:
+                import wandb as _wandb
+
+                _wandb.init(
+                    name=cfg.run_name,
+                    project="sae",
+                    config=asdict(cfg),
+                    save_code=True,
+                )
+                wandb = _wandb
+            except ImportError:
+                rank0_print("Weights & Biases not installed, skipping logging.")
+                cfg.log_to_wandb = False
+
+        num_sae_params = sum(
+            int(np.prod(p.shape)) for s in self.saes.values() for p in s.params.values()
+        )
+        rank0_print(f"Number of SAE parameters: {num_sae_params:_}")
+
+        ds = self.dataset
+        if self.global_step > 0:
+            n = self.global_step * cfg.batch_size
+            ds = ds.select(range(n, len(self.dataset)))
+
+        avg_metrics = {
+            name: defaultdict(float) for name in self.saes
+        }
+        denom = cfg.grad_acc_steps * cfg.micro_acc_steps * cfg.wandb_log_frequency
+
+        pbar = None
+        try:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(
+                desc="Training", initial=self.global_step, total=self.num_batches
+            )
+        except ImportError:
+            pass
+
+        for batch in _iter_batches(ds, cfg.batch_size):
+            self.step(batch, avg_metrics)
+
+            step, substep = divmod(self.global_step + 1, cfg.grad_acc_steps)
+            if substep == 0 and cfg.wandb_log_frequency and (
+                step % cfg.wandb_log_frequency == 0
+            ):
+                info = {}
+                for name in self.saes:
+                    mask = (
+                        self.num_tokens_since_fired[name]
+                        > cfg.dead_feature_threshold
+                    )
+                    info[f"fvu/{name}"] = avg_metrics[name]["fvu"] / denom * cfg.micro_acc_steps
+                    info[f"dead_pct/{name}"] = float(mask.mean())
+                    if cfg.auxk_alpha > 0:
+                        info[f"auxk/{name}"] = avg_metrics[name]["auxk"] / denom * cfg.micro_acc_steps
+                    if cfg.sae.multi_topk:
+                        info[f"multi_topk_fvu/{name}"] = (
+                            avg_metrics[name]["multi_topk_fvu"] / denom * cfg.micro_acc_steps
+                        )
+                    avg_metrics[name].clear()
+                if wandb is not None:
+                    wandb.log(info, step=step)
+                if log_fn is not None:
+                    log_fn(step, info)
+
+            if substep == 0 and step % cfg.save_every == 0:
+                self.save()
+
+            self.global_step += 1
+            if pbar is not None:
+                pbar.update()
+
+        self.save()
+        if pbar is not None:
+            pbar.close()
+
+    def step(self, batch: dict, avg_metrics=None):
+        """One batch: capture hiddens, accumulate grads for every hookpoint,
+        apply on grad-acc boundaries (reference trainer.py:275-414)."""
+        cfg = self.cfg
+        hidden_dict = self.model.capture(batch, self.cfg.hookpoints)
+
+        input_ids = np.asarray(batch["input_ids"])
+        self._num_tokens_in_step += int(input_ids.size)
+
+        for name, hiddens in hidden_dict.items():
+            if name not in self.saes:
+                continue
+            sae = self.saes[name]
+            hiddens = hiddens.reshape(-1, hiddens.shape[-1])  # flatten(0,1)
+
+            if self.global_step == 0 and not self._b_dec_initialized:
+                sae.params = self._jitted("b_dec_init", name)(sae.params, hiddens)
+
+            dead_mask = jnp.asarray(
+                self.num_tokens_since_fired[name] > cfg.dead_feature_threshold
+            )
+            params, grad_acc, fired, metrics = self._jitted("accumulate", name)(
+                sae.params, self.grad_accs[name], hiddens, dead_mask
+            )
+            sae.params = params
+            self.grad_accs[name] = grad_acc
+            self._did_fire[name] |= np.asarray(fired)
+            if avg_metrics is not None:
+                acc_steps = cfg.grad_acc_steps * cfg.micro_acc_steps
+                d = acc_steps * cfg.wandb_log_frequency / cfg.micro_acc_steps
+                for k, v in metrics.items():
+                    avg_metrics[name][k] += float(v) / d * cfg.micro_acc_steps
+
+        self._b_dec_initialized = True
+
+        step, substep = divmod(self.global_step + 1, cfg.grad_acc_steps)
+        if substep == 0:
+            lr_scale = float(jax.device_get(self.schedule(self.opt_step)))
+            for name, sae in self.saes.items():
+                lr = self.base_lrs[name] * lr_scale
+                sae.params, self.opt_states[name], self.grad_accs[name] = self._jitted(
+                    "apply", name
+                )(sae.params, self.opt_states[name], self.grad_accs[name], lr)
+            self.opt_step += 1
+
+            # Dead-feature bookkeeping (reference trainer.py:404-414).
+            for name, counts in self.num_tokens_since_fired.items():
+                counts += self._num_tokens_in_step
+                counts[self._did_fire[name]] = 0
+                self._did_fire[name][:] = False
+            self._num_tokens_in_step = 0
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self):
+        """Write checkpoint (reference trainer.py:540-569): per-hookpoint
+        sae.safetensors + cfg.json (interchange format), plus trainer state
+        as safetensors/json."""
+        from safetensors.numpy import save_file
+
+        path = self.cfg.run_name or "sae-ckpts"
+        rank0_print("Saving checkpoint")
+        os.makedirs(path, exist_ok=True)
+
+        for hook, sae in self.saes.items():
+            sae.save_to_disk(f"{path}/{hook}")
+
+        state_tensors = {
+            f"num_tokens_since_fired/{name}": counts
+            for name, counts in self.num_tokens_since_fired.items()
+        }
+        save_file(state_tensors, f"{path}/state.safetensors")
+        for name in self.saes:
+            flat = _flatten_opt_state(self.opt_states[name])
+            save_file(flat, f"{path}/optimizer_{_safe(name)}.safetensors")
+        with open(f"{path}/state.json", "w") as f:
+            json.dump(
+                {"global_step": self.global_step, "opt_step": self.opt_step}, f
+            )
+        with open(f"{path}/config.json", "w") as f:
+            json.dump(asdict(self.cfg), f)
+
+    def load_state(self, path: str):
+        """Resume (reference trainer.py:161-186): restores step counters,
+        dead-feature counts, optimizer states and SAE weights."""
+        from safetensors.numpy import load_file
+
+        with open(f"{path}/state.json") as f:
+            st = json.load(f)
+        self.global_step = st["global_step"]
+        self.opt_step = st.get("opt_step", self.global_step)
+        rank0_print(
+            f"\033[92mResuming training at step {self.global_step} from '{path}'\033[0m"
+        )
+
+        state_tensors = load_file(f"{path}/state.safetensors")
+        for name in self.saes:
+            self.num_tokens_since_fired[name] = state_tensors[
+                f"num_tokens_since_fired/{name}"
+            ].copy()
+
+        for name, sae in self.saes.items():
+            loaded = Sae.load_from_disk(f"{path}/{name}")
+            sae.params = loaded.params
+            flat = load_file(f"{path}/optimizer_{_safe(name)}.safetensors")
+            self.opt_states[name] = _unflatten_opt_state(
+                flat, self.opt_states[name]
+            )
+        self._b_dec_initialized = True
+
+
+def _safe(name: str) -> str:
+    return name.replace("/", "_").replace(".", "_")
+
+
+def _flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:
+    leaves, _ = jax.tree_util.tree_flatten(opt_state)
+    out = {}
+    for i, leaf in enumerate(leaves):
+        out[f"leaf_{i}"] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_opt_state(flat: Dict[str, np.ndarray], like):
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = flat[f"leaf_{i}"]
+        new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype).reshape(leaf.shape))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _iter_batches(dataset, batch_size: int) -> Iterable[dict]:
+    """Sequential fixed-size batches (no shuffling — the dataset is shuffled
+    upstream for reproducibility, reference trainer.py:235-241)."""
+    n = len(dataset)
+    for i in range(n // batch_size):
+        rows = [dataset[j] for j in range(i * batch_size, (i + 1) * batch_size)]
+        batch = {}
+        for key in rows[0]:
+            vals = [r[key] for r in rows]
+            try:
+                batch[key] = np.stack([np.asarray(v) for v in vals])
+            except Exception:
+                batch[key] = vals
+        yield batch

@@ -1,0 +1,256 @@
+"""Feature-data layer tests: COO cache format (golden-tested against a dense
+torch-style oracle), split writer/merger, lazy loader, constructors, samplers,
+and the image-mask utilities (SURVEY.md §4 test strategy)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_sae_tpu.config import ExperimentConfig, FeatureConfig, SaeConfig
+from multimodal_sae_tpu.features import (
+    Cache,
+    FeatureCache,
+    FeatureDataset,
+    FeatureRecord,
+    TensorBuffer,
+    prepare_image_examples,
+    upsample_mask,
+)
+from multimodal_sae_tpu.features.cache import topk_latents_step
+from multimodal_sae_tpu.features.constructors import (
+    default_constructor,
+    pool_max_activation_windows,
+)
+from multimodal_sae_tpu.features.features import Feature
+from multimodal_sae_tpu.features.loader import BufferOutput
+from multimodal_sae_tpu.features.samplers import sample, split_quantiles
+from multimodal_sae_tpu.sae import Sae
+
+D_IN, L, K = 16, 64, 4
+
+
+def _make_sae():
+    return Sae(D_IN, SaeConfig(num_latents=L, k=K), key=jax.random.PRNGKey(0))
+
+
+def _dense_oracle(sae, h):
+    """The reference's dense path: pre_acts -> topk -> scatter into zeros
+    (reference features/cache.py:209-218), in numpy."""
+    import torch
+
+    W_enc = torch.tensor(np.asarray(sae.params["W_enc"]))
+    b_enc = torch.tensor(np.asarray(sae.params["b_enc"]))
+    b_dec = torch.tensor(np.asarray(sae.params["b_dec"]))
+    x = torch.tensor(np.asarray(h))
+    pre = torch.relu((x - b_dec) @ W_enc + b_enc)
+    topk = torch.topk(pre, k=K, dim=-1)
+    result = torch.zeros_like(pre)
+    result.scatter_(-1, topk.indices, topk.values)
+    return result.numpy()
+
+
+def test_cache_add_topk_matches_dense_reference():
+    sae = _make_sae()
+    h = jax.random.normal(jax.random.PRNGKey(1), (3, 5, D_IN))
+    dense = _dense_oracle(sae, h)
+
+    ref_cache = Cache(shard_size=0, batch_size=3)
+    ref_cache.add(dense, batch_number=0, module_path="m")
+
+    vals, idx = topk_latents_step(sae.params, h, sae.cfg)
+    new_cache = Cache(shard_size=0, batch_size=3)
+    new_cache.add_topk(np.asarray(vals), np.asarray(idx), 0, "m")
+
+    ref_cache.save()
+    new_cache.save()
+    np.testing.assert_array_equal(
+        ref_cache.feature_locations["m"], new_cache.feature_locations["m"]
+    )
+    np.testing.assert_allclose(
+        ref_cache.feature_activations["m"],
+        new_cache.feature_activations["m"],
+        rtol=1e-6,
+    )
+
+
+def test_cache_filters_and_offsets():
+    cache = Cache(shard_size=100, filters={"m": np.array([2, 7])}, batch_size=4)
+    vals = np.zeros((4, 3, 2), dtype=np.float32)
+    idx = np.zeros((4, 3, 2), dtype=np.int64)
+    vals[0, 0] = [0.5, 0.25]
+    idx[0, 0] = [2, 3]  # only feature 2 passes the filter
+    vals[1, 2] = [1.0, 2.0]
+    idx[1, 2] = [7, 9]  # only feature 7 passes
+    cache.add_topk(vals, idx, batch_number=2, module_path="m")
+    cache.save()
+    locs = cache.feature_locations["m"]
+    acts = cache.feature_activations["m"]
+    # Row offset = batch_number * batch_size + shard_size = 108.
+    np.testing.assert_array_equal(locs, [[108, 0, 2], [109, 2, 7]])
+    np.testing.assert_allclose(acts, [0.5, 1.0])
+
+
+def _fill_cache_via_pipeline(tmp_path, n_splits=4, n_batches=6, bs=2, seq=8):
+    sae = _make_sae()
+    keys = jax.random.split(jax.random.PRNGKey(3), n_batches)
+    batches = [jax.random.normal(k, (bs, seq, D_IN)) for k in keys]
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}
+
+    fc = FeatureCache(
+        capture_fn, {"layers.0": sae}, batch_size=bs, shard_size=0
+    )
+    for i, b in enumerate(batches):
+        fc.process_batch({"h": b}, i)
+    fc.cache.save()
+    fc.save_splits(n_splits, str(tmp_path), rank=0)
+    fc.concate_safetensors(n_splits, str(tmp_path))
+    return fc, batches
+
+
+def test_split_roundtrip_and_merge(tmp_path):
+    fc, _ = _fill_cache_via_pipeline(tmp_path)
+    files = sorted(os.listdir(tmp_path / "layers.0"))
+    assert files == ["0_15.safetensors", "16_31.safetensors", "32_47.safetensors", "48_63.safetensors"]
+    # Re-read all splits: together they must reproduce the full COO set.
+    from safetensors.numpy import load_file
+
+    locs, acts = [], []
+    for f in files:
+        d = load_file(str(tmp_path / "layers.0" / f))
+        locs.append(d["locations"])
+        acts.append(d["activations"])
+        assert d["locations"].dtype == np.int64
+    locs = np.concatenate(locs)
+    acts = np.concatenate(acts)
+    orig_locs = fc.cache.feature_locations["layers.0"]
+    orig_acts = fc.cache.feature_activations["layers.0"]
+    # Same multiset (split partitioning reorders across files).
+    order = np.lexsort(locs.T)
+    oorder = np.lexsort(orig_locs.T)
+    np.testing.assert_array_equal(locs[order], orig_locs[oorder])
+    np.testing.assert_allclose(acts[order], orig_acts[oorder])
+
+
+def test_tensorbuffer_and_dataset(tmp_path):
+    fc, _ = _fill_cache_via_pipeline(tmp_path)
+    cfg = FeatureConfig(width=L, n_splits=4, min_examples=1, max_examples=100)
+    ds = FeatureDataset(str(tmp_path), cfg, modules=["layers.0"])
+    assert len(ds.buffers) == 4
+    seen = {}
+    for buf in ds.buffers:
+        for out in buf:
+            assert out.locations.shape[1] == 2
+            assert out.activations.ndim == 1
+            seen[out.feature.feature_index] = len(out.activations)
+    # Every cached feature appears exactly once across the splits.
+    orig_feats = fc.cache.feature_locations["layers.0"][:, 2]
+    uniq, counts = np.unique(orig_feats, return_counts=True)
+    assert seen == dict(zip(uniq.tolist(), counts.tolist()))
+
+
+def test_dataset_selected_features(tmp_path):
+    fc, _ = _fill_cache_via_pipeline(tmp_path)
+    orig_feats = np.unique(fc.cache.feature_locations["layers.0"][:, 2])
+    pick = orig_feats[[0, len(orig_feats) // 2, -1]]
+    cfg = FeatureConfig(width=L, n_splits=4, min_examples=1)
+    ds = FeatureDataset(
+        str(tmp_path), cfg, modules=["layers.0"], features={"layers.0": pick}
+    )
+    got = [out.feature.feature_index for buf in ds.buffers for out in buf]
+    assert sorted(got) == sorted(pick.tolist())
+
+
+def test_min_examples_skips(tmp_path):
+    from safetensors.numpy import save_file
+
+    locs = np.array([[0, 0, 5], [1, 0, 5], [0, 1, 9]], dtype=np.int64)
+    acts = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+    d = tmp_path / "m"
+    d.mkdir()
+    save_file({"locations": locs, "activations": acts}, str(d / "0_63.safetensors"))
+    buf = TensorBuffer(str(d / "0_63.safetensors"), "m", min_examples=2)
+    outs = list(buf)
+    assert [o.feature.feature_index for o in outs] == [5]
+
+
+def test_pool_max_activation_windows():
+    tokens = np.arange(2 * 12).reshape(2, 12)
+    locs = np.array([[0, 3], [0, 4], [1, 9]], dtype=np.int64)
+    acts = np.array([1.0, 5.0, 2.0], dtype=np.float32)
+    record = FeatureRecord(Feature("m", 0))
+    cfg = FeatureConfig(width=L, example_ctx_len=4, max_examples=10)
+    pool_max_activation_windows(
+        record, BufferOutput(Feature("m", 0), locs, acts), tokens, cfg
+    )
+    # Windows of 4: row0 win0 has max 5 (positions 3,4 -> window 0 has pos 3 val 1
+    # and window 1 has pos 4 val 5); row1 win2 has 2.
+    assert len(record.examples) == 3
+    assert record.examples[0].max_activation == 5.0
+    assert record.examples[1].max_activation == 2.0
+    assert record.examples[2].max_activation == 1.0
+
+
+def test_default_constructor_negatives():
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 100, size=(20, 16))
+    locs = np.array([[0, 3], [1, 4]], dtype=np.int64)
+    acts = np.array([1.0, 2.0], dtype=np.float32)
+    record = FeatureRecord(Feature("m", 0))
+    default_constructor(
+        record,
+        tokens,
+        BufferOutput(Feature("m", 0), locs, acts),
+        n_random=4,
+        ctx_len=4,
+        max_examples=10,
+    )
+    assert len(record.random_examples) == 4
+    for ex in record.random_examples:
+        assert ex.max_activation == 0.0
+
+
+def test_samplers():
+    from multimodal_sae_tpu.features import Example
+
+    examples = [
+        Example(tokens=np.array([i]), activations=np.array([float(100 - i)]))
+        for i in range(100)
+    ]
+    cfg = ExperimentConfig(n_examples_train=10, train_type="top")
+    rec = FeatureRecord(Feature("m", 1))
+    rec.examples = examples
+    sample(rec, cfg)
+    assert rec.train == examples[:10]
+    q = split_quantiles(examples, n_quantiles=10, n_samples=2)
+    assert len(q) == 20
+
+
+def test_upsample_mask_and_image_examples():
+    acts = np.zeros((24, 24), dtype=np.float32)
+    acts[10:14, 10:14] = 3.0
+    mask = upsample_mask(acts, (336, 336))
+    assert mask.size == (336, 336) and mask.mode == "L"
+    m = np.asarray(mask)
+    assert m[12 * 14, 12 * 14] == 0  # active region -> 0 (visible)
+    assert m[0, 0] == 224  # inactive -> background value
+
+    img = Image.new("RGB", (640, 480), (255, 0, 0))
+    flat = np.zeros(8000, dtype=np.float32)
+    flat[: 24 * 24] = acts.reshape(-1)
+    examples = prepare_image_examples(
+        np.zeros((1, 8000)), [flat], [img], num_image_tokens=576
+    )
+    ex = examples[0]
+    assert ex.activation_image.size == (336, 336)
+    arr = np.asarray(ex.activation_image)
+    center = arr[168, 168]
+    corner = arr[0, 0]
+    assert center[0] > 200  # activated center keeps the red image
+    assert corner.sum() < 60  # masked corner is (near) black

@@ -1,0 +1,117 @@
+"""Kernel parity tests, modeled on the reference's eager-vs-triton decoder test
+(reference train/sae/tests/test_decode.py:6-20): every custom formulation is
+checked against the straightforward eager implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sae_tpu.ops import (
+    blockwise_top_k,
+    eager_decode,
+    gather_decode,
+    geometric_median,
+    sparse_decode,
+    topk_mask_decode,
+)
+
+
+def _topk_set(vals, idx):
+    return {(int(i), float(np.round(v, 4))) for i, v in zip(np.ravel(idx), np.ravel(vals))}
+
+
+@pytest.mark.parametrize("width,k,blocks", [(1024, 16, 8), (4096, 64, None), (8192, 32, 16)])
+def test_blockwise_topk_matches_lax(width, k, blocks):
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, width))
+    v_ref, i_ref = jax.lax.top_k(x, k)
+    v, i = blockwise_top_k(x, k, num_blocks=blocks)
+    # Same set of (index, value) pairs per row.
+    for r in range(x.shape[0]):
+        assert _topk_set(v[r], i[r]) == _topk_set(v_ref[r], i_ref[r])
+    # Values sorted descending.
+    assert bool(jnp.all(v[:, :-1] >= v[:, 1:]))
+
+
+def test_blockwise_topk_relu_ties():
+    # Many zeros (post-ReLU regime): still selects a valid top-k set.
+    x = jnp.zeros((2, 512)).at[0, 5].set(3.0).at[0, 100].set(1.0)
+    v, i = blockwise_top_k(x, 4, num_blocks=4)
+    assert float(v[0, 0]) == 3.0 and int(i[0, 0]) == 5
+    assert float(v[0, 1]) == 1.0 and int(i[0, 1]) == 100
+
+
+def _random_sparse(key, n, k, L, d):
+    k1, k2, k3 = jax.random.split(key, 3)
+    pre = jax.nn.relu(jax.random.normal(k1, (n, L)))
+    vals, idx = jax.lax.top_k(pre, k)
+    W = jax.random.normal(k3, (L, d)) / (d**0.5)
+    return vals, idx, W, pre
+
+
+def test_decode_parity():
+    vals, idx, W, _ = _random_sparse(jax.random.PRNGKey(1), n=32, k=8, L=256, d=64)
+    y_eager = eager_decode(idx, vals, W)
+    y_gather = gather_decode(idx, vals, W)
+    y_sparse = sparse_decode(idx, vals, W)
+    np.testing.assert_allclose(y_eager, y_gather, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_eager, y_sparse, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_batched_leading_dims():
+    vals, idx, W, _ = _random_sparse(jax.random.PRNGKey(2), n=12, k=4, L=128, d=32)
+    vals3 = vals.reshape(3, 4, 4)
+    idx3 = idx.reshape(3, 4, 4)
+    y = sparse_decode(idx3, vals3, W)
+    assert y.shape == (3, 4, 32)
+    np.testing.assert_allclose(
+        y.reshape(12, 32), eager_decode(idx, vals, W), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_decode_grads_match_eager():
+    vals, idx, W, _ = _random_sparse(jax.random.PRNGKey(3), n=2600, k=8, L=256, d=64)
+
+    def loss_sparse(v, w):
+        return jnp.sum(sparse_decode(idx, v, w) ** 2)
+
+    def loss_eager(v, w):
+        return jnp.sum(eager_decode(idx, v, w) ** 2)
+
+    gs = jax.grad(loss_sparse, argnums=(0, 1))(vals, W)
+    ge = jax.grad(loss_eager, argnums=(0, 1))(vals, W)
+    np.testing.assert_allclose(gs[0], ge[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gs[1], ge[1], rtol=1e-4, atol=1e-4)
+
+
+def test_topk_mask_decode_matches_sparse_decode():
+    vals, idx, W, pre = _random_sparse(jax.random.PRNGKey(4), n=16, k=8, L=256, d=64)
+    y_mask, dense = topk_mask_decode(pre, W, 8)
+    y_ref = eager_decode(idx, vals, W)
+    np.testing.assert_allclose(y_mask, y_ref, rtol=1e-5, atol=1e-5)
+    # Fired mask marks exactly the nonzero selected latents.
+    assert int(jnp.sum(dense > 0)) <= 16 * 8 + 16  # ties allowance
+    # Gradient parity with the explicit sparse path (grad flows only to
+    # selected latents through the threshold mask).
+    def loss_mask(p, w):
+        y, _ = topk_mask_decode(p, w, 8)
+        return jnp.sum(y**2)
+
+    def loss_sparse(p, w):
+        v, i = jax.lax.top_k(p, 8)
+        return jnp.sum(sparse_decode(i, v, w) ** 2)
+
+    gm = jax.grad(loss_mask, argnums=(0, 1))(pre, W)
+    gs = jax.grad(loss_sparse, argnums=(0, 1))(pre, W)
+    np.testing.assert_allclose(gm[0], gs[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gm[1], gs[1], rtol=1e-4, atol=1e-4)
+
+
+def test_geometric_median_simple():
+    pts = jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    med = geometric_median(pts)
+    np.testing.assert_allclose(med, jnp.array([0.5, 0.5]), atol=1e-3)
+    # Robustness: an outlier moves the median far less than the mean.
+    pts2 = jnp.concatenate([jnp.zeros((10, 2)), jnp.array([[100.0, 100.0]])])
+    med2 = geometric_median(pts2)
+    assert float(jnp.linalg.norm(med2)) < 1.0
