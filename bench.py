@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: SAE activation-caching throughput at the flagship config
+(d_in=4096, 131,072 latents, k=256 — the released llama3-llava-next-8b SAE
+shape, reference train/sae/README.md:33-45).
+
+Measures the per-chip rate of the cache hot path — SAE encode (pre_acts
+matmul) → wide top-k → index-sort (`topk_latents_step`) — which, together
+with the frozen-LMM forward, dominates `launch.cache.cache_image`
+(SURVEY.md §3 hot loops #2/#5).
+
+`vs_baseline` compares against a faithful translation of the reference's data
+path run on the *same* chip (dense scatter of the top-k back into a
+(B, S, 131072) buffer + full-width `lax.top_k` + nonzero-style extraction,
+reference features/cache.py:209-218 + 80-81), isolating the gain of the
+TPU-first redesign.  The reference publishes no GPU numbers to compare
+against (BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.config import SaeConfig
+from multimodal_sae_tpu.sae import init_params
+from multimodal_sae_tpu.sae.model import pre_acts
+from multimodal_sae_tpu.features.cache import topk_latents_step
+
+D_IN, LATENTS, K = 4096, 131072, 256
+BATCH, SEQ = 16, 64  # ctx_len 64 (image caching config, reference README.md:45)
+DTYPE = jnp.bfloat16
+
+
+def _time(step_fn, params, x, iters=50):
+    """Time `iters` executions of step_fn inside ONE jitted fori_loop, reading
+    back a scalar checksum at the end.
+
+    Rationale: on the tunneled single-chip platform `block_until_ready`
+    returns before execution finishes, so per-call host timing reads dispatch
+    latency, not device time.  An in-jit loop serializes the iterations on
+    device and the scalar readback (one ~30 ms tunnel roundtrip, amortized)
+    bounds completion."""
+
+    @jax.jit
+    def loop(params, x):
+        def body(_, acc):
+            out = step_fn(params, x)
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(
+                jnp.sum(l).astype(jnp.float32) for l in leaves if l.dtype != jnp.int32
+            )
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    float(loop(params, x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(params, x))
+    return (time.perf_counter() - t0) / iters
+
+
+def naive_reference_step(params, x, cfg):
+    """The reference's data path transliterated: full-width top-k, scatter the
+    winners back into a dense (N, L) buffer, mask by magnitude — shipping the
+    dense buffer toward extraction (reference features/cache.py:209-218)."""
+    latents = pre_acts(params, x)
+    vals, idx = jax.lax.top_k(latents, cfg.k)  # full-width topk
+    n = latents.shape[0] * latents.shape[1]
+    flat_idx = idx.reshape(n, cfg.k)
+    flat_vals = vals.reshape(n, cfg.k)
+    dense = jnp.zeros((n, latents.shape[-1]), dtype=latents.dtype)
+    dense = dense.at[jnp.arange(n)[:, None], flat_idx].add(flat_vals)
+    mask = jnp.abs(dense) > 1e-5
+    return dense * mask
+
+
+def main():
+    cfg = SaeConfig(num_latents=LATENTS, k=K)
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, D_IN, cfg, dtype=DTYPE)
+    params = jax.device_put(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SEQ, D_IN), dtype=DTYPE)
+
+    tokens = BATCH * SEQ
+    t_ours = _time(lambda p, h: topk_latents_step(p, h, cfg), params, x)
+    t_naive = _time(lambda p, h: naive_reference_step(p, h, cfg), params, x)
+
+    tokens_per_sec = tokens / t_ours
+    naive_tokens_per_sec = tokens / t_naive
+
+    print(
+        json.dumps(
+            {
+                "metric": "sae_cache_tokens_per_sec",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/s/chip @131k width",
+                "vs_baseline": round(tokens_per_sec / naive_tokens_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

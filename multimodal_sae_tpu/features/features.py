@@ -81,8 +81,11 @@ def prepare_image_examples(
     if num_image_tokens is None:
         num_image_tokens = getattr(processor, "num_image_tokens", 576) if processor is not None else 576
     base_img_tokens = num_image_tokens
-    patch_size = 24 if base_img_tokens == 576 else 27
-    image_size = 336 if patch_size == 24 else 384
+    # 576 -> 24x24 (CLIP-336), 729 -> 27x27 (siglip-384) like the reference
+    # (features.py:55-57); any other square count maps generically.
+    patch_size = int(round(base_img_tokens**0.5))
+    assert patch_size * patch_size == base_img_tokens, base_img_tokens
+    image_size = 384 if patch_size == 27 else 336
 
     activations = [np.asarray(a) for a in activations]
     base_image_activations = [

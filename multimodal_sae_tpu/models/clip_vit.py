@@ -1,0 +1,174 @@
+"""CLIP ViT vision tower in JAX (the LLaVA-NeXT image encoder).
+
+The reference gets this from HF `transformers` inside
+`LlavaNextForConditionalGeneration` (reference features/cache.py:312-429).
+Numerics match HF `CLIPVisionModel` (eager, fp32): patch conv as an unfold +
+matmul on the MXU, quick_gelu MLPs, fp32 softmax attention, and the
+`hidden_states` indexing convention (`hidden_states[-2]` = output of the
+second-to-last encoder layer — LLaVA's `vision_feature_layer=-2`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    projection_dim: int = 768
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "ClipVisionConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def layer_norm(x, weight, bias, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * weight + bias
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
+    """(B, 3, H, W) -> (B, (H/p)*(W/p), 3*p*p) with (channel, ph, pw) ordering
+    matching conv2d weight layout (out, in, kh, kw)."""
+    B, C, H, W = pixel_values.shape
+    gh, gw = H // patch, W // patch
+    x = pixel_values.reshape(B, C, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, gh, gw, C, ph, pw)
+    return x.reshape(B, gh * gw, C * patch * patch)
+
+
+def clip_attention(x, lp, num_heads, eps):
+    B, S, D = x.shape
+    hd = D // num_heads
+    q = x @ lp["q_proj"] + lp["q_bias"]
+    k = x @ lp["k_proj"] + lp["k_bias"]
+    v = x @ lp["v_proj"] + lp["v_bias"]
+    q = q.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
+    k = k.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    return out @ lp["out_proj"] + lp["out_bias"]
+
+
+def clip_vision_forward(
+    params: dict,
+    cfg: ClipVisionConfig,
+    pixel_values: jax.Array,
+    *,
+    feature_layer: int = -2,
+) -> Dict[str, jax.Array]:
+    """Returns {"features": hidden_states[feature_layer] (B, 1+P, D),
+    "last": post-layernormed final hidden}.
+
+    hidden_states[i] follows HF: index 0 is the pre-encoder embedding output,
+    index i+1 is encoder layer i's output."""
+    B = pixel_values.shape[0]
+    dtype = params["patch_embedding"].dtype
+
+    patches = _patchify(pixel_values.astype(dtype), cfg.patch_size)
+    patch_embeds = patches @ params["patch_embedding"]  # (B, P, D)
+    cls = jnp.broadcast_to(
+        params["class_embedding"][None, None, :], (B, 1, cfg.hidden_size)
+    )
+    h = jnp.concatenate([cls, patch_embeds], axis=1)
+    h = h + params["position_embedding"][None]
+    h = layer_norm(
+        h, params["pre_layrnorm"], params["pre_layrnorm_bias"], cfg.layer_norm_eps
+    )
+
+    hidden_states: List[jax.Array] = [h]
+    for lp in params["layers"]:
+        residual = h
+        x = layer_norm(h, lp["ln1"], lp["ln1_bias"], cfg.layer_norm_eps)
+        h = residual + clip_attention(x, lp, cfg.num_attention_heads, cfg.layer_norm_eps)
+        residual = h
+        x = layer_norm(h, lp["ln2"], lp["ln2_bias"], cfg.layer_norm_eps)
+        x = quick_gelu(x @ lp["fc1"] + lp["fc1_bias"])
+        h = residual + (x @ lp["fc2"] + lp["fc2_bias"])
+        hidden_states.append(h)
+
+    last = layer_norm(
+        hidden_states[-1],
+        params["post_layernorm"],
+        params["post_layernorm_bias"],
+        cfg.layer_norm_eps,
+    )
+    return {"features": hidden_states[feature_layer], "last": last}
+
+
+def clip_params_from_state_dict(
+    sd: Dict, cfg: ClipVisionConfig, dtype=jnp.float32, prefix: str = "vision_model."
+) -> dict:
+    """Map HF CLIPVisionModel keys to our tree (weights transposed to (in, out))."""
+    from .hf_loader import _np
+
+    def t(key):
+        return jnp.asarray(np.ascontiguousarray(_np(sd[prefix + key]).T), dtype=dtype)
+
+    def v(key):
+        return jnp.asarray(_np(sd[prefix + key]), dtype=dtype)
+
+    conv = _np(sd[prefix + "embeddings.patch_embedding.weight"])  # (D, 3, p, p)
+    patch_w = jnp.asarray(
+        np.ascontiguousarray(conv.reshape(conv.shape[0], -1).T), dtype=dtype
+    )  # (3*p*p, D)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        layers.append(
+            {
+                "ln1": v(p + "layer_norm1.weight"),
+                "ln1_bias": v(p + "layer_norm1.bias"),
+                "q_proj": t(p + "self_attn.q_proj.weight"),
+                "q_bias": v(p + "self_attn.q_proj.bias"),
+                "k_proj": t(p + "self_attn.k_proj.weight"),
+                "k_bias": v(p + "self_attn.k_proj.bias"),
+                "v_proj": t(p + "self_attn.v_proj.weight"),
+                "v_bias": v(p + "self_attn.v_proj.bias"),
+                "out_proj": t(p + "self_attn.out_proj.weight"),
+                "out_bias": v(p + "self_attn.out_proj.bias"),
+                "ln2": v(p + "layer_norm2.weight"),
+                "ln2_bias": v(p + "layer_norm2.bias"),
+                "fc1": t(p + "mlp.fc1.weight"),
+                "fc1_bias": v(p + "mlp.fc1.bias"),
+                "fc2": t(p + "mlp.fc2.weight"),
+                "fc2_bias": v(p + "mlp.fc2.bias"),
+            }
+        )
+    return {
+        "class_embedding": v("embeddings.class_embedding"),
+        "patch_embedding": patch_w,
+        "position_embedding": v("embeddings.position_embedding.weight"),
+        "pre_layrnorm": v("pre_layrnorm.weight"),
+        "pre_layrnorm_bias": v("pre_layrnorm.bias"),
+        "post_layernorm": v("post_layernorm.weight"),
+        "post_layernorm_bias": v("post_layernorm.bias"),
+        "layers": layers,
+    }

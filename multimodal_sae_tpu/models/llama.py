@@ -1,0 +1,463 @@
+"""LLaMA-3 decoder in pure JAX with a functional capture/intervention API.
+
+The reference consumes LLaMA through HF `transformers` + forward hooks
+(reference train/sae/sae/trainer.py:267-311, features/cache.py:178-204).  This
+is a ground-up JAX implementation whose layer loop natively supports
+
+* `capture`: hookpoint names ("layers.{i}") whose post-layer residual hidden
+  states are returned (== the reference's forward-hook captures on
+  `model.layers.{i}`), and
+* `interventions`: {hookpoint: fn(hidden) -> hidden} applied to the layer
+  output in place (== the reference's output-replacing hooks for steering /
+  SAE splicing, reference features/steering.py:105-124,
+  features/patching/utils.py:33-58) — jit- and grad-compatible.
+
+Numerics match HF `LlamaModel` (fp32): RMSNorm in float32, RoPE cos/sin in
+float32, softmax in float32, GQA key/value head repetition.  Weights are
+stored transposed ((in, out)) for the x @ W convention; see hf_loader.py for
+the HF-checkpoint mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "LlamaConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """HF LlamaRMSNorm: variance in fp32, scale applied in input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    x32 = x32 * jax.lax.rsqrt(var + eps)
+    return (x32.astype(dtype)) * weight
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """HF LlamaRotaryEmbedding (default rope): fp32 cos/sin of shape
+    (..., seq, head_dim) with the half-split frequency layout."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., S, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q, k: (B, H, S, hd); cos/sin: (B, S, hd) or (S, hd)."""
+    cos = cos[..., None, :, :]  # broadcast over heads
+    sin = sin[..., None, :, :]
+    q = (q * cos + _rotate_half(q) * sin).astype(q.dtype)
+    k = (k * cos + _rotate_half(k) * sin).astype(k.dtype)
+    return q, k
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """(B, kvH, S, hd) -> (B, H, S, hd) by repeating each kv head."""
+    if n_rep == 1:
+        return x
+    b, kvh, s, d = x.shape
+    x = jnp.broadcast_to(x[:, :, None], (b, kvh, n_rep, s, d))
+    return x.reshape(b, kvh * n_rep, s, d)
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache for the jitted generation loop (the reference
+    gets this from HF `generate`; SURVEY.md §7 hard part #6)."""
+
+    k: List[jax.Array]  # per layer (B, kvH, max_len, hd)
+    v: List[jax.Array]
+    length: jax.Array  # () int32 — tokens currently in the cache
+
+    @staticmethod
+    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32):
+        shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim_)
+        return KVCache(
+            k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+            v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    """(B, H, S, hd) attention with fp32 softmax (HF eager parity)."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=q.dtype)
+
+
+def decoder_layer(
+    layer_params: Dict[str, jax.Array],
+    cfg: LlamaConfig,
+    h: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_offset: Optional[jax.Array] = None,
+):
+    """One decoder layer; returns (h_out, (k_full, v_full)) where k/v_full are
+    the cache tensors to store when kv-caching."""
+    B, S, D = h.shape
+    H, kvH, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    residual = h
+    x = rms_norm(h, layer_params["input_layernorm"], cfg.rms_norm_eps)
+    q = (x @ layer_params["q_proj"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = (x @ layer_params["k_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    v = (x @ layer_params["v_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        k_full = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, cache_offset, 0)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, cache_offset, 0)
+        )
+        k_att, v_att = k_full, v_full
+    else:
+        k_full = v_full = None
+        k_att, v_att = k, v
+
+    k_att = _repeat_kv(k_att, H // kvH)
+    v_att = _repeat_kv(v_att, H // kvH)
+    attn = attention(q, k_att, v_att, mask, scale=hd**-0.5)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    h = residual + attn @ layer_params["o_proj"]
+
+    residual = h
+    x = rms_norm(h, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(x @ layer_params["gate_proj"])
+    up = x @ layer_params["up_proj"]
+    h = residual + (gate * up) @ layer_params["down_proj"]
+    return h, (k_full, v_full)
+
+
+def causal_mask(
+    S_q: int, S_k: int, dtype, attention_mask: Optional[jax.Array] = None, offset: int = 0
+):
+    """Additive mask (B, 1, S_q, S_k): causal plus optional padding mask.
+    `offset` = number of cached tokens before the query block."""
+    q_pos = jnp.arange(S_q)[:, None] + offset
+    k_pos = jnp.arange(S_k)[None, :]
+    causal = k_pos <= q_pos  # (S_q, S_k)
+    neg = jnp.finfo(jnp.float32).min
+    mask = jnp.where(causal, 0.0, neg)[None, None]
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, neg)
+        mask = mask + pad
+    return mask
+
+
+InterventionFn = Callable[[jax.Array], jax.Array]
+
+
+def llama_forward(
+    params: dict,
+    cfg: LlamaConfig,
+    input_ids: Optional[jax.Array] = None,
+    *,
+    inputs_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    capture: Sequence[str] = (),
+    interventions: Optional[Dict[str, InterventionFn]] = None,
+    cache: Optional[KVCache] = None,
+    return_logits: bool = True,
+    return_hidden: bool = False,
+):
+    """Full forward.
+
+    Returns a dict with optional keys: "logits", "hidden" (final, post-norm
+    input), "captured" {hookpoint: (B, S, D)}, "cache" (updated KVCache).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = params["embed_tokens"][input_ids]
+    h = inputs_embeds
+    B, S, _ = h.shape
+
+    offset = cache.length if cache is not None else 0
+    if position_ids is None:
+        position_ids = jnp.arange(S)[None, :] + offset
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+
+    if cache is not None:
+        S_k = cache.k[0].shape[2]
+        kv_valid = jnp.arange(S_k)[None, :] < (offset + S)
+        amask = kv_valid.astype(jnp.int32)
+        if attention_mask is not None:
+            pad = jnp.zeros((B, S_k), dtype=jnp.int32)
+            pad = jax.lax.dynamic_update_slice(
+                pad, attention_mask.astype(jnp.int32), (0, 0)
+            )
+            amask = amask * pad if attention_mask.shape[1] == S_k else amask
+        mask = causal_mask(S, S_k, h.dtype, amask, offset=offset)
+    else:
+        mask = causal_mask(S, S, h.dtype, attention_mask)
+
+    captured: Dict[str, jax.Array] = {}
+    new_k, new_v = [], []
+    for i in range(cfg.num_hidden_layers):
+        name = f"layers.{i}"
+        kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        h, (k_full, v_full) = decoder_layer(
+            params["layers"][i],
+            cfg,
+            h,
+            cos,
+            sin,
+            mask,
+            kv=kv,
+            cache_offset=offset if cache is not None else None,
+        )
+        if interventions and name in interventions:
+            h = interventions[name](h)
+        if name in capture:
+            captured[name] = h
+        if cache is not None:
+            new_k.append(k_full)
+            new_v.append(v_full)
+
+    out = {"captured": captured}
+    if cache is not None:
+        out["cache"] = KVCache(new_k, new_v, offset + S)
+    h_final = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        out["hidden"] = h_final
+    if return_logits:
+        lm_head = params.get("lm_head")
+        if lm_head is None:
+            lm_head = params["embed_tokens"].T
+        out["logits"] = h_final @ lm_head
+    return out
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Random init (scaled normal) — for tests/benchmarks without checkpoints."""
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, kvH, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    keys = iter(jax.random.split(key, 4 + 10 * cfg.num_hidden_layers))
+
+    def mat(shape, scale=None):
+        k = next(keys)
+        scale = scale if scale is not None else (shape[0] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "input_layernorm": jnp.ones((D,), dtype),
+                "q_proj": mat((D, H * hd)),
+                "k_proj": mat((D, kvH * hd)),
+                "v_proj": mat((D, kvH * hd)),
+                "o_proj": mat((H * hd, D)),
+                "post_attention_layernorm": jnp.ones((D,), dtype),
+                "gate_proj": mat((D, I)),
+                "up_proj": mat((D, I)),
+                "down_proj": mat((I, D)),
+            }
+        )
+    params = {
+        "embed_tokens": mat((V, D), scale=0.02),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = mat((D, V), scale=0.02)
+    return params
+
+
+class LlamaModel:
+    """Object shell implementing the ActivationSource protocol plus
+    generation (see models/api.py)."""
+
+    def __init__(self, params: dict, cfg: LlamaConfig):
+        self.params = params
+        self.cfg = cfg
+        self._capture_jit = {}
+
+    def hookpoint_names(self) -> List[str]:
+        return [f"layers.{i}" for i in range(self.cfg.num_hidden_layers)]
+
+    def layers_name(self) -> str:
+        return "layers"
+
+    def resolve_widths(self, hookpoints: List[str]) -> Dict[str, int]:
+        return {h: self.cfg.hidden_size for h in hookpoints}
+
+    def capture(self, batch: dict, hookpoints: List[str]) -> Dict[str, jax.Array]:
+        key = tuple(sorted(hookpoints))
+        if key not in self._capture_jit:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(params, input_ids, attention_mask):
+                out = llama_forward(
+                    params,
+                    cfg,
+                    input_ids,
+                    attention_mask=attention_mask,
+                    capture=key,
+                    return_logits=False,
+                )
+                return out["captured"]
+
+            self._capture_jit[key] = run
+        ids = jnp.asarray(batch["input_ids"])
+        amask = batch.get("attention_mask")
+        amask = jnp.asarray(amask) if amask is not None else jnp.ones_like(ids)
+        return self._capture_jit[key](self.params, ids, amask)
+
+    # ---- generation ------------------------------------------------------
+    def generate(
+        self,
+        input_ids,
+        max_new_tokens: int = 512,
+        interventions: Optional[Dict[str, InterventionFn]] = None,
+        intervene_prefill_only: bool = True,
+        eos_token_id: Optional[int] = None,
+    ):
+        """Greedy generation with a jitted decode loop (the reference calls HF
+        `generate`, reference features/steering.py:72-75).
+
+        `intervene_prefill_only` mirrors the reference steering hook's
+        "skip decode-phase len-1 sequences" condition
+        (reference features/steering.py:113-114)."""
+        return greedy_generate(
+            self.params,
+            self.cfg,
+            jnp.asarray(input_ids),
+            max_new_tokens=max_new_tokens,
+            interventions=interventions,
+            intervene_prefill_only=intervene_prefill_only,
+            eos_token_id=eos_token_id,
+        )
+
+
+def greedy_generate(
+    params,
+    cfg: LlamaConfig,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    interventions=None,
+    intervene_prefill_only: bool = True,
+    eos_token_id: Optional[int] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+):
+    """Greedy decode: jitted prefill + `lax.while_loop` decode with a static
+    KV cache."""
+    B, S = input_ids.shape[0], input_ids.shape[1]
+    max_len = S + max_new_tokens
+    dtype = params["embed_tokens"].dtype
+    cache = KVCache.init(cfg, B, max_len, dtype=dtype)
+
+    prefill_iv = interventions
+    decode_iv = None if intervene_prefill_only else interventions
+
+    @jax.jit
+    def prefill(params, cache, input_ids, inputs_embeds):
+        out = llama_forward(
+            params,
+            cfg,
+            input_ids,
+            inputs_embeds=inputs_embeds,
+            cache=cache,
+            capture=(),
+            interventions=prefill_iv,
+        )
+        next_tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
+        return out["cache"], next_tok
+
+    @jax.jit
+    def decode_loop(params, cache, first_tok):
+        tokens0 = jnp.zeros((B, max_new_tokens), dtype=jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(first_tok.astype(jnp.int32))
+        done0 = (
+            (first_tok == eos_token_id)
+            if eos_token_id is not None
+            else jnp.zeros((B,), bool)
+        )
+
+        def cond(state):
+            i, cache, tokens, done = state
+            return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
+
+        def body(state):
+            i, cache, tokens, done = state
+            cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (B, 1))
+            out = llama_forward(
+                params,
+                cfg,
+                cur,
+                cache=cache,
+                interventions=decode_iv,
+            )
+            nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+            if eos_token_id is not None:
+                nxt = jnp.where(done, eos_token_id, nxt)
+                done = jnp.logical_or(done, nxt == eos_token_id)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
+            return i + 1, out["cache"], tokens, done
+
+        _, cache, tokens, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1), cache, tokens0, done0)
+        )
+        return tokens
+
+    cache, first = prefill(params, cache, input_ids, inputs_embeds)
+    if max_new_tokens == 1:
+        new_tokens = first[:, None]
+    else:
+        new_tokens = decode_loop(params, cache, first)
+    return jnp.concatenate([input_ids, new_tokens.astype(input_ids.dtype)], axis=1)

@@ -1,0 +1,488 @@
+"""LLaVA-NeXT (anyres) multimodal model in JAX.
+
+The reference consumes `LlavaNextForConditionalGeneration` from HF
+`transformers` with forward hooks on `language_model` submodules
+(reference features/cache.py:312-429, train/sae/sae/trainer.py:74-77).  This
+is a ground-up JAX implementation (SURVEY.md §7 hard part #1): CLIP tower +
+anyres tile packing + multimodal projector + LLaMA decoder with the functional
+capture/intervention API.
+
+Shape strategy for XLA: the anyres geometry (grid shape, unpadded size, token
+count) is *host-side* math on the original image size; each distinct geometry
+produces its own jit specialization (the pinpoint list is small, so the number
+of distinct shapes is bounded — effectively a shape-bucketing scheme).
+
+Numerics match HF `modeling_llava_next.py` (fp32): `hidden_states[-2]`
+feature selection, "default" strategy (drop CLS), spatial_unpad packing with
+`image_newline`, bicubic PIL preprocessing, and the processor's
+`_get_number_of_features` token-expansion arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip_vit import ClipVisionConfig, clip_vision_forward
+from .llama import KVCache, LlamaConfig, llama_forward, greedy_generate
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+DEFAULT_PINPOINTS = [[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]]
+
+
+@dataclass(frozen=True)
+class LlavaNextConfig:
+    text_config: LlamaConfig = field(default_factory=LlamaConfig)
+    vision_config: ClipVisionConfig = field(default_factory=ClipVisionConfig)
+    image_grid_pinpoints: Tuple = tuple(map(tuple, DEFAULT_PINPOINTS))
+    image_token_index: int = 128256
+    vision_feature_layer: int = -2
+    vision_feature_select_strategy: str = "default"
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "LlavaNextConfig":
+        return cls(
+            text_config=LlamaConfig.from_hf(d.get("text_config", {})),
+            vision_config=ClipVisionConfig.from_hf(d.get("vision_config", {})),
+            image_grid_pinpoints=tuple(
+                map(tuple, d.get("image_grid_pinpoints", DEFAULT_PINPOINTS))
+            ),
+            image_token_index=d.get("image_token_index", 128256),
+            vision_feature_layer=d.get("vision_feature_layer", -2),
+            vision_feature_select_strategy=d.get(
+                "vision_feature_select_strategy", "default"
+            ),
+        )
+
+
+# --------------------------------------------------------------------------
+# anyres geometry (host-side numpy; HF modeling_llava_next.py:41-146 and
+# processing_llava_next.py:186-227 semantics)
+# --------------------------------------------------------------------------
+def select_best_resolution(
+    original_size: Tuple[int, int], possible_resolutions
+) -> Tuple[int, int]:
+    """Pick the pinpoint maximizing effective resolution then minimizing
+    waste. `original_size` is (height, width)."""
+    original_height, original_width = original_size
+    best_fit = None
+    max_effective = 0
+    min_wasted = float("inf")
+    for height, width in possible_resolutions:
+        scale = min(width / original_width, height / original_height)
+        dw, dh = int(original_width * scale), int(original_height * scale)
+        effective = min(dw * dh, original_width * original_height)
+        wasted = width * height - effective
+        if effective > max_effective or (
+            effective == max_effective and wasted < min_wasted
+        ):
+            max_effective, min_wasted = effective, wasted
+            best_fit = (height, width)
+    return best_fit
+
+
+def get_anyres_image_grid_shape(image_size, grid_pinpoints, patch_size: int):
+    """(num_patch_height, num_patch_width) of the tile grid."""
+    height, width = select_best_resolution(tuple(image_size), grid_pinpoints)
+    return height // patch_size, width // patch_size
+
+
+def image_size_to_num_patches(image_size, grid_pinpoints, patch_size: int) -> int:
+    h, w = select_best_resolution(tuple(image_size), grid_pinpoints)
+    return math.ceil(h / patch_size) * math.ceil(w / patch_size) + 1  # + base
+
+
+def _unpadded_hw(
+    orig_h: int, orig_w: int, grid_h_tokens: int, grid_w_tokens: int
+) -> Tuple[int, int, int]:
+    """Token grid (H, W) after unpadding, plus the padding removed per side.
+    Mirrors HF `unpad_image` / `_get_unpadded_features` rounding exactly."""
+    current_height, current_width = grid_h_tokens, grid_w_tokens
+    original_aspect = orig_w / orig_h
+    current_aspect = current_width / current_height
+    if original_aspect > current_aspect:
+        new_height = int(round(orig_h * (current_width / orig_w), 7))
+        padding = (current_height - new_height) // 2
+        return current_height - 2 * padding, current_width, padding
+    else:
+        new_width = int(round(orig_w * (current_height / orig_h), 7))
+        padding = (current_width - new_width) // 2
+        return current_height, current_width - 2 * padding, padding
+
+
+def get_number_of_features(
+    orig_h: int, orig_w: int, cfg: LlavaNextConfig
+) -> int:
+    """Total image tokens after packing (processor `_get_number_of_features`,
+    used to expand the <image> placeholder). num_additional_image_tokens=1
+    (CLS) then -1 for the "default" strategy, i.e. net base grid only."""
+    vis = cfg.vision_config
+    height = width = vis.image_size
+    best_h, best_w = select_best_resolution(
+        (orig_h, orig_w), cfg.image_grid_pinpoints
+    )
+    scale_h, scale_w = best_h // height, best_w // width
+    patches_h = height // vis.patch_size
+    patches_w = width // vis.patch_size
+    cur_h, cur_w, _ = _unpadded_hw(orig_h, orig_w, patches_h * scale_h, patches_w * scale_w)
+    unpadded = cur_h * cur_w
+    newline = cur_h
+    base = patches_h * patches_w + 1  # + CLS
+    n = unpadded + newline + base
+    if cfg.vision_feature_select_strategy == "default":
+        n -= 1
+    return n
+
+
+# --------------------------------------------------------------------------
+# preprocessing (host-side PIL/numpy; HF image_processing_llava_next.py parity)
+# --------------------------------------------------------------------------
+def preprocess_anyres(
+    image,
+    cfg: LlavaNextConfig,
+    *,
+    pad_to_patches: Optional[int] = None,
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """PIL image → (num_patches, 3, S, S) float32 pixel values + (h, w) size.
+
+    Pipeline (reference uses LlavaNextImageProcessor, features/cache.py:362-366):
+    resized-original base tile + best-resolution resize/pad/divide tiles,
+    rescale 1/255, normalize with CLIP mean/std. Bicubic PIL resizing matches
+    HF's PIL backend bit-for-bit.
+    """
+    from PIL import Image
+
+    vis = cfg.vision_config
+    S = vis.image_size
+    image = image.convert("RGB")
+    orig_w, orig_h = image.size
+    best_h, best_w = select_best_resolution((orig_h, orig_w), cfg.image_grid_pinpoints)
+
+    # resize preserving aspect to fit inside best resolution
+    scale = min(best_w / orig_w, best_h / orig_h)
+    new_w = min(math.ceil(orig_w * scale), best_w)
+    new_h = min(math.ceil(orig_h * scale), best_h)
+    resized = image.resize((new_w, new_h), Image.BICUBIC)
+
+    # center pad to the best resolution
+    arr = np.asarray(resized)  # (h, w, 3) uint8
+    pad_y, r_y = divmod(best_h - new_h, 2)
+    pad_x, r_x = divmod(best_w - new_w, 2)
+    padded = np.pad(
+        arr, ((pad_y, pad_y + r_y), (pad_x, pad_x + r_x), (0, 0)), mode="constant"
+    )
+
+    # divide into SxS tiles, row-major
+    tiles = []
+    for i in range(0, best_h, S):
+        for j in range(0, best_w, S):
+            tiles.append(padded[i : i + S, j : j + S])
+
+    base = np.asarray(image.resize((S, S), Image.BICUBIC))
+    patches = [base] + tiles
+
+    mean = np.asarray(OPENAI_CLIP_MEAN, dtype=np.float32)
+    std = np.asarray(OPENAI_CLIP_STD, dtype=np.float32)
+    out = np.stack(
+        [((p.astype(np.float32) / 255.0) - mean) / std for p in patches]
+    ).transpose(0, 3, 1, 2)
+
+    if pad_to_patches is not None and out.shape[0] < pad_to_patches:
+        out = np.concatenate(
+            [
+                out,
+                np.zeros(
+                    (pad_to_patches - out.shape[0], *out.shape[1:]), dtype=out.dtype
+                ),
+            ]
+        )
+    return out, (orig_h, orig_w)
+
+
+# --------------------------------------------------------------------------
+# device-side feature packing (per-geometry jit specialization)
+# --------------------------------------------------------------------------
+def pack_image_features(
+    projected: jax.Array,
+    image_newline: jax.Array,
+    cfg: LlavaNextConfig,
+    image_size: Tuple[int, int],
+) -> jax.Array:
+    """(num_patches, tokens_per_tile, D) → (num_image_tokens, D)
+    spatial_unpad packing (HF pack_image_features, modeling_llava_next.py:282-347).
+
+    `image_size` must be concrete (host ints) — it determines output shape.
+    """
+    vis = cfg.vision_config
+    h = w = vis.image_size // vis.patch_size
+    orig_h, orig_w = int(image_size[0]), int(image_size[1])
+
+    base = projected[0]  # (h*w, D)
+    if projected.shape[0] == 1:
+        return jnp.concatenate([base, image_newline[None]], axis=0)
+
+    nph, npw = get_anyres_image_grid_shape(
+        (orig_h, orig_w), cfg.image_grid_pinpoints, vis.image_size
+    )
+    tiles = projected[1 : 1 + nph * npw]
+    D = tiles.shape[-1]
+    f = tiles.reshape(nph, npw, h, w, D)
+    f = f.transpose(4, 0, 2, 1, 3)  # (D, nph, h, npw, w)
+    f = f.reshape(D, nph * h, npw * w)
+
+    cur_h, cur_w, pad = _unpadded_hw(orig_h, orig_w, nph * h, npw * w)
+    if cur_h != nph * h:  # padding along height
+        f = f[:, pad : nph * h - pad, :]
+    elif cur_w != npw * w:
+        f = f[:, :, pad : npw * w - pad]
+
+    newline = jnp.broadcast_to(image_newline[:, None, None], (D, cur_h, 1))
+    f = jnp.concatenate([f, newline], axis=2)  # (D, cur_h, cur_w+1)
+    f = f.reshape(D, cur_h * (cur_w + 1)).T  # (tokens, D)
+    return jnp.concatenate([base, f], axis=0)
+
+
+def project_image_features(params: dict, cfg: LlavaNextConfig, pixel_values: jax.Array):
+    """Vision tower → feature layer select → drop CLS → 2-layer GELU projector.
+    pixel_values: (num_patches, 3, S, S). Returns (num_patches, h*w, D_txt)."""
+    out = clip_vision_forward(
+        params["vision_tower"],
+        cfg.vision_config,
+        pixel_values,
+        feature_layer=cfg.vision_feature_layer,
+    )
+    feats = out["features"]
+    if cfg.vision_feature_select_strategy == "default":
+        feats = feats[:, 1:]
+    p = params["projector"]
+    x = feats @ p["linear_1"] + p["linear_1_bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    return x @ p["linear_2"] + p["linear_2_bias"]
+
+
+class LlavaNextModel:
+    """ActivationSource + full forward/generate for LLaVA-NeXT.
+
+    params = {
+        "vision_tower": clip tree, "projector": {...}, "image_newline": (D,),
+        "language_model": llama tree,
+    }
+
+    Hookpoints are named "model.layers.{i}" to match the reference's paths on
+    `llava.language_model` (reference README.md:66, trainer hookpoints).
+    """
+
+    HOOK_PREFIX = "model."
+
+    def __init__(self, params: dict, cfg: LlavaNextConfig):
+        self.params = params
+        self.cfg = cfg
+        self._jit_cache: Dict = {}
+
+    # ---- ActivationSource ------------------------------------------------
+    def hookpoint_names(self) -> List[str]:
+        return [
+            f"{self.HOOK_PREFIX}layers.{i}"
+            for i in range(self.cfg.text_config.num_hidden_layers)
+        ]
+
+    def layers_name(self) -> str:
+        return f"{self.HOOK_PREFIX}layers"
+
+    def resolve_widths(self, hookpoints: List[str]) -> Dict[str, int]:
+        return {h: self.cfg.text_config.hidden_size for h in hookpoints}
+
+    def _strip(self, name: str) -> str:
+        return name[len(self.HOOK_PREFIX):] if name.startswith(self.HOOK_PREFIX) else name
+
+    def prepare_inputs(self, images=None, input_ids=None, prompt_ids=None):
+        """Host-side packing: preprocess images, expand <image> placeholders.
+
+        Args:
+            images: list of PIL images (or None for text-only).
+            prompt_ids: token ids containing exactly one `image_token_index`
+                placeholder per image (pre-expansion), list per batch row.
+        Returns a batch dict for forward()/capture().
+        """
+        if images is None:
+            return {"input_ids": np.asarray(input_ids)}
+        pixel_list, sizes, counts = [], [], []
+        for im in images:
+            pv, size = preprocess_anyres(im, self.cfg)
+            pixel_list.append(pv)
+            sizes.append(size)
+            counts.append(get_number_of_features(size[0], size[1], self.cfg))
+        expanded = []
+        tok = self.cfg.image_token_index
+        for row, count in zip(prompt_ids, counts):
+            out = []
+            for t in row:
+                if t == tok:
+                    out.extend([tok] * count)
+                else:
+                    out.append(t)
+            expanded.append(out)
+        max_len = max(len(r) for r in expanded)
+        ids = np.full((len(expanded), max_len), 0, dtype=np.int64)
+        amask = np.zeros((len(expanded), max_len), dtype=np.int64)
+        for i, r in enumerate(expanded):
+            ids[i, : len(r)] = r
+            amask[i, : len(r)] = 1
+        return {
+            "input_ids": ids,
+            "attention_mask": amask,
+            "pixel_values": pixel_list,
+            "image_sizes": sizes,
+        }
+
+    def _embed_multimodal(self, batch: dict):
+        """Text embeddings with image features scattered over <image> token
+        positions (HF get_placeholder_mask + masked_scatter semantics)."""
+        lm = self.params["language_model"]
+        ids = np.asarray(batch["input_ids"])
+        embeds = jnp.asarray(lm["embed_tokens"])[jnp.asarray(ids)]
+        if "pixel_values" not in batch or batch["pixel_values"] is None:
+            return embeds
+        tok = self.cfg.image_token_index
+        for b, (pv, size) in enumerate(zip(batch["pixel_values"], batch["image_sizes"])):
+            n_patches = image_size_to_num_patches(
+                size, self.cfg.image_grid_pinpoints, self.cfg.vision_config.image_size
+            )
+            projected = project_image_features(
+                self.params, self.cfg, jnp.asarray(pv[:n_patches])
+            )
+            feats = pack_image_features(
+                projected, self.params["image_newline"], self.cfg, size
+            )
+            positions = np.nonzero(ids[b] == tok)[0]
+            assert len(positions) == feats.shape[0], (
+                f"image token count {len(positions)} != packed features {feats.shape[0]}"
+            )
+            embeds = embeds.at[b, jnp.asarray(positions)].set(
+                feats.astype(embeds.dtype)
+            )
+        return embeds
+
+    def forward(
+        self,
+        batch: dict,
+        capture: Sequence[str] = (),
+        interventions=None,
+        return_logits: bool = True,
+    ):
+        embeds = self._embed_multimodal(batch)
+        amask = batch.get("attention_mask")
+        iv = (
+            {self._strip(k): v for k, v in interventions.items()}
+            if interventions
+            else None
+        )
+        out = llama_forward(
+            self.params["language_model"],
+            self.cfg.text_config,
+            inputs_embeds=embeds,
+            attention_mask=jnp.asarray(amask) if amask is not None else None,
+            capture=tuple(self._strip(c) for c in capture),
+            interventions=iv,
+            return_logits=return_logits,
+        )
+        out["captured"] = {
+            f"{self.HOOK_PREFIX}{k}": v for k, v in out["captured"].items()
+        }
+        return out
+
+    def capture(self, batch: dict, hookpoints: List[str]) -> Dict[str, jax.Array]:
+        return self.forward(batch, capture=hookpoints, return_logits=False)[
+            "captured"
+        ]
+
+    def generate(
+        self,
+        batch: dict,
+        max_new_tokens: int = 512,
+        interventions=None,
+        intervene_prefill_only: bool = True,
+        eos_token_id: Optional[int] = None,
+    ):
+        embeds = self._embed_multimodal(batch)
+        iv = (
+            {self._strip(k): v for k, v in interventions.items()}
+            if interventions
+            else None
+        )
+        ids = jnp.asarray(np.asarray(batch["input_ids"]))
+        return greedy_generate(
+            self.params["language_model"],
+            self.cfg.text_config,
+            ids,
+            max_new_tokens=max_new_tokens,
+            interventions=iv,
+            intervene_prefill_only=intervene_prefill_only,
+            eos_token_id=eos_token_id,
+            inputs_embeds=embeds,
+        )
+
+
+def llava_params_from_state_dict(sd: Dict, cfg: LlavaNextConfig, dtype=jnp.float32):
+    """Map HF LlavaNextForConditionalGeneration keys (both pre- and post-4.52
+    layouts) to our tree."""
+    from .clip_vit import clip_params_from_state_dict
+    from .hf_loader import _np, llama_params_from_state_dict
+
+    def find_prefix(cands):
+        for c in cands:
+            if any(k.startswith(c) for k in sd):
+                return c
+        raise KeyError(f"none of {cands} found in state dict")
+
+    vis_prefix = find_prefix(
+        ["vision_tower.vision_model.", "model.vision_tower.vision_model."]
+    )
+    lm_prefix = find_prefix(
+        ["language_model.model.", "model.language_model.model.", "model.language_model."]
+    )
+    proj_prefix = find_prefix(["multi_modal_projector.", "model.multi_modal_projector."])
+    newline_key = find_prefix(["image_newline", "model.image_newline"])
+
+    def t(key):
+        return jnp.asarray(np.ascontiguousarray(_np(sd[key]).T), dtype=dtype)
+
+    def v(key):
+        return jnp.asarray(_np(sd[key]), dtype=dtype)
+
+    lm = llama_params_from_state_dict(sd, cfg.text_config, dtype=dtype, prefix=lm_prefix)
+    if "lm_head" not in lm and not cfg.text_config.tie_word_embeddings:
+        for cand in ("lm_head.weight", "language_model.lm_head.weight"):
+            if cand in sd:
+                lm["lm_head"] = t(cand)
+                break
+    return {
+        "vision_tower": clip_params_from_state_dict(
+            sd, cfg.vision_config, dtype=dtype, prefix=vis_prefix
+        ),
+        "projector": {
+            "linear_1": t(proj_prefix + "linear_1.weight"),
+            "linear_1_bias": v(proj_prefix + "linear_1.bias"),
+            "linear_2": t(proj_prefix + "linear_2.weight"),
+            "linear_2_bias": v(proj_prefix + "linear_2.bias"),
+        },
+        "image_newline": v(newline_key),
+        "language_model": lm,
+    }
+
+
+def load_llava_next(path: str, dtype=jnp.float32):
+    """Local HF LLaVA-NeXT checkpoint dir -> (LlavaNextModel params, cfg)."""
+    from .hf_loader import load_hf_config, load_hf_state_dict
+
+    cfg = LlavaNextConfig.from_hf(load_hf_config(path))
+    sd = load_hf_state_dict(path)
+    return llava_params_from_state_dict(sd, cfg, dtype=dtype), cfg

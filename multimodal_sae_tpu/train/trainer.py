@@ -254,11 +254,9 @@ class SaeTrainer:
             norm = _global_norm(grad_acc)
             scale = jnp.minimum(1.0, 1.0 / (norm + 1e-6))
             grad_acc = jax.tree_util.tree_map(lambda g: g * scale, grad_acc)
-            metrics = {
-                "fvu": fvu / micro,
-                "auxk": auxk / micro,
-                "multi_topk_fvu": mt / micro,
-            }
+            # Sums over micro chunks; averaged by the caller like the
+            # reference's avg_fvu accumulation (reference trainer.py:367-377).
+            metrics = {"fvu": fvu, "auxk": auxk, "multi_topk_fvu": mt}
             return params, grad_acc, fired, metrics
 
         def apply_updates(params, opt_state, grad_acc, lr):
@@ -333,10 +331,7 @@ class SaeTrainer:
             n = self.global_step * cfg.batch_size
             ds = ds.select(range(n, len(self.dataset)))
 
-        avg_metrics = {
-            name: defaultdict(float) for name in self.saes
-        }
-        denom = cfg.grad_acc_steps * cfg.micro_acc_steps * cfg.wandb_log_frequency
+        avg_metrics = {name: defaultdict(float) for name in self.saes}
 
         pbar = None
         try:
@@ -351,7 +346,7 @@ class SaeTrainer:
         for batch in _iter_batches(ds, cfg.batch_size):
             self.step(batch, avg_metrics)
 
-            step, substep = divmod(self.global_step + 1, cfg.grad_acc_steps)
+            step, substep = divmod(self.global_step, cfg.grad_acc_steps)
             if substep == 0 and cfg.wandb_log_frequency and (
                 step % cfg.wandb_log_frequency == 0
             ):
@@ -361,14 +356,14 @@ class SaeTrainer:
                         self.num_tokens_since_fired[name]
                         > cfg.dead_feature_threshold
                     )
-                    info[f"fvu/{name}"] = avg_metrics[name]["fvu"] / denom * cfg.micro_acc_steps
+                    info[f"fvu/{name}"] = avg_metrics[name]["fvu"]
                     info[f"dead_pct/{name}"] = float(mask.mean())
                     if cfg.auxk_alpha > 0:
-                        info[f"auxk/{name}"] = avg_metrics[name]["auxk"] / denom * cfg.micro_acc_steps
+                        info[f"auxk/{name}"] = avg_metrics[name]["auxk"]
                     if cfg.sae.multi_topk:
-                        info[f"multi_topk_fvu/{name}"] = (
-                            avg_metrics[name]["multi_topk_fvu"] / denom * cfg.micro_acc_steps
-                        )
+                        info[f"multi_topk_fvu/{name}"] = avg_metrics[name][
+                            "multi_topk_fvu"
+                        ]
                     avg_metrics[name].clear()
                 if wandb is not None:
                     wandb.log(info, step=step)
@@ -414,10 +409,11 @@ class SaeTrainer:
             self.grad_accs[name] = grad_acc
             self._did_fire[name] |= np.asarray(fired)
             if avg_metrics is not None:
-                acc_steps = cfg.grad_acc_steps * cfg.micro_acc_steps
-                d = acc_steps * cfg.wandb_log_frequency / cfg.micro_acc_steps
+                denom = (
+                    cfg.grad_acc_steps * cfg.micro_acc_steps * cfg.wandb_log_frequency
+                )
                 for k, v in metrics.items():
-                    avg_metrics[name][k] += float(v) / d * cfg.micro_acc_steps
+                    avg_metrics[name][k] += float(v) / denom
 
         self._b_dec_initialized = True
 
@@ -437,6 +433,8 @@ class SaeTrainer:
                 counts[self._did_fire[name]] = 0
                 self._did_fire[name][:] = False
             self._num_tokens_in_step = 0
+
+        self.global_step += 1
 
     # ------------------------------------------------------------ checkpoints
     def save(self):

@@ -1,16 +1,49 @@
 """Test configuration: force an 8-device virtual CPU platform so sharding and
-collective code paths are exercised without TPU hardware (SURVEY.md §4)."""
+collective code paths are exercised without TPU hardware (SURVEY.md §4).
+
+The container pre-loads a TPU PJRT plugin through a PYTHONPATH sitecustomize
+(`/root/.axon_site`) that initializes the (slow, single-chip, tunneled)
+backend at interpreter start and ignores later JAX_PLATFORMS overrides — so
+when we detect it, we re-exec the test process once with a scrubbed
+environment."""
 
 import os
+import sys
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_AXON_SITE = ".axon_site"
+
+if (
+    _AXON_SITE in os.environ.get("PYTHONPATH", "")
+    and os.environ.get("_MMSAE_TESTS_REEXEC") != "1"
+):
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep) if _AXON_SITE not in p
+    )
+    env["_MMSAE_TESTS_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    raise SystemExit(
+        subprocess.run(
+            [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env
+        ).returncode
+    )
+
+# Plain environment path (no axon sitecustomize): set the same knobs in-process.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Make the repo importable when PYTHONPATH was scrubbed by the re-exec.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 

@@ -1,0 +1,177 @@
+"""LLaVA-NeXT parity vs HF transformers (torch CPU, fp32) with a tiny random
+model: anyres preprocessing bit-parity against LlavaNextImageProcessor,
+packed-feature forward logits, hookpoint capture, and token-count arithmetic."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.models.llava_next import (
+    LlavaNextConfig,
+    LlavaNextModel,
+    get_number_of_features,
+    image_size_to_num_patches,
+    llava_params_from_state_dict,
+    preprocess_anyres,
+    select_best_resolution,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+from PIL import Image
+
+PINPOINTS = [[32, 64], [64, 32], [64, 64]]
+IMG_TOKEN = 250
+
+
+def _hf_tiny():
+    text_cfg = dict(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+    )
+    vision_cfg = dict(
+        hidden_size=48,
+        intermediate_size=96,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=16,
+    )
+    cfg = transformers.LlavaNextConfig(
+        vision_config=transformers.CLIPVisionConfig(**vision_cfg),
+        text_config=transformers.LlamaConfig(**text_cfg),
+        image_grid_pinpoints=PINPOINTS,
+        image_token_index=IMG_TOKEN,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    torch.manual_seed(0)
+    model = transformers.LlavaNextForConditionalGeneration(cfg).eval().to(torch.float32)
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    hf, hf_cfg = _hf_tiny()
+    cfg = LlavaNextConfig.from_hf(hf_cfg.to_dict())
+    sd = {k: v for k, v in hf.state_dict().items()}
+    params = llava_params_from_state_dict(sd, cfg, dtype=jnp.float32)
+    return hf, cfg, params
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return [
+        Image.fromarray(rng.integers(0, 255, size=(50, 70, 3), dtype=np.uint8)),
+        Image.fromarray(rng.integers(0, 255, size=(90, 40, 3), dtype=np.uint8)),
+    ]
+
+
+def test_preprocess_matches_hf_processor(tiny, images):
+    _, cfg, _ = tiny
+    hf_proc = transformers.LlavaNextImageProcessor(
+        size={"shortest_edge": 32},
+        crop_size={"height": 32, "width": 32},
+        image_grid_pinpoints=PINPOINTS,
+    )
+    for img in images:
+        ref = hf_proc(img, return_tensors="np")
+        pv, size = preprocess_anyres(img, cfg)
+        ref_pv = ref["pixel_values"][0]
+        assert pv.shape == ref_pv.shape, (pv.shape, ref_pv.shape)
+        np.testing.assert_allclose(pv, ref_pv, atol=2e-5)
+        assert tuple(ref["image_sizes"][0]) == size
+
+
+def test_token_count_matches_hf_model(tiny, images):
+    hf, cfg, _ = tiny
+    for img in images:
+        h, w = img.size[1], img.size[0]
+        n = get_number_of_features(h, w, cfg)
+        # HF's own expansion arithmetic via the processor-free path: run the
+        # model with n placeholder tokens; a mismatch raises in HF.
+        hf_proc = transformers.LlavaNextImageProcessor(
+            size={"shortest_edge": 32},
+            crop_size={"height": 32, "width": 32},
+            image_grid_pinpoints=PINPOINTS,
+        )
+        enc = hf_proc(img, return_tensors="pt")
+        ids = torch.tensor([[1, 2] + [IMG_TOKEN] * n + [3]])
+        with torch.no_grad():
+            out = hf(
+                input_ids=ids,
+                pixel_values=enc["pixel_values"].float(),
+                image_sizes=enc["image_sizes"],
+            )
+        assert out.logits.shape[1] == ids.shape[1]
+
+
+def test_forward_matches_hf(tiny, images):
+    hf, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    img = images[0]
+    prompt = [1, 2, IMG_TOKEN, 3, 4]
+    batch = model.prepare_inputs(images=[img], prompt_ids=[prompt])
+
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(np.asarray(batch["input_ids"])),
+            pixel_values=torch.tensor(np.asarray(batch["pixel_values"][0]))[None].float(),
+            image_sizes=torch.tensor([list(batch["image_sizes"][0])]),
+            attention_mask=torch.tensor(np.asarray(batch["attention_mask"])),
+            output_hidden_states=True,
+        )
+    out = model.forward(batch, capture=("model.layers.0",))
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), hf_out.logits.numpy(), rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["captured"]["model.layers.0"]),
+        hf_out.hidden_states[1].numpy(),
+        rtol=3e-4,
+        atol=3e-5,
+    )
+
+
+def test_capture_activation_source(tiny, images):
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    batch = model.prepare_inputs(images=[images[1]], prompt_ids=[[1, IMG_TOKEN]])
+    caps = model.capture(batch, ["model.layers.1"])
+    assert caps["model.layers.1"].shape[-1] == cfg.text_config.hidden_size
+    assert model.hookpoint_names()[0] == "model.layers.0"
+
+
+def test_select_best_resolution():
+    assert select_best_resolution((50, 70), PINPOINTS) in [(32, 64), (64, 64)]
+    # exact HF agreement
+    from transformers.image_processing_utils import (
+        select_best_resolution as hf_select,
+    )
+
+    for size in [(50, 70), (90, 40), (64, 64), (10, 300)]:
+        assert select_best_resolution(size, PINPOINTS) == tuple(
+            hf_select(size, PINPOINTS)
+        )
+
+
+def test_num_patches():
+    cfg = LlavaNextConfig.from_hf(
+        {
+            "image_grid_pinpoints": PINPOINTS,
+            "vision_config": {"image_size": 32, "patch_size": 16},
+        }
+    )
+    n = image_size_to_num_patches((50, 70), PINPOINTS, 32)
+    pv, _ = preprocess_anyres(
+        Image.new("RGB", (70, 50)), cfg
+    )
+    assert pv.shape[0] == n
