@@ -33,7 +33,9 @@ from multimodal_sae_tpu.sae.model import pre_acts
 from multimodal_sae_tpu.features.cache import topk_latents_step
 
 D_IN, LATENTS, K = 4096, 131072, 256
-BATCH, SEQ = 16, 64  # ctx_len 64 (image caching config, reference README.md:45)
+# ctx_len 64 (image caching config, reference README.md:45); batch sized so
+# the encoder weight reads (1 GB bf16) amortize over enough tokens.
+BATCH, SEQ = 64, 64
 DTYPE = jnp.bfloat16
 
 

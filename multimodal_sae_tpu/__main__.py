@@ -1,0 +1,103 @@
+"""SAE training CLI: `python -m multimodal_sae_tpu <model> <dataset> ...`
+(reference train/sae/sae/__main__.py:25-181, console script `sae`).
+
+Single-controller launch: no torchrun/NCCL bring-up — `jax.distributed` is
+initialized when multi-host env vars are present, the dataset is truncated to
+a divisible length and sharded per process, and one global mesh carries the
+data-parallel axis."""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple, Union
+
+import numpy as np
+
+from .config import RunConfig
+from .parallel import initialize_distributed
+from .train import MemmapDataset, SaeTrainer, chunk_and_tokenize, process_mm_data
+from .utils import rank0_print
+from .utils.cli import parse_dataclass
+
+
+def load_artifacts(args: RunConfig):
+    """Load the frozen subject model + training dataset
+    (reference __main__.py:66-140). Models must be local checkpoint dirs in
+    this zero-egress environment; `synthetic://dM,L,V` builds the test model."""
+    import jax.numpy as jnp
+
+    if args.model.startswith("synthetic://"):
+        from .models import SyntheticActivationSource
+
+        spec = args.model[len("synthetic://"):]
+        d_model, n_layers, vocab = (int(x) for x in spec.split(",")) if spec else (64, 4, 128)
+        model = SyntheticActivationSource(d_model=d_model, n_layers=n_layers, vocab=vocab)
+        tokenizer = None
+    else:
+        from .launch.utils import load_subject_model
+
+        dtype = jnp.float16 if args.load_in_8bit else jnp.bfloat16
+        model, _, tokenizer = load_subject_model(args.model, dtype=dtype)
+
+    if args.dataset.endswith(".bin"):
+        dataset = MemmapDataset(args.dataset, args.ctx_len, args.max_examples)
+    else:
+        from datasets import Dataset, load_dataset
+
+        try:
+            dataset = load_dataset(args.dataset, split=args.split, trust_remote_code=True)
+        except ValueError as e:
+            if "load_from_disk" in str(e):
+                dataset = Dataset.load_from_disk(args.dataset, keep_in_memory=False)
+            else:
+                raise e
+
+        if "input_ids" not in dataset.column_names:
+            assert tokenizer is not None, "synthetic model needs a tokenized dataset"
+            if args.mm_data:
+                dataset = process_mm_data(dataset, tokenizer)
+            else:
+                dataset = chunk_and_tokenize(
+                    dataset,
+                    tokenizer,
+                    max_seq_len=args.ctx_len,
+                    num_proc=args.data_preprocessing_num_proc,
+                )
+        else:
+            rank0_print("Dataset already tokenized; skipping tokenization.")
+
+        rank0_print(f"Shuffling dataset with seed {args.seed}")
+        dataset = dataset.shuffle(args.seed)
+        dataset = dataset.with_format("numpy")
+        if limit := args.max_examples:
+            dataset = dataset.select(range(limit))
+
+    return model, dataset
+
+
+def run():
+    initialize_distributed()
+    import jax
+
+    args = parse_dataclass(RunConfig)
+
+    model, dataset = load_artifacts(args)
+
+    world, rank = jax.process_count(), jax.process_index()
+    if world > 1:
+        # Truncate to a divisible length then shard (reference __main__.py:164-166).
+        n = len(dataset) - (len(dataset) % world)
+        dataset = dataset.select(range(n))
+        dataset = dataset.shard(world, rank)
+
+    rank0_print(f"Training on '{args.dataset}' (split '{args.split}')")
+
+    trainer = SaeTrainer(args, dataset, model)
+    if args.resume:
+        trainer.load_state(args.run_name or "sae-ckpts")
+
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    run()

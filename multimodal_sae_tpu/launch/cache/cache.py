@@ -1,0 +1,67 @@
+"""Text activation caching CLI
+(`python -m multimodal_sae_tpu.launch.cache.cache <model> <dataset> ...`;
+reference launch/cache/cache.py:19-103).
+
+Single-controller replacement for the reference's torchrun DDP bring-up: the
+dataset is contiguously sharded over processes with directly computed global
+row offsets (no all-gathered shard lengths), the frozen model forward runs on
+the local mesh, and process 0 merges the per-process shard files."""
+
+from __future__ import annotations
+
+import os
+
+from ...config import CacheConfig
+from ...features import FeatureCache
+from ...interp_utils import load_filter, load_saes
+from ...logger import logger
+from ...parallel import shard_dataset_contiguous
+from ...train.data import chunk_and_tokenize
+from ...utils.cli import parse_dataclass
+from ..utils import load_subject_model, shard_info
+
+
+def main(cfg: CacheConfig):
+    rank, world = shard_info()
+
+    logger.info(f"Load Model : {cfg.model}")
+    model, _, tokenizer = load_subject_model(cfg.model)
+
+    logger.info(f"Load Dataset : {cfg.dataset}")
+    from datasets import load_dataset
+
+    dataset = load_dataset(cfg.dataset, split=cfg.split, trust_remote_code=True)
+
+    if "input_ids" not in dataset.column_names:
+        dataset = chunk_and_tokenize(dataset, tokenizer, max_seq_len=cfg.ctx_len)
+
+    filters = load_filter(cfg.filters_path) if cfg.filters_path is not None else None
+
+    dataset, shard_start = shard_dataset_contiguous(dataset, world, rank)
+
+    logger.info(f"Load many sae from : {cfg.sae_path}")
+    submodule_dict = load_saes(cfg.sae_path, filters=filters)
+    logger.info(f"Select {submodule_dict.keys()}")
+
+    hookpoints = list(submodule_dict.keys())
+
+    def capture_fn(batch):
+        return model.capture(batch, hookpoints)
+
+    cache = FeatureCache(
+        capture_fn,
+        submodule_dict,
+        batch_size=cfg.batch_size,
+        shard_size=shard_start,
+        filters=filters,
+    )
+    logger.info("Start caching activations")
+    cache.run(cfg.ctx_len, dataset)
+
+    cache.save_splits(n_splits=cfg.n_splits, save_dir=cfg.save_dir, rank=rank)
+    if rank == 0:
+        cache.concate_safetensors(n_splits=cfg.n_splits, save_dir=cfg.save_dir)
+
+
+if __name__ == "__main__":
+    main(parse_dataclass(CacheConfig))

@@ -1,0 +1,65 @@
+"""Image activation caching CLI
+(`python -m multimodal_sae_tpu.launch.cache.cache_image <model> <dataset> ...`;
+reference launch/cache/cache_image.py:24-104).
+
+Each image is fed through LLaVA-NeXT with the bare "<image>" prompt; the
+leading BOS position is dropped before encoding (reference cache.py:402-409).
+"""
+
+from __future__ import annotations
+
+from ...config import CacheConfig
+from ...features import FeatureImageCache
+from ...interp_utils import load_filter, load_saes
+from ...logger import logger
+from ...parallel import shard_dataset_contiguous
+from ...utils.cli import parse_dataclass
+from ..utils import load_subject_model, shard_info
+
+
+def main(cfg: CacheConfig):
+    rank, world = shard_info()
+
+    logger.info(f"Load Model : {cfg.model}")
+    model, processor, tokenizer = load_subject_model(cfg.model)
+
+    logger.info(f"Load Dataset : {cfg.dataset}")
+    from datasets import load_dataset
+
+    dataset = load_dataset(cfg.dataset, split=cfg.split, trust_remote_code=True)
+
+    filters = load_filter(cfg.filters_path) if cfg.filters_path is not None else None
+
+    dataset, shard_start = shard_dataset_contiguous(dataset, world, rank)
+
+    logger.info(f"Load many sae from : {cfg.sae_path}")
+    submodule_dict = load_saes(cfg.sae_path, filters=filters)
+    logger.info(f"Select {submodule_dict.keys()}")
+
+    hookpoints = list(submodule_dict.keys())
+    image_token = model.cfg.image_token_index
+    tokenizer_ids = tokenizer("<image>", add_special_tokens=True)["input_ids"]
+
+    def capture_fn(batch):
+        images = [im.convert("RGB") for im in batch["image"]]
+        prompt_ids = [tokenizer_ids for _ in images]
+        prepared = model.prepare_inputs(images=images, prompt_ids=prompt_ids)
+        return model.capture(prepared, hookpoints)
+
+    cache = FeatureImageCache(
+        capture_fn,
+        submodule_dict,
+        batch_size=cfg.batch_size,
+        shard_size=shard_start,
+        filters=filters,
+    )
+    logger.info("Start caching activations")
+    cache.run(cfg.ctx_len, dataset)
+
+    cache.save_splits(n_splits=cfg.n_splits, save_dir=cfg.save_dir, rank=rank)
+    if rank == 0:
+        cache.concate_safetensors(n_splits=cfg.n_splits, save_dir=cfg.save_dir)
+
+
+if __name__ == "__main__":
+    main(parse_dataclass(CacheConfig))

@@ -1,0 +1,68 @@
+"""Attribution-patching CLI
+(reference launch/features/attribution_patching.py:15-80): grad×activation
+attribution for every (or sharded) SAE feature, saved as
+`{model}_{sae}.safetensors` maps of (num_features·B, S) saliencies.
+
+Feature-index sharding across processes replaces the reference's DDP
+arange-chunk + all_gather_object; the reference's fp8-quantized backward model
+maps to bf16 params here (TPUs have no fp8 quanto path; bf16 halves memory the
+same way)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ...config import AttributionConfig
+from ...features.patching import Attribution
+from ...logger import logger
+from ...utils.cli import parse_dataclass
+from ..utils import load_subject_model, shard_info
+
+
+def main(cfg: AttributionConfig):
+    rank, world = shard_info()
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(cfg.model)
+    logger.info(f"Using model {cfg.model}")
+    logger.info(f"Using sae {cfg.sae_path}")
+    logger.info(f"Selecting sae layer {cfg.selected_sae}")
+
+    import jax.numpy as jnp
+
+    model, processor, _ = load_subject_model(cfg.model, dtype=jnp.bfloat16)
+    attribution = Attribution(
+        model,
+        tokenizer,
+        sae_path=cfg.sae_path,
+        data_path=cfg.data_path,
+        selected_sae=cfg.selected_sae,
+    )
+
+    saes = list(attribution.sae_dict.values())
+    k = saes[0].cfg.num_latents_for(saes[0].d_in)
+    indices = np.array_split(np.arange(k), world)[rank]
+
+    attribution_dict = attribution.get_attribution(indices)
+
+    logger.info("Save results")
+    from safetensors.numpy import save_file
+
+    merged = {
+        key: np.concatenate(v, axis=0) for key, v in attribution_dict.items()
+    }
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    suffix = "" if world == 1 else f".rank{rank}"
+    output_file = os.path.join(
+        cfg.save_dir,
+        f"{cfg.model.split('/')[-1]}_{cfg.selected_sae.replace('.', '_')}.safetensors{suffix}",
+    )
+    logger.info(output_file)
+    save_file(merged, output_file)
+
+
+if __name__ == "__main__":
+    main(parse_dataclass(AttributionConfig))

@@ -1,0 +1,69 @@
+"""Large-scale steering CLI (reference launch/features/steering.py:53-113):
+every filtered feature gets a clamped generation; feature lists are split
+across processes (replacing the reference's DDP tensor_split +
+gather_object); process 0's file carries the merged json in single-host runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ...features.steering import SteeringController
+from ...interp_utils import load_filter, load_saes
+from ..utils import load_subject_model, shard_info
+
+
+def parse_argument():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--model",
+        "-m",
+        type=str,
+        default="llava-hf/llama3-llava-next-8b-hf",
+        help="The model name of your trained model",
+    )
+    parser.add_argument("--image-path", "-i", type=str, default=None)
+    parser.add_argument("--text", "-t", type=str, help="The prompt text")
+    parser.add_argument("--sae-path", type=str, help="SAE path, hub or local")
+    parser.add_argument("--filters", type=str, help="The filters json path")
+    parser.add_argument("--clamp-value", "-k", type=float, default=50)
+    parser.add_argument("--save-dir", "-s", default="./results/steering")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_argument()
+    rank, world = shard_info()
+
+    model, processor, _ = load_subject_model(args.model)
+    filters = load_filter(args.filters)
+    sae_dict = load_saes(args.sae_path, filters)
+
+    for module_name, sae in sae_dict.items():
+        feature_idx = np.array_split(filters[module_name], world)[rank].tolist()
+        controller = SteeringController(
+            sae=sae,
+            module_name=module_name,
+            feature_idx=feature_idx,
+            prompt=args.text,
+            model=model,
+            processor=processor,
+            image_path=args.image_path,
+            k=args.clamp_value,
+        )
+        result_dict = controller.run()
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        fname = (
+            f"{module_name}.json" if world == 1 else f"{module_name}.rank{rank}.json"
+        )
+        with open(os.path.join(args.save_dir, fname), "w", encoding="utf-8") as f:
+            json.dump(result_dict, f, indent=4, ensure_ascii=False)
+
+
+if __name__ == "__main__":
+    main()

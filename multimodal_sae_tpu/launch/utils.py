@@ -1,0 +1,68 @@
+"""Shared launch-script plumbing: subject-model loading (JAX weights + HF
+tokenizer/processor from a local checkpoint dir) and dual-dataclass argument
+parsing (the reference composes FeatureConfig+ExperimentConfig via
+simple_parsing, e.g. reference launch/explain/explain_images.py:138-143)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..utils.cli import add_dataclass_args, dataclass_from_namespace
+
+
+def load_subject_model(
+    model_name_or_path: str, dtype=jnp.bfloat16
+) -> Tuple[object, Optional[object], object]:
+    """Load the frozen subject model (reference maybe_load_llava_model,
+    sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
+    "llava", plain LLaMA otherwise.  Returns (model, processor, tokenizer).
+
+    `model_name_or_path` must be a local HF checkpoint directory (this
+    environment has no network egress; pre-download checkpoints)."""
+    from transformers import AutoTokenizer
+
+    if "llava" in model_name_or_path:
+        from transformers import LlavaNextProcessor
+
+        from ..models.llava_next import LlavaNextModel, load_llava_next
+
+        params, cfg = load_llava_next(model_name_or_path, dtype=dtype)
+        model = LlavaNextModel(params, cfg)
+        processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
+    else:
+        from ..models.hf_loader import load_llama
+        from ..models.llama import LlamaModel
+
+        params, cfg = load_llama(model_name_or_path, dtype=dtype)
+        model = LlamaModel(params, cfg)
+        processor = None
+    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+    return model, processor, tokenizer
+
+
+def parse_feature_experiment(argv=None):
+    """Parse FeatureConfig + ExperimentConfig from one flag namespace."""
+    from ..config import ExperimentConfig, FeatureConfig
+
+    parser = argparse.ArgumentParser()
+    add_dataclass_args(parser, FeatureConfig)
+    add_dataclass_args(parser, ExperimentConfig)
+    ns = parser.parse_args(argv)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.feature = dataclass_from_namespace(FeatureConfig, ns)
+    args.experiment = dataclass_from_namespace(ExperimentConfig, ns)
+    return args
+
+
+def shard_info():
+    """(rank, world) in the single-controller job."""
+    import jax
+
+    return jax.process_index(), jax.process_count()

@@ -374,6 +374,11 @@ class LlamaModel:
         `intervene_prefill_only` mirrors the reference steering hook's
         "skip decode-phase len-1 sequences" condition
         (reference features/steering.py:113-114)."""
+        if isinstance(input_ids, dict):
+            input_ids = input_ids["input_ids"]
+        import numpy as _np
+
+        input_ids = _np.asarray(input_ids)
         return greedy_generate(
             self.params,
             self.cfg,

@@ -1,0 +1,232 @@
+"""Steering and attribution-patching tests against tiny random models, with
+attribution parity-checked against an independent torch+hooks implementation
+of the reference math (reference features/patching/attribution.py:116-189)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.config import SaeConfig
+from multimodal_sae_tpu.features.patching.utils import (
+    get_logit_diff,
+    sae_splice_intervention,
+    spliced_forward_with_delta,
+)
+from multimodal_sae_tpu.features.steering import clamp_features_max
+from multimodal_sae_tpu.models.llama import LlamaConfig, LlamaModel, init_llama_params
+from multimodal_sae_tpu.sae import Sae
+
+torch = pytest.importorskip("torch")
+
+D = 32
+
+
+@pytest.fixture(scope="module")
+def llama():
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=D,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    return LlamaModel(params, cfg)
+
+
+@pytest.fixture(scope="module")
+def sae():
+    return Sae(D, SaeConfig(num_latents=128, k=8), key=jax.random.PRNGKey(1))
+
+
+def test_clamp_intervention_changes_output(llama, sae):
+    iv = clamp_features_max(sae, feature=7, k=50.0)
+    h = jax.random.normal(jax.random.PRNGKey(2), (1, 4, D))
+    out = iv(h)
+    assert out.shape == h.shape
+    # The clamped reconstruction contains feature 7's decoder direction.
+    assert not np.allclose(np.asarray(out), np.asarray(h))
+
+
+def test_steered_generation_differs(llama, sae):
+    ids = np.array([[1, 5, 9, 3]])
+    base = llama.generate(ids, max_new_tokens=6)
+    steered = llama.generate(
+        ids,
+        max_new_tokens=6,
+        interventions={"layers.1": clamp_features_max(sae, 3, k=100.0)},
+        intervene_prefill_only=True,
+    )
+    assert base.shape == steered.shape == (1, 10)
+    # With a huge clamp the continuation almost surely changes.
+    assert not np.array_equal(np.asarray(base), np.asarray(steered))
+
+
+def test_get_logit_diff():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 16)))
+    ans = jnp.asarray([[3, 7], [1, 2]])
+    v = get_logit_diff(logits, ans)
+    expect = (
+        (logits[0, -1, 3] - logits[0, -1, 7]) + (logits[1, -1, 1] - logits[1, -1, 2])
+    ) / 2
+    np.testing.assert_allclose(float(v), float(expect), rtol=1e-6)
+
+
+def _torch_reference_attribution(llama, sae, ids, answer_ids, feature):
+    """Independent torch implementation of the reference's hook-based
+    attribution on the same weights (clean/corrupt splice + retain_grad)."""
+    params = llama.params
+    cfg = llama.cfg
+
+    W_enc = torch.tensor(np.asarray(sae.params["W_enc"]), dtype=torch.float64)
+    b_enc = torch.tensor(np.asarray(sae.params["b_enc"]), dtype=torch.float64)
+    W_dec = torch.tensor(np.asarray(sae.params["W_dec"]), dtype=torch.float64)
+    b_dec = torch.tensor(np.asarray(sae.params["b_dec"]), dtype=torch.float64)
+
+    def torch_forward(h_splice_fn):
+        """Recompute the jax llama in torch float64 with a splice after layer 1."""
+        import torch as t
+
+        def rms(x, w):
+            var = (x.double() ** 2).mean(-1, keepdim=True)
+            return x * t.rsqrt(var + cfg.rms_norm_eps) * w
+
+        emb = t.tensor(np.asarray(params["embed_tokens"]), dtype=t.float64)
+        h = emb[t.tensor(ids)]
+        B, S, _ = h.shape
+        pos = t.arange(S)
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (t.arange(0, cfg.head_dim_, 2, dtype=t.float64) / cfg.head_dim_)
+        )
+        freqs = pos[:, None].double() * inv
+        cos = t.cat([freqs, freqs], -1).cos()
+        sin = t.cat([freqs, freqs], -1).sin()
+
+        def rot(x):
+            half = x.shape[-1] // 2
+            return t.cat([-x[..., half:], x[..., :half]], -1)
+
+        H, kvH, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+        mask = t.where(
+            t.arange(S)[None, :] <= t.arange(S)[:, None], 0.0, -t.inf
+        ).double()
+        for i, lp in enumerate(params["layers"]):
+            W = {k: t.tensor(np.asarray(v), dtype=t.float64) for k, v in lp.items()}
+            res = h
+            x = rms(h, W["input_layernorm"])
+            q = (x @ W["q_proj"]).reshape(B, S, H, hd).transpose(1, 2)
+            k = (x @ W["k_proj"]).reshape(B, S, kvH, hd).transpose(1, 2)
+            v = (x @ W["v_proj"]).reshape(B, S, kvH, hd).transpose(1, 2)
+            q = q * cos + rot(q) * sin
+            k = k * cos + rot(k) * sin
+            k = k.repeat_interleave(H // kvH, dim=1)
+            v = v.repeat_interleave(H // kvH, dim=1)
+            att = t.softmax(q @ k.transpose(-1, -2) * hd**-0.5 + mask, dim=-1)
+            h = res + (att @ v).transpose(1, 2).reshape(B, S, H * hd) @ W["o_proj"]
+            res = h
+            x = rms(h, W["post_attention_layernorm"])
+            h = res + (
+                t.nn.functional.silu(x @ W["gate_proj"]) * (x @ W["up_proj"])
+            ) @ W["down_proj"]
+            if i == 1:
+                h = h_splice_fn(h)
+        h = rms(h, t.tensor(np.asarray(params["norm"]), dtype=t.float64))
+        head = params.get("lm_head")
+        logits = h @ t.tensor(np.asarray(head), dtype=t.float64)
+        return logits
+
+    def splice(h, off=None):
+        flat = h.reshape(-1, h.shape[-1])
+        pre = t_relu((flat - b_dec) @ W_enc + b_enc)
+        if off is not None:
+            m = torch.ones_like(pre)
+            m[:, off] = 0
+            pre = pre * m
+        vals, idx = pre.topk(sae.cfg.k)
+        buf = torch.zeros_like(pre)
+        buf.scatter_(-1, idx, vals)
+        out = buf @ W_dec + b_dec
+        return out.reshape(h.shape)
+
+    t_relu = torch.relu
+
+    clean_logits = torch_forward(lambda h: splice(h))
+    clean_out = {}
+
+    def clean_capture(h):
+        out = splice(h)
+        clean_out["v"] = out.detach()
+        return out
+
+    torch_forward(clean_capture)
+
+    corrupt_store = {}
+
+    def corrupt_capture(h):
+        out = splice(h, off=feature).clone().requires_grad_(True)
+        corrupt_store["v"] = out
+        return out
+
+    logits = torch_forward(corrupt_capture)
+    final = logits[:, -1, :]
+    ans = torch.tensor(answer_ids)
+    metric = (
+        final.gather(1, ans[:, 0:1]) - final.gather(1, ans[:, 1:2])
+    ).mean()
+    metric.backward()
+    attribution = (
+        (clean_out["v"] - corrupt_store["v"].detach()) * corrupt_store["v"].grad
+    ).sum(-1)
+    return attribution.numpy()
+
+
+def test_attribution_matches_torch_reference(llama, sae):
+    ids = np.array([[1, 5, 9, 3, 17]])
+    answer_ids = np.array([[7, 11]])
+    feature = 3
+
+    zeros = {"layers.1": jnp.zeros((1, ids.shape[1], D))}
+    sae_dict = {"layers.1": sae}
+
+    class Wrap:
+        def forward(self, batch, capture=(), interventions=None, return_logits=True):
+            from multimodal_sae_tpu.models.llama import llama_forward
+
+            return llama_forward(
+                llama.params,
+                llama.cfg,
+                jnp.asarray(batch["input_ids"]),
+                capture=capture,
+                interventions=interventions,
+                return_logits=return_logits,
+            )
+
+    model = Wrap()
+    batch = {"input_ids": ids}
+
+    _, clean_cache = spliced_forward_with_delta(model, batch, sae_dict, zeros)
+
+    def corrupted_metric(deltas):
+        logits, cache = spliced_forward_with_delta(
+            model, batch, sae_dict, deltas, off_feature=feature
+        )
+        return get_logit_diff(logits, jnp.asarray(answer_ids)), cache
+
+    (_, corrupted_cache), grads = jax.value_and_grad(
+        corrupted_metric, has_aux=True
+    )(zeros)
+    ours = np.asarray(
+        (
+            (clean_cache["layers.1"] - corrupted_cache["layers.1"])
+            * grads["layers.1"]
+        ).sum(-1)
+    )
+    ref = _torch_reference_attribution(llama, sae, ids, answer_ids, feature)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-6)
