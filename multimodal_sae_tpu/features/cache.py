@@ -91,20 +91,29 @@ class Cache:
     ):
         """Add a (B, S, k) top-k batch. Equivalent to the reference's
         dense-scatter + nonzero (cache.py:42-57, 209-218) without the dense
-        buffer."""
+        buffer.  float32 batches route through the native single-pass C++
+        extractor (native/coo.cpp) when it is built; other dtypes use numpy."""
         vals = np.asarray(vals)
         idx = np.asarray(idx)
-        B, S, k = vals.shape
-        mask = np.abs(vals) > threshold
-        if self.filters is not None:
-            selected = self.filters[module_path]
-            mask &= np.isin(idx, selected)
-        b, s, j = np.nonzero(mask)
-        locations = np.empty((b.shape[0], 3), dtype=np.int64)
-        locations[:, 0] = b + batch_number * self.batch_size + self.shard_size
-        locations[:, 1] = s
-        locations[:, 2] = idx[b, s, j]
-        activations = vals[mask]
+        row_offset = batch_number * self.batch_size + self.shard_size
+        selected = self.filters[module_path] if self.filters is not None else None
+
+        if vals.dtype == np.float32:
+            from ..native import coo_extract_topk
+
+            locations, activations = coo_extract_topk(
+                vals, idx, threshold=threshold, filter_ids=selected, row_offset=row_offset
+            )
+        else:
+            mask = np.abs(vals) > threshold
+            if selected is not None:
+                mask &= np.isin(idx, selected)
+            b, s, j = np.nonzero(mask)
+            locations = np.empty((b.shape[0], 3), dtype=np.int64)
+            locations[:, 0] = b + row_offset
+            locations[:, 1] = s
+            locations[:, 2] = idx[b, s, j]
+            activations = vals[mask]
         self.feature_locations[module_path].append(locations)
         self.feature_activations[module_path].append(activations)
 
@@ -249,12 +258,28 @@ class FeatureCache:
         for module_path in self.cache.nonempty_modules():
             locations = self.cache.feature_locations[module_path]
             activations = self.cache.feature_activations[module_path]
+            module_dir = f"{save_dir}/{module_path}"
+            os.makedirs(module_dir, exist_ok=True)
+            if not replicate_boundary_drop and activations.dtype == np.float32:
+                # Native two-pass partition (one pass over the stream per
+                # phase instead of n_splits boolean masks).
+                from ..native import coo_partition_splits
+
+                boundaries = np.array(
+                    [s for s, _ in split_indices] + [split_indices[-1][1] + 1],
+                    dtype=np.int64,
+                )
+                parts = coo_partition_splits(locations, activations, boundaries)
+                for (start, end), (locs, acts) in zip(split_indices, parts):
+                    save_file(
+                        {"locations": locs, "activations": acts},
+                        f"{module_dir}/Rank{rank}_{start}_{end}.safetensors",
+                    )
+                continue
             features = locations[:, 2]
             for start, end in split_indices:
                 upper = end if replicate_boundary_drop else end + 1
                 mask = (features >= start) & (features < upper)
-                module_dir = f"{save_dir}/{module_path}"
-                os.makedirs(module_dir, exist_ok=True)
                 save_file(
                     {
                         "locations": locations[mask],

@@ -60,7 +60,7 @@ def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     return x.reshape(B, gh * gw, C * patch * patch)
 
 
-def clip_attention(x, lp, num_heads, eps):
+def clip_attention(x, lp, num_heads, eps, mask=None):
     B, S, D = x.shape
     hd = D // num_heads
     q = x @ lp["q_proj"] + lp["q_bias"]
@@ -70,6 +70,8 @@ def clip_attention(x, lp, num_heads, eps):
     k = k.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)

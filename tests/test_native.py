@@ -1,0 +1,77 @@
+"""Native C++ COO kernel parity vs the numpy reference path (the kernel-parity
+pattern from SURVEY.md §4, applied to the host runtime)."""
+
+import numpy as np
+import pytest
+
+from multimodal_sae_tpu.native import (
+    coo_extract_topk,
+    coo_partition_splits,
+    native_available,
+)
+from multimodal_sae_tpu.native import coo as coo_mod
+
+
+def _numpy_extract(vals, idx, threshold, filter_ids, row_offset):
+    mask = np.abs(vals) > threshold
+    if filter_ids is not None:
+        mask &= np.isin(idx, filter_ids)
+    b, s, j = np.nonzero(mask)
+    locations = np.empty((b.shape[0], 3), dtype=np.int64)
+    locations[:, 0] = b + row_offset
+    locations[:, 1] = s
+    locations[:, 2] = idx[b, s, j]
+    return locations, vals[mask]
+
+
+def test_native_builds():
+    assert native_available(), "g++ build of native/coo.cpp failed"
+
+
+@pytest.mark.parametrize("with_filter", [False, True])
+def test_extract_matches_numpy(with_filter):
+    rng = np.random.default_rng(0)
+    B, S, K, L = 3, 7, 16, 512
+    vals = rng.normal(size=(B, S, K)).astype(np.float32)
+    vals[vals < 0] = 0.0  # post-relu regime, many zeros
+    idx = rng.integers(0, L, size=(B, S, K)).astype(np.int64)
+    filt = rng.choice(L, size=50, replace=False).astype(np.int64) if with_filter else None
+
+    loc_n, act_n = coo_extract_topk(vals, idx, 1e-5, filt, row_offset=10)
+    loc_r, act_r = _numpy_extract(vals, idx, 1e-5, filt, 10)
+    np.testing.assert_array_equal(loc_n, loc_r)
+    np.testing.assert_array_equal(act_n, act_r)
+
+
+def test_partition_matches_numpy():
+    rng = np.random.default_rng(1)
+    N, L = 5000, 256
+    locations = np.stack(
+        [
+            rng.integers(0, 100, N),
+            rng.integers(0, 64, N),
+            rng.integers(0, L, N),
+        ],
+        axis=1,
+    ).astype(np.int64)
+    activations = rng.normal(size=N).astype(np.float32)
+    boundaries = np.array([0, 64, 128, 192, 256], dtype=np.int64)
+
+    parts = coo_partition_splits(locations, activations, boundaries)
+    feats = locations[:, 2]
+    for i in range(4):
+        m = (feats >= boundaries[i]) & (feats < boundaries[i + 1])
+        np.testing.assert_array_equal(parts[i][0], locations[m])
+        np.testing.assert_array_equal(parts[i][1], activations[m])
+
+
+def test_fallback_matches_native(monkeypatch):
+    rng = np.random.default_rng(2)
+    vals = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    idx = rng.integers(0, 64, size=(2, 4, 8)).astype(np.int64)
+    loc_n, act_n = coo_extract_topk(vals, idx)
+    monkeypatch.setattr(coo_mod, "_lib", None)
+    monkeypatch.setattr(coo_mod, "_tried", True)
+    loc_f, act_f = coo_extract_topk(vals, idx)
+    np.testing.assert_array_equal(loc_n, loc_f)
+    np.testing.assert_array_equal(act_n, act_f)
