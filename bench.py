@@ -19,12 +19,20 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import jax
+
+# Persistent compilation cache: the wide-top-k gather kernels compile slowly
+# (minutes); cache them across bench invocations.
+os.makedirs("/tmp/jax_bench_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from multimodal_sae_tpu.config import SaeConfig
@@ -39,7 +47,11 @@ BATCH, SEQ = 64, 64
 DTYPE = jnp.bfloat16
 
 
-def _time(step_fn, params, x, iters=50):
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time(step_fn, params, x, iters=20):
     """Time `iters` executions of step_fn inside ONE jitted fori_loop, reading
     back a scalar checksum at the end.
 
@@ -60,7 +72,9 @@ def _time(step_fn, params, x, iters=50):
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
+    t0 = time.perf_counter()
     float(loop(params, x))  # compile + warm
+    _log(f"  compile+warm {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     float(loop(params, x))
     return (time.perf_counter() - t0) / iters
@@ -89,8 +103,11 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SEQ, D_IN), dtype=DTYPE)
 
     tokens = BATCH * SEQ
+    _log("timing ours (blockmax cache step)...")
     t_ours = _time(lambda p, h: topk_latents_step(p, h, cfg), params, x)
+    _log(f"ours: {t_ours * 1e3:.2f} ms/iter; timing naive translation...")
     t_naive = _time(lambda p, h: naive_reference_step(p, h, cfg), params, x)
+    _log(f"naive: {t_naive * 1e3:.2f} ms/iter")
 
     tokens_per_sec = tokens / t_ours
     naive_tokens_per_sec = tokens / t_naive

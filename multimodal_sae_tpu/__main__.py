@@ -92,7 +92,17 @@ def run():
 
     rank0_print(f"Training on '{args.dataset}' (split '{args.split}')")
 
-    trainer = SaeTrainer(args, dataset, model)
+    collator = None
+    if args.mm_data:
+        from transformers import AutoTokenizer
+
+        from .train.collator import DataCollatorForImage
+
+        collator = DataCollatorForImage(
+            tokenizer=AutoTokenizer.from_pretrained(args.model)
+        )
+
+    trainer = SaeTrainer(args, dataset, model, collator=collator)
     if args.resume:
         trainer.load_state(args.run_name or "sae-ckpts")
 

@@ -400,9 +400,28 @@ class LlavaNextModel:
         return out
 
     def capture(self, batch: dict, hookpoints: List[str]) -> Dict[str, jax.Array]:
+        batch = self._maybe_prepare(batch)
         return self.forward(batch, capture=hookpoints, return_logits=False)[
             "captured"
         ]
+
+    def _maybe_prepare(self, batch: dict) -> dict:
+        """Accept raw multimodal batches ({"input_ids" with un-expanded
+        <image> placeholders, "image"/"images": PIL list}) — the shape the
+        mm-data trainer feeds (reference trainer.py:275-306) — and prepare
+        them; already-prepared batches pass through."""
+        images = batch.get("images", batch.get("image"))
+        if images is None or "pixel_values" in batch:
+            return batch
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        if images[0] is None:
+            return {k: v for k, v in batch.items() if k not in ("image", "images")}
+        import numpy as _np
+
+        ids = batch["input_ids"]
+        prompt_ids = [list(_np.asarray(r).reshape(-1)) for r in ids]
+        return self.prepare_inputs(images=list(images), prompt_ids=prompt_ids)
 
     def generate(
         self,

@@ -1,4 +1,4 @@
-from .topk import top_k, blockwise_top_k
+from .topk import top_k, blockwise_top_k, blockmax_top_k
 from .sparse_decode import (
     sparse_decode,
     eager_decode,
@@ -10,6 +10,7 @@ from .geometric_median import geometric_median
 __all__ = [
     "top_k",
     "blockwise_top_k",
+    "blockmax_top_k",
     "sparse_decode",
     "eager_decode",
     "gather_decode",

@@ -7,6 +7,7 @@ from .mesh import (
     shard_dataset_contiguous,
 )
 from .distributed import initialize_distributed, process_count, process_index
+from .tensor_parallel import llama_param_specs, shard_llama_params
 
 __all__ = [
     "get_mesh",
@@ -18,4 +19,6 @@ __all__ = [
     "initialize_distributed",
     "process_count",
     "process_index",
+    "llama_param_specs",
+    "shard_llama_params",
 ]

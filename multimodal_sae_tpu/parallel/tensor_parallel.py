@@ -1,0 +1,61 @@
+"""Tensor-parallel sharding of the LLaMA subject model.
+
+The reference never shards the subject model in-framework — the 8B LLaVA fits
+on one A100, and the explainer LLMs are delegated to sglang's
+`--tensor-parallel-size` (reference clients/sglang.py:33-34).  On TPU v5e
+(16 GB HBM/chip) an 8B bf16 model plus activations does NOT fit on one chip,
+so the subject model itself needs megatron-style TP over the ICI mesh.
+
+With pjit this is purely a placement problem: q/k/v/gate/up projections are
+column-sharded, o/down row-sharded, the embedding and lm_head sharded over
+the vocab/feature dim, and XLA inserts the all-reduces where row-sharded
+matmuls meet the replicated residual stream.  `shard_llama_params` applies
+the placement; any jitted forward over these params then runs tensor-parallel
+with no code changes to the model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def llama_param_specs(axis: str = "model") -> Dict[str, P]:
+    """PartitionSpec per layer-parameter name (weights stored (in, out))."""
+    return {
+        # column parallel: output dim sharded
+        "q_proj": P(None, axis),
+        "k_proj": P(None, axis),
+        "v_proj": P(None, axis),
+        "gate_proj": P(None, axis),
+        "up_proj": P(None, axis),
+        # row parallel: input dim sharded (XLA all-reduces the partial sums)
+        "o_proj": P(axis, None),
+        "down_proj": P(axis, None),
+        # norms replicated
+        "input_layernorm": P(),
+        "post_attention_layernorm": P(),
+    }
+
+
+def shard_llama_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
+    """Place LLaMA params tensor-parallel on `mesh`. Returns a new tree of
+    device arrays; the functional forward (models/llama.py) runs unchanged."""
+    specs = llama_param_specs(axis)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = {
+        "embed_tokens": put(params["embed_tokens"], P(None, None)),
+        "norm": put(params["norm"], P()),
+        "layers": [
+            {name: put(w, specs[name]) for name, w in layer.items()}
+            for layer in params["layers"]
+        ],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = put(params["lm_head"], P(None, axis))
+    return out

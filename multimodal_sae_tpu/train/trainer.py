@@ -85,8 +85,9 @@ class SaeTrainer:
         mesh: optional jax Mesh; defaults to all devices on a 'data' axis.
     """
 
-    def __init__(self, cfg: TrainConfig, dataset, model, mesh=None):
+    def __init__(self, cfg: TrainConfig, dataset, model, mesh=None, collator=None):
         self.model = model
+        self.collator = collator  # e.g. DataCollatorForImage for mm_data
         all_names = model.hookpoint_names()
 
         if cfg.hookpoints:
@@ -343,7 +344,18 @@ class SaeTrainer:
         except ImportError:
             pass
 
-        for batch in _iter_batches(ds, cfg.batch_size):
+        from ..utils import maybe_trace
+
+        with maybe_trace("sae_train"):
+            self._fit_loop(ds, avg_metrics, wandb, log_fn, pbar)
+
+        self.save()
+        if pbar is not None:
+            pbar.close()
+
+    def _fit_loop(self, ds, avg_metrics, wandb, log_fn, pbar):
+        cfg = self.cfg
+        for batch in _iter_batches(ds, cfg.batch_size, collator=self.collator):
             self.step(batch, avg_metrics)
 
             step, substep = divmod(self.global_step, cfg.grad_acc_steps)
@@ -373,13 +385,9 @@ class SaeTrainer:
             if substep == 0 and step % cfg.save_every == 0:
                 self.save()
 
-            self.global_step += 1
+            # global_step is advanced inside step().
             if pbar is not None:
                 pbar.update()
-
-        self.save()
-        if pbar is not None:
-            pbar.close()
 
     def step(self, batch: dict, avg_metrics=None):
         """One batch: capture hiddens, accumulate grads for every hookpoint,
@@ -515,12 +523,15 @@ def _unflatten_opt_state(flat: Dict[str, np.ndarray], like):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def _iter_batches(dataset, batch_size: int) -> Iterable[dict]:
+def _iter_batches(dataset, batch_size: int, collator=None) -> Iterable[dict]:
     """Sequential fixed-size batches (no shuffling — the dataset is shuffled
     upstream for reproducibility, reference trainer.py:235-241)."""
     n = len(dataset)
     for i in range(n // batch_size):
         rows = [dataset[j] for j in range(i * batch_size, (i + 1) * batch_size)]
+        if collator is not None:
+            yield collator(rows)
+            continue
         batch = {}
         for key in rows[0]:
             vals = [r[key] for r in rows]

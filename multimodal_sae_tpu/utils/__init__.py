@@ -1,5 +1,6 @@
 from .misc import natsorted, natsort_key, rank0_print
 from .cli import parse_dataclass, add_dataclass_args, dataclass_from_namespace
+from .profiling import maybe_trace, timed
 
 __all__ = [
     "natsorted",
@@ -8,4 +9,6 @@ __all__ = [
     "parse_dataclass",
     "add_dataclass_args",
     "dataclass_from_namespace",
+    "maybe_trace",
+    "timed",
 ]

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from multimodal_sae_tpu.ops import (
+    blockmax_top_k,
     blockwise_top_k,
     eager_decode,
     gather_decode,
@@ -31,6 +32,34 @@ def test_blockwise_topk_matches_lax(width, k, blocks):
         assert _topk_set(v[r], i[r]) == _topk_set(v_ref[r], i_ref[r])
     # Values sorted descending.
     assert bool(jnp.all(v[:, :-1] >= v[:, 1:]))
+
+
+@pytest.mark.parametrize("width,k,block", [(8192, 16, 64), (4096, 8, 32), (4100, 8, 32)])
+def test_blockmax_topk_matches_lax(width, k, block):
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, width))
+    v_ref, i_ref = jax.lax.top_k(x, k)
+    v, i = blockmax_top_k(x, k, block=block)
+    for r in range(x.shape[0]):
+        assert _topk_set(v[r], i[r]) == _topk_set(v_ref[r], i_ref[r])
+
+
+def test_blockmax_topk_clustered_winners():
+    # All winners inside a couple of blocks (the stress case for the
+    # top-k-by-block-max filter) plus ties at the k-th value.
+    x = jnp.zeros((1, 4096))
+    x = x.at[0, 100:108].set(5.0)  # 8 winners in one block
+    x = x.at[0, 2000:2004].set(3.0)  # 4 tied at the boundary
+    x = x.at[0, 3000:3004].set(3.0)  # 4 more ties than slots
+    v, i = blockmax_top_k(x, 10, block=64)
+    v = np.sort(np.asarray(v[0]))[::-1]
+    assert (v[:8] == 5.0).all() and (v[8:] == 3.0).all()
+
+
+def test_blockmax_topk_leading_dims():
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 3, 8192))
+    v, i = blockmax_top_k(x, 4)
+    v_ref, i_ref = jax.lax.top_k(x, 4)
+    np.testing.assert_allclose(np.sort(v), np.sort(v_ref), rtol=1e-6)
 
 
 def test_blockwise_topk_relu_ties():

@@ -1,0 +1,69 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: tensor-parallel
+placement of the subject model matches single-device numerics, the mm
+collator's left-padding, and dataset sharding offsets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+from multimodal_sae_tpu.parallel import (
+    get_mesh,
+    local_shard_bounds,
+    shard_llama_params,
+)
+
+
+def test_tensor_parallel_matches_single_device():
+    assert jax.device_count() >= 8
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, size=(2, 6)))
+
+    ref = llama_forward(params, cfg, ids)["logits"]
+
+    mesh = get_mesh(("model",), devices=jax.devices()[:8])
+    tp_params = shard_llama_params(params, mesh, axis="model")
+    out = jax.jit(lambda p, i: llama_forward(p, cfg, i)["logits"])(tp_params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    # Verify the parameters are actually distributed.
+    shard0 = tp_params["layers"][0]["q_proj"].sharding
+    assert len(shard0.device_set) == 8
+
+
+def test_collator_left_padding():
+    from multimodal_sae_tpu.train.collator import DataCollatorForImage
+
+    class Tok:
+        padding_side = "left"
+        model_max_length = 100
+        pad_token_id = 0
+        eos_token_id = 0
+
+    coll = DataCollatorForImage(tokenizer=Tok())
+    batch = coll(
+        [
+            {"input_ids": np.array([5, 6, 7]), "image": None},
+            {"input_ids": np.array([9]), "image": None},
+        ]
+    )
+    np.testing.assert_array_equal(batch["input_ids"], [[5, 6, 7], [0, 0, 9]])
+    np.testing.assert_array_equal(batch["attention_mask"], [[1, 1, 1], [0, 0, 1]])
+
+
+def test_local_shard_bounds_cover():
+    n, w = 103, 8
+    spans = [local_shard_bounds(n, w, r) for r in range(w)]
+    assert spans[0][0] == 0 and spans[-1][1] == n
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
