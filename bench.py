@@ -51,26 +51,37 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _time(step_fn, params, x, iters=20):
-    """Time `iters` executions of step_fn inside ONE jitted fori_loop, reading
-    back a scalar checksum at the end.
+def _time(step_fn, params, x, iters=10):
+    """Time `iters` executions of step_fn inside ONE jitted fori_loop with a
+    true data dependency between iterations, reading back a scalar checksum.
 
-    Rationale: on the tunneled single-chip platform `block_until_ready`
-    returns before execution finishes, so per-call host timing reads dispatch
-    latency, not device time.  An in-jit loop serializes the iterations on
-    device and the scalar readback (one ~30 ms tunnel roundtrip, amortized)
-    bounds completion."""
+    Two pitfalls on this platform make naive timing lie:
+    * `block_until_ready` returns before execution finishes (tunnel), so
+      per-call host timing reads dispatch latency — hence the in-jit loop +
+      scalar readback;
+    * XLA's while-loop invariant code motion hoists a loop body whose inputs
+      don't change, timing ONE execution as if it were `iters` — hence the
+      checksum-perturbed input chaining (the 1e-12 nudge is runtime data XLA
+      cannot fold away)."""
 
     @jax.jit
     def loop(params, x):
-        def body(_, acc):
+        def body(_, carry):
+            x, acc = carry
             out = step_fn(params, x)
             leaves = jax.tree_util.tree_leaves(out)
-            return acc + sum(
-                jnp.sum(l).astype(jnp.float32) for l in leaves if l.dtype != jnp.int32
+            s = sum(
+                jnp.sum(l).astype(jnp.float32)
+                for l in leaves
+                if jnp.issubdtype(l.dtype, jnp.floating)
             )
+            x = x + (s * 1e-12).astype(x.dtype)
+            return (x, acc + s)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (x, jnp.zeros((), jnp.float32))
+        )
+        return acc
 
     t0 = time.perf_counter()
     float(loop(params, x))  # compile + warm

@@ -230,6 +230,20 @@ class FeatureCache:
         self.cache.save()
 
     # ---- persistence (format identical to the reference) -------------------
+    def save(self, save_dir: str):
+        """Write one `{module}.safetensors` per module (unsplit layout,
+        reference cache.py:232-241)."""
+        from safetensors.numpy import save_file
+
+        for module_path in self.cache.nonempty_modules():
+            save_file(
+                {
+                    "locations": self.cache.feature_locations[module_path],
+                    "activations": self.cache.feature_activations[module_path],
+                },
+                f"{save_dir}/{module_path}.safetensors",
+            )
+
     def _generate_split_indices(self, n_splits: int):
         boundaries = np.linspace(0, self.width, n_splits + 1).astype(np.int64)
         # End is made inclusive in the filename (reference cache.py:243-247).
