@@ -1,0 +1,35 @@
+"""Bit-exactness of the wide top-k path for fp32 payloads: the one-hot MXU
+gather must copy values exactly (the cache's fp32 bit-match guarantee)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.ops import blockmax_top_k
+
+
+def test_blockmax_values_bitexact_f32():
+    rng = np.random.default_rng(0)
+    # Adversarial mantissas: values needing all 24 bits.
+    x = (rng.normal(size=(8, 8192)).astype(np.float32) * (1 + 1e-7)).astype(
+        np.float32
+    )
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 16)
+    v, i = blockmax_top_k(jnp.asarray(x), 16, block=64)
+    ref = {}
+    for r in range(8):
+        ref_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i_ref[r], v_ref[r])}
+        got_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i[r], v[r])}
+        assert ref_pairs == got_pairs  # identical indices AND identical bits
+
+
+def test_blockmax_two_level_bitexact_f32():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 131072)).astype(np.float32)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 256)
+    v, i = blockmax_top_k(jnp.asarray(x), 256)  # k*block > 4096 -> two-level
+    for r in range(4):
+        ref_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i_ref[r], v_ref[r])}
+        got_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i[r], v[r])}
+        assert ref_pairs == got_pairs
