@@ -26,67 +26,63 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS_PER_TILE = 8  # rows gathered per grid step
 
 
-def _gather_kernel(idx_ref, w_hbm, out_ref, scratch, sems):
-    """Grid step i copies rows idx[i*T : (i+1)*T] of w_hbm into out_ref via
-    double-buffered async DMA."""
+def _gather_kernel(idx_ref, w_hbm, out_hbm, sems):
+    """Grid step i copies rows idx[i*T : (i+1)*T] of w_hbm straight into the
+    HBM output with T concurrent DMAs.  Source and destination both live in
+    HBM (untiled), so single-row copies carry no sublane-alignment
+    constraints; the T DMAs overlap on the copy engines."""
     i = pl.program_id(0)
     T = _ROWS_PER_TILE
 
-    def get_dma(slot, j):
+    def get_dma(j):
+        # Refs arrive reshaped to (rows, 16, d/16): a one-row copy is then a
+        # (16, d/16) slice, satisfying Mosaic's dim-0 sublane-tile alignment.
         row = idx_ref[i * T + j]
         return pltpu.make_async_copy(
-            w_hbm.at[row], scratch.at[slot], sems.at[slot]
+            w_hbm.at[row], out_hbm.at[i * T + j], sems.at[j]
         )
 
-    # Warm up: start DMA for the first row of this tile.
-    get_dma(0, 0).start()
-
-    def body(j, _):
-        slot = jax.lax.rem(j, 2)
-        next_slot = jax.lax.rem(j + 1, 2)
-
-        @pl.when(j + 1 < T)
-        def _():
-            get_dma(next_slot, j + 1).start()
-
-        get_dma(slot, j).wait()
-        out_ref[j, :] = scratch[slot]
-        return 0
-
-    jax.lax.fori_loop(0, T, body, 0)
+    for j in range(T):
+        get_dma(j).start()
+    for j in range(T):
+        get_dma(j).wait()
 
 
 def pallas_gather_rows(W: jax.Array, idx: jax.Array, *, interpret: bool = False):
-    """W: (L, d), idx: (M,) int32 with M a multiple of 8. Returns W[idx]."""
+    """W: (L, d) with d a multiple of 2048, idx: (M,) int32 with M a multiple
+    of 8. Returns W[idx]."""
     M = idx.shape[0]
-    d = W.shape[1]
+    L, d = W.shape
     assert M % _ROWS_PER_TILE == 0, M
+    assert d % 2048 == 0, d  # (16, d/16) row view needs d/16 % 128 == 0
     grid = (M // _ROWS_PER_TILE,)
+    W = W.reshape(L, 16, d // 16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # W stays in HBM
-        out_specs=pl.BlockSpec(
-            (_ROWS_PER_TILE, d),
-            lambda i, idx_ref: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # gather straight to HBM
         scratch_shapes=[
-            pltpu.VMEM((2, d), W.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_ROWS_PER_TILE,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M, d), W.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, 16, d // 16), W.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(idx.astype(jnp.int32), W)
+    return out.reshape(M, d)
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("MMSAE_DISABLE_PALLAS") == "1":
+    # Opt-in (MMSAE_ENABLE_PALLAS=1): parity-verified on real TPU v5e and in
+    # interpreter mode; stays opt-in until its throughput is characterized
+    # against XLA's row gather at production shapes (the dev platform's
+    # remote-compile path is too slow for reliable microbenchmarks).
+    if os.environ.get("MMSAE_ENABLE_PALLAS") != "1":
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -96,6 +92,11 @@ def _use_pallas() -> bool:
 
 def gather_rows(W: jax.Array, idx: jax.Array) -> jax.Array:
     """W[idx] for a flat idx vector; Pallas on TPU, jnp.take elsewhere."""
-    if _use_pallas() and idx.ndim == 1 and idx.shape[0] % _ROWS_PER_TILE == 0:
+    if (
+        _use_pallas()
+        and idx.ndim == 1
+        and idx.shape[0] % _ROWS_PER_TILE == 0
+        and W.shape[1] % 2048 == 0
+    ):
         return pallas_gather_rows(W, idx)
     return jnp.take(W, idx, axis=0)

@@ -1,0 +1,165 @@
+"""Integration tests for the launch CLI flow with a fabricated local HF
+checkpoint: load_subject_model → cache CLI machinery → FeatureDataset
+read-back, plus attribution's vmapped feature batching."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    """A tiny random LlamaForCausalLM saved as a local HF checkpoint."""
+    d = tmp_path_factory.mktemp("llama_ckpt")
+    cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    # Minimal tokenizer files: use a real pretrained tokenizer if offline
+    # assets exist; otherwise skip tokenizer-dependent steps.
+    return str(d)
+
+
+def test_load_subject_model_local(llama_dir):
+    from multimodal_sae_tpu.models.hf_loader import load_llama
+    from multimodal_sae_tpu.models.llama import LlamaModel
+
+    params, cfg = load_llama(llama_dir, dtype=jnp.float32)
+    model = LlamaModel(params, cfg)
+    caps = model.capture({"input_ids": np.array([[1, 2, 3, 4]])}, ["layers.1"])
+    assert caps["layers.1"].shape == (1, 4, 32)
+
+    # Parity against the torch weights we just wrote.
+    hf = transformers.LlamaForCausalLM.from_pretrained(llama_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([[1, 2, 3, 4]]), output_hidden_states=True)
+    np.testing.assert_allclose(
+        np.asarray(caps["layers.1"]), ref.hidden_states[2].numpy(), rtol=3e-4, atol=3e-5
+    )
+
+
+def test_cache_flow_with_local_model(llama_dir, tmp_path):
+    """The launch.cache.cache flow without the HF-dataset dependency: local
+    model, pre-tokenized rows, SAE dir, splits on disk, loader read-back."""
+    from multimodal_sae_tpu.config import FeatureConfig, SaeConfig
+    from multimodal_sae_tpu.features import FeatureCache, FeatureDataset
+    from multimodal_sae_tpu.interp_utils import load_saes
+    from multimodal_sae_tpu.models.hf_loader import load_llama
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.sae import Sae
+
+    params, cfg = load_llama(llama_dir, dtype=jnp.float32)
+    model = LlamaModel(params, cfg)
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+    submodules = load_saes(str(sae_dir))
+    assert list(submodules) == ["layers.1"]
+
+    rng = np.random.default_rng(0)
+    rows = [{"input_ids": rng.integers(0, 128, size=16)} for _ in range(8)]
+
+    hookpoints = list(submodules)
+    fc = FeatureCache(
+        lambda batch: model.capture(batch, hookpoints),
+        submodules,
+        batch_size=4,
+        shard_size=0,
+    )
+    fc.run(n_tokens=16, tokens=rows, progress=False)
+    fc.save_splits(2, str(tmp_path / "cache"), rank=0)
+    fc.concate_safetensors(2, str(tmp_path / "cache"))
+
+    ds = FeatureDataset(
+        str(tmp_path / "cache"),
+        FeatureConfig(width=64, n_splits=2, min_examples=1),
+        modules=["layers.1"],
+    )
+    feats = [out.feature.feature_index for buf in ds.buffers for out in buf]
+    assert len(feats) > 0
+
+
+def test_attribution_feature_batch_matches_loop(llama_dir, tmp_path):
+    """feature_batch>1 (vmapped) must reproduce the per-feature loop."""
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.patching import Attribution
+    from multimodal_sae_tpu.models.hf_loader import load_llama
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.sae import Sae
+
+    params, cfg = load_llama(llama_dir, dtype=jnp.float32)
+    base = LlamaModel(params, cfg)
+
+    class TextOnly:
+        """Adapter: Attribution feeds prompts+images; for the text-only test
+        we fabricate prepare_inputs and delegate forward."""
+
+        def prepare_inputs(self, images=None, prompt_ids=None):
+            n = max(len(r) for r in prompt_ids)
+            ids = np.zeros((len(prompt_ids), n), dtype=np.int64)
+            for i, r in enumerate(prompt_ids):
+                ids[i, : len(r)] = r
+            return {"input_ids": ids}
+
+        def forward(self, batch, capture=(), interventions=None, return_logits=True):
+            from multimodal_sae_tpu.models.llama import llama_forward
+
+            return llama_forward(
+                base.params,
+                base.cfg,
+                jnp.asarray(batch["input_ids"]),
+                capture=capture,
+                interventions=interventions,
+                return_logits=return_logits,
+            )
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(1)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    from PIL import Image
+
+    img = tmp_path / "x.png"
+    Image.new("RGB", (8, 8)).save(img)
+    probing = [{"prompt": "ab", "answer": "c", "baseline": "d", "image": str(img)}]
+    (tmp_path / "p.json").write_text(json.dumps(probing))
+
+    class Tok:
+        def __call__(self, text, **kw):
+            return {"input_ids": [1] + [2 + ord(c) % 50 for c in text]}
+
+        def convert_tokens_to_ids(self, tok):
+            return 2 + ord(tok[0]) % 50
+
+    def build(feature_batch):
+        return Attribution(
+            TextOnly(),
+            Tok(),
+            sae_path=str(sae_dir),
+            data_path=str(tmp_path / "p.json"),
+            selected_sae="layers.1",
+            feature_batch=feature_batch,
+        )
+
+    loop_out = build(1).get_attribution(indices=[0, 3, 5])
+    vmap_out = build(2).get_attribution(indices=[0, 3, 5])
+    for a, b in zip(loop_out["layers.1"], vmap_out["layers.1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
