@@ -22,7 +22,9 @@ def llama_dir(tmp_path_factory):
         vocab_size=128,
         hidden_size=32,
         intermediate_size=64,
-        num_hidden_layers=2,
+        # 3 layers: HF's hidden_states[-1] is post-final-norm, while hookpoint
+        # captures are raw residuals — parity-compare a non-final layer.
+        num_hidden_layers=3,
         num_attention_heads=4,
         num_key_value_heads=2,
         max_position_embeddings=64,
