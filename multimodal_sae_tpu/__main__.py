@@ -8,11 +8,6 @@ data-parallel axis."""
 
 from __future__ import annotations
 
-import os
-from typing import Tuple, Union
-
-import numpy as np
-
 from .config import RunConfig
 from .parallel import initialize_distributed
 from .train import MemmapDataset, SaeTrainer, chunk_and_tokenize, process_mm_data

@@ -18,7 +18,7 @@ from __future__ import annotations
 import asyncio
 import os
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image

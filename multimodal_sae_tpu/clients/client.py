@@ -52,11 +52,13 @@ class ChatTransport:
         api_key: str = "EMPTY",
         timeout: Optional[float] = 600,
         extra_headers: Optional[Dict[str, str]] = None,
+        url_suffix: str = "",
     ):
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.timeout = timeout
         self.extra_headers = extra_headers or {}
+        self.url_suffix = url_suffix  # e.g. Azure's "?api-version=..."
         self._client = None
 
     def _httpx(self):
@@ -74,7 +76,9 @@ class ChatTransport:
         }
         payload = {"model": model, "messages": messages, **kwargs}
         resp = await self._httpx().post(
-            f"{self.base_url}/chat/completions", headers=headers, json=payload
+            f"{self.base_url}/chat/completions{self.url_suffix}",
+            headers=headers,
+            json=payload,
         )
         resp.raise_for_status()
         return resp.json()

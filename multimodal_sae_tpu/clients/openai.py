@@ -23,23 +23,23 @@ class OpenAIClient(Client):
         self.azure = azure_endpoint is not None
         if self.azure:
             key = api_key or os.environ.get("AZURE_OPENAI_API_KEY", "")
+            # Azure routes by deployment and requires api-version in the URL.
             url = f"{azure_endpoint.rstrip('/')}/openai/deployments/{model}"
             self.transport = ChatTransport(
-                url, key, extra_headers={"api-key": key}
+                url,
+                key,
+                extra_headers={"api-key": key},
+                url_suffix=f"?api-version={api_version}",
             )
-            self._query = {"api-version": api_version}
         else:
             key = api_key or os.environ.get("OPENAI_API_KEY", "")
             self.transport = ChatTransport(base_url or "https://api.openai.com/v1", key)
-            self._query = None
 
     async def generate(self, prompt, raw: bool = False, max_retries: int = 2, **kwargs):
         if isinstance(prompt, str):
             messages = [{"role": "user", "content": prompt}]
         else:
             messages = prompt
-        if self._query:
-            kwargs = {**kwargs}
         return await retry_chat(
             self.transport, self.model, messages, max_retries=max_retries, raw=raw, **kwargs
         )

@@ -27,10 +27,9 @@ import os
 import re
 from collections import defaultdict
 from functools import partial
-from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import SaeConfig

@@ -11,7 +11,7 @@ the plain-resized image (not anyres-padded) for the base image feature
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple, TypeVar, Union
 
 import numpy as np

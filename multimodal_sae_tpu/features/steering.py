@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..sae import Sae
 from ..sae.model import decode as sae_decode, pre_acts as sae_pre_acts, select_topk

@@ -9,8 +9,6 @@ the local mesh, and process 0 merges the per-process shard files."""
 
 from __future__ import annotations
 
-import os
-
 from ...config import CacheConfig
 from ...features import FeatureCache
 from ...interp_utils import load_filter, load_saes

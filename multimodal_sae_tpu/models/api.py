@@ -21,7 +21,7 @@ replaces `retain_grad`), and usable inside the generation loop
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Protocol, runtime_checkable
+from typing import Dict, List, Protocol, runtime_checkable
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -192,9 +192,6 @@ def jax_clip_metric(model_path: str, dtype=jnp.float32):
     """Build a `fn(pil_image, text) -> float` CLIP-Score metric from a local
     HF CLIPModel checkpoint — drop-in for the ClipScorer's torchmetrics
     backend (agents/scorers/clip/clip_scorer.py)."""
-    import json
-    import os
-
     from transformers import AutoTokenizer
 
     from .hf_loader import load_hf_config, load_hf_state_dict

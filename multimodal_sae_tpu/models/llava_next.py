@@ -20,7 +20,6 @@ feature selection, "default" strategy (drop CLS), spatial_unpad packing with
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip_vit import ClipVisionConfig, clip_vision_forward
-from .llama import KVCache, LlamaConfig, llama_forward, greedy_generate
+from .llama import LlamaConfig, llama_forward, greedy_generate
 
 OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)

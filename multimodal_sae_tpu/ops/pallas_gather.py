@@ -16,7 +16,6 @@ fallback is used automatically off-TPU or when MMSAE_DISABLE_PALLAS=1
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

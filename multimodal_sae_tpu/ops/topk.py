@@ -19,8 +19,6 @@ like `torch.topk(sorted=False)` the intra-k ordering is unspecified).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -28,8 +28,6 @@ gather/scatter (see ops/sparse_decode.py for the trade-off discussion).
 
 from __future__ import annotations
 
-import json
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, NamedTuple, Optional, Union
 

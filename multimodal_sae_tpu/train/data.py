@@ -7,7 +7,7 @@ TPU compute path never imports them.
 from __future__ import annotations
 
 import math
-from typing import Optional, TypeVar, Union
+from typing import Optional, TypeVar
 
 import numpy as np
 

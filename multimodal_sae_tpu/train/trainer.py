@@ -31,8 +31,7 @@ import os
 from collections import defaultdict
 from dataclasses import asdict
 from fnmatch import fnmatchcase
-from functools import partial
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +44,6 @@ from ..parallel import data_sharding, get_mesh, replicated_sharding
 from ..sae import (
     Sae,
     forward,
-    init_params,
     remove_gradient_parallel_to_decoder_directions,
     set_decoder_norm_to_unit_norm,
 )
@@ -162,7 +160,7 @@ class SaeTrainer:
             name: np.zeros(sae.num_latents, dtype=bool) for name, sae in self.saes.items()
         }
         self._num_tokens_in_step = 0
-        self._b_dec_initialized = self.cfg.sae is None  # always False; set on resume
+        self._b_dec_initialized = False  # set on resume / after step 0
 
         self._build_jitted_fns()
 

@@ -9,7 +9,7 @@ We implement the tiny pieces we need directly.
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Sequence, TypeVar
+from typing import Iterable, List, TypeVar
 
 T = TypeVar("T")
 
