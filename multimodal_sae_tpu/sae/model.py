@@ -101,10 +101,19 @@ def init_params(
 
 
 def pre_acts(params: Params, x: jax.Array) -> jax.Array:
-    """relu((x - b_dec) @ W_enc + b_enc) (reference sae.py:172-177)."""
+    """relu((x - b_dec) @ W_enc + b_enc) (reference sae.py:172-177).
+
+    The matmul runs at HIGHEST precision: with float32 params the TPU default
+    is a single bf16 MXU pass, which would make the "bit-stable fp32 cache"
+    guarantee precision-lossy. bf16 params are unaffected by the setting."""
     dtype = params["W_enc"].dtype
     sae_in = x.astype(dtype) - params["b_dec"]
-    out = jnp.dot(sae_in, params["W_enc"], preferred_element_type=dtype)
+    out = jnp.dot(
+        sae_in,
+        params["W_enc"],
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jax.nn.relu(out + params["b_enc"])
 
 
