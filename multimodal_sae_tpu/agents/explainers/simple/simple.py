@@ -1,6 +1,8 @@
-"""Text feature explainer (reference agents/explainers/simple/simple.py:10-92):
-highlights activating spans, optionally appends activation values and
-top-logit lists, prompts the explainer LLM, parses `[EXPLANATION]:`."""
+"""Text feature explainer (behavior of reference
+agents/explainers/simple/simple.py:10-92): renders the train examples with
+`<<...>>` activation highlighting (optionally with quantized activation
+values and top-logit lists), queries the explainer LLM, and parses the final
+`[EXPLANATION]:` line."""
 
 from __future__ import annotations
 
@@ -9,6 +11,13 @@ import re
 from ...utils import highlight, join_activations, normalize_examples
 from ..explainer import Explainer, ExplainerResult
 from .prompt_builder import build_prompt
+
+_EXPLANATION_RE = re.compile(r"\[EXPLANATION\]:\s*(.*)", re.DOTALL)
+
+
+def parse_explanation_text(reply: str) -> str:
+    match = _EXPLANATION_RE.search(reply)
+    return match.group(1).strip() if match else "Explanation could not be parsed."
 
 
 class SimpleExplainer(Explainer):
@@ -34,47 +43,34 @@ class SimpleExplainer(Explainer):
         self.threshold = threshold
         self.generation_kwargs = generation_kwargs
 
+    def _render_examples(self, examples) -> str:
+        lines = []
+        for position, example in enumerate(examples, start=1):
+            lines.append(highlight(position, example, self.tokenizer, self.threshold))
+            if self.activations:
+                lines.append(join_activations(example, self.threshold))
+        return "\n".join(lines)
+
     async def __call__(self, record):
         if self.activations:
             normalize_examples(record, record.train)
 
-        if self.logits:
-            messages = self._build_prompt(record.train, record.top_logits)
-        else:
-            messages = self._build_prompt(record.train, None)
-
-        response = await self.client.generate(messages, **self.generation_kwargs)
-        explanation = self.parse_explanation(response)
-
-        if self.verbose:
-            return (
-                messages[-1]["content"],
-                response,
-                ExplainerResult(record=record, explanation=explanation),
-            )
-        return ExplainerResult(record=record, explanation=explanation)
-
-    def parse_explanation(self, text: str) -> str:
-        try:
-            match = re.search(r"\[EXPLANATION\]:\s*(.*)", text, re.DOTALL)
-            return match.group(1).strip() if match else "Explanation could not be parsed."
-        except Exception:
-            return "Explanation could not be parsed."
-
-    def _build_prompt(self, examples, top_logits):
-        highlighted_examples = []
-        for i, example in enumerate(examples):
-            highlighted_examples.append(
-                highlight(i + 1, example, self.tokenizer, self.threshold)
-            )
-            if self.activations:
-                highlighted_examples.append(
-                    join_activations(example, self.threshold)
-                )
-        highlighted_examples = "\n".join(highlighted_examples)
-        return build_prompt(
-            examples=highlighted_examples,
+        top_logits = record.top_logits if self.logits else None
+        messages = build_prompt(
+            examples=self._render_examples(record.train),
             cot=self.cot,
             activations=self.activations,
             top_logits=top_logits,
         )
+
+        reply = await self.client.generate(messages, **self.generation_kwargs)
+        result = ExplainerResult(
+            record=record, explanation=parse_explanation_text(reply)
+        )
+        if self.verbose:
+            return messages[-1]["content"], reply, result
+        return result
+
+    # API parity with the reference (simple.py:60-68).
+    def parse_explanation(self, text: str) -> str:
+        return parse_explanation_text(text)

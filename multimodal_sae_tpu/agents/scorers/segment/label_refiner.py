@@ -1,8 +1,8 @@
-"""Label refiner (reference agents/scorers/segment/label_refiner.py:51-98):
-rewrites verbose feature explanations into crisp entity labels suitable for a
-zero-shot object detector.  Output contract preserved: replies are parsed
-after an "[ANSWER]" marker, and the "Unable to produce descriptions" sentinel
-passes through untouched."""
+"""Label refiner (behavior of reference
+agents/scorers/segment/label_refiner.py:51-98): rewrites verbose feature
+explanations into crisp entity labels suitable for a zero-shot object
+detector.  Contract preserved: replies are parsed after an "[ANSWER]" marker
+and the "Unable to produce descriptions" sentinel passes through untouched."""
 
 from __future__ import annotations
 
@@ -11,6 +11,8 @@ import json
 import os
 import re
 from typing import Dict
+
+_ANSWER_RE = re.compile(r"\[ANSWER\]\s*(.*)", re.DOTALL)
 
 PROMPT = """\
 [GUIDELINES]
@@ -51,6 +53,15 @@ Output: Unable to produce descriptions
 """
 
 
+def parse_answer(text: str) -> str:
+    """Extract the text after [ANSWER]; fall back to an explicit parse-failure
+    message embedding the raw reply (reference label_refiner.py:82-92)."""
+    match = _ANSWER_RE.search(text)
+    if match is None:
+        return f"Response {text}. Explanation could not be parsed."
+    return match.group(1).strip()
+
+
 class LabelRefiner:
     def __init__(self, client, features: Dict[str, str], concurrency: int = 8):
         """`features` maps feature name -> raw explanation."""
@@ -60,45 +71,43 @@ class LabelRefiner:
         self.refine_features: Dict[str, str] = {}
 
     async def refine(self):
-        sem = asyncio.Semaphore(self.concurrency)
+        semaphore = asyncio.Semaphore(self.concurrency)
+        progress = _progress_bar(len(self.features))
 
-        async def _generate(feature_name, prompt):
-            async with sem:
-                return feature_name, await self.client.generate(prompt)
+        async def one(name: str, explanation: str):
+            async with semaphore:
+                reply = await self.client.generate(
+                    PROMPT.format(description=explanation)
+                )
+            return name, reply
 
-        try:
-            from tqdm import tqdm
-
-            pbar = tqdm(total=len(self.features), desc="Refined...")
-        except ImportError:
-            pbar = None
         self.refine_features = {}
-        tasks = [
-            asyncio.create_task(
-                _generate(feature_name, PROMPT.format(description=explanation))
-            )
-            for feature_name, explanation in self.features.items()
+        pending = [
+            asyncio.create_task(one(name, explanation))
+            for name, explanation in self.features.items()
         ]
-        for completed_task in asyncio.as_completed(tasks):
-            feature_name, refined_result = await completed_task
-            if pbar is not None:
-                pbar.update(1)
-            self.refine_features[feature_name] = self.parse_explanation(refined_result)
+        for done in asyncio.as_completed(pending):
+            name, reply = await done
+            self.refine_features[name] = parse_answer(reply)
+            if progress is not None:
+                progress.update(1)
 
+    # API parity with the reference (label_refiner.py:82).
     def parse_explanation(self, text: str) -> str:
-        try:
-            match = re.search(r"\[ANSWER\]\s*(.*)", text, re.DOTALL)
-            return (
-                match.group(1).strip()
-                if match
-                else f"Response {text}. Explanation could not be parsed."
-            )
-        except Exception:
-            return f"Response {text}. Explanation could not be parsed."
+        return parse_answer(text)
 
-    def save_result(self, save_path):
-        save_dir = os.path.dirname(save_path)
-        if save_dir:
-            os.makedirs(save_dir, exist_ok=True)
+    def save_result(self, save_path: str):
+        parent = os.path.dirname(save_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(save_path, "w") as f:
             json.dump(self.refine_features, f, indent=4)
+
+
+def _progress_bar(total: int):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(total=total, desc="Refined...")
+    except ImportError:
+        return None

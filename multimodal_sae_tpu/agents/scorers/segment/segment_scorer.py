@@ -61,12 +61,16 @@ class SegmentScorer:
         threshold: float = 0.3,
         filters=None,
         num_image_tokens: Optional[int] = None,
+        min_examples: int = 200,
+        max_examples: int = 5,
     ) -> None:
         self.detector_id = detector
         self.segmentor_id = segmentor
         self.device = device
         self.threshold = threshold
         self.num_image_tokens = num_image_tokens
+        self.min_examples = min_examples
+        self.max_examples = max_examples
         self.explanation_dir = explanation_dir
         self.explanation = load_explanation(explanation_dir)
         self._image_processor = processor
@@ -84,7 +88,10 @@ class SegmentScorer:
         self.activation_dir = activation_dir
         self.filters = {selected_layer: self.filters}
         self.feature_cfg = FeatureConfig(
-            width=self.width, max_examples=5, n_splits=n_splits
+            width=self.width,
+            max_examples=self.max_examples,
+            n_splits=n_splits,
+            min_examples=self.min_examples,
         )
         self.dataset = FeatureDataset(
             activation_dir,

@@ -1,6 +1,6 @@
-"""Detection/segmentation helper types
-(reference agents/scorers/segment/utils.py:9-108): bounding boxes, detection
-results, and mask↔polygon refinement (cv2 when available)."""
+"""Detection/segmentation helper types (behavior of reference
+agents/scorers/segment/utils.py:9-108): bounding boxes, detection results,
+mask↔polygon refinement (cv2 when available)."""
 
 from __future__ import annotations
 
@@ -30,59 +30,51 @@ class DetectionResult:
     mask: Optional[np.ndarray] = None
 
     @classmethod
-    def from_dict(cls, detection_dict: Dict) -> "DetectionResult":
+    def from_dict(cls, d: Dict) -> "DetectionResult":
+        box = d["box"]
         return cls(
-            score=detection_dict["score"],
-            label=detection_dict["label"],
-            box=BoundingBox(
-                xmin=detection_dict["box"]["xmin"],
-                ymin=detection_dict["box"]["ymin"],
-                xmax=detection_dict["box"]["xmax"],
-                ymax=detection_dict["box"]["ymax"],
-            ),
+            score=d["score"],
+            label=d["label"],
+            box=BoundingBox(box["xmin"], box["ymin"], box["xmax"], box["ymax"]),
         )
 
 
+def get_boxes(results: List[DetectionResult]) -> List[List[List[float]]]:
+    """SAM's expected nested box layout: one outer batch of all boxes."""
+    return [[r.box.xyxy for r in results]]
+
+
 def mask_to_polygon(mask: np.ndarray) -> List[List[int]]:
-    """Largest-contour polygon of a binary mask."""
+    """Vertices of the largest contour of a binary mask."""
     import cv2
 
     contours, _ = cv2.findContours(
         mask.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
     )
-    largest_contour = max(contours, key=cv2.contourArea)
-    return largest_contour.reshape(-1, 2).tolist()
+    biggest = max(contours, key=cv2.contourArea)
+    return biggest.reshape(-1, 2).tolist()
 
 
 def polygon_to_mask(
     polygon: List[Tuple[int, int]], image_shape: Tuple[int, int]
 ) -> np.ndarray:
-    """Fill a polygon into a binary mask."""
+    """Rasterize a polygon into a binary mask."""
     import cv2
 
-    mask = np.zeros(image_shape, dtype=np.uint8)
-    pts = np.array(polygon, dtype=np.int32)
-    cv2.fillPoly(mask, [pts], color=(255,))
-    return mask
-
-
-def get_boxes(results: List[DetectionResult]) -> List[List[List[float]]]:
-    return [[result.box.xyxy for result in results]]
+    canvas = np.zeros(image_shape, dtype=np.uint8)
+    cv2.fillPoly(canvas, [np.asarray(polygon, dtype=np.int32)], color=(255,))
+    return canvas
 
 
 def refine_masks(masks, polygon_refinement: bool = False) -> List[np.ndarray]:
-    """SAM output logits (N, C, H, W) → binary uint8 masks; optional polygon
-    smoothing. Accepts torch tensors or numpy arrays."""
-    masks = np.asarray(
-        masks.cpu().float().numpy() if hasattr(masks, "cpu") else masks,
-        dtype=np.float32,
-    )
-    masks = masks.transpose(0, 2, 3, 1).mean(axis=-1)
-    masks = (masks > 0).astype(np.uint8)
-    masks = list(masks)
-
+    """SAM output logits (N, C, H, W) → binary uint8 masks, channel-averaged
+    and thresholded at zero; optional polygon smoothing.  Accepts torch
+    tensors or numpy arrays."""
+    if hasattr(masks, "cpu"):
+        masks = masks.cpu().float().numpy()
+    arr = np.asarray(masks, dtype=np.float32)
+    binary = (arr.transpose(0, 2, 3, 1).mean(axis=-1) > 0).astype(np.uint8)
+    out = list(binary)
     if polygon_refinement:
-        for idx, mask in enumerate(masks):
-            polygon = mask_to_polygon(mask)
-            masks[idx] = polygon_to_mask(polygon, mask.shape)
-    return masks
+        out = [polygon_to_mask(mask_to_polygon(m), m.shape) for m in out]
+    return out

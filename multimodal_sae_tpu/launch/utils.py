@@ -66,3 +66,45 @@ def shard_info():
     import jax
 
     return jax.process_index(), jax.process_count()
+
+
+def select_modules(save_dir: str, filters, selected_layers):
+    """Module list for a cached-feature run: every module directory under the
+    cache, narrowed to the filter keys or the selected layer indices
+    (reference launch/explain/explain.py:43-54 and siblings)."""
+    import os
+
+    modules = os.listdir(save_dir)
+    if filters is not None:
+        return [m for m in modules if m in filters]
+    if selected_layers:
+        return [m for i, m in enumerate(modules) if i in selected_layers]
+    return modules
+
+
+def build_feature_loader(args, constructor, sampler=None):
+    """FeatureDataset + partial-applied load() for a launch script.
+
+    `constructor` and `sampler` are already-bound callables taking
+    (record, buffer_output) / (record). Returns (loader, modules)."""
+    from functools import partial
+
+    from ..features import FeatureDataset
+    from ..interp_utils import load_filter
+
+    filters = (
+        load_filter(args.experiment.filters_path)
+        if args.experiment.filters_path is not None
+        else None
+    )
+    modules = select_modules(
+        args.experiment.save_dir, filters, args.experiment.selected_layers
+    )
+    dataset = FeatureDataset(
+        raw_dir=args.experiment.save_dir,
+        cfg=args.feature,
+        modules=modules,
+        features=filters,
+    )
+    loader = partial(dataset.load, constructor=constructor, sampler=sampler)
+    return loader, modules

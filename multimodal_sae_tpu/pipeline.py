@@ -1,10 +1,12 @@
-"""Async interpretation pipeline (reference sae_auto_interp/pipeline.py:8-62).
+"""Async interpretation pipeline (behavior of reference
+sae_auto_interp/pipeline.py:8-62).
 
-Hardware-agnostic orchestration: a generator of FeatureRecords is fanned
-through pipes (explainers, scorers, postprocessors) under a concurrency
-semaphore.  Behavior-identical to the reference: `process_wrapper` wraps a
-pipe function with sync pre/post hooks, `Pipe` gathers parallel functions,
-`Pipeline.run` walks the generator one buffer at a time.
+Hardware-agnostic orchestration: a generator of FeatureRecords fans out
+through a sequence of pipes (explainers, scorers, postprocessors) under a
+concurrency semaphore.  `process_wrapper` adds sync pre/post hooks around an
+async pipe function; `Pipe` runs several functions on the same input and
+gathers their results; `Pipeline.run` walks the generator one buffer at a
+time, scheduling every record as its own task.
 """
 
 from __future__ import annotations
@@ -14,57 +16,63 @@ from functools import wraps
 from typing import Callable
 
 
-def process_wrapper(function, preprocess=None, postprocess=None):
+def process_wrapper(
+    function: Callable, preprocess: Callable = None, postprocess: Callable = None
+):
+    """Wrap an async pipe function with synchronous pre/post hooks."""
+
     @wraps(function)
-    async def wrapped(input):
-        if preprocess is not None:
-            input = preprocess(input)
-        result = await function(input)
-        if postprocess is not None:
-            result = postprocess(result)
-        return result
+    async def wrapped(record):
+        value = record if preprocess is None else preprocess(record)
+        result = await function(value)
+        return result if postprocess is None else postprocess(result)
 
     return wrapped
 
 
 class Pipe:
-    """Parallel fan-out over several async functions, gathered."""
+    """Fan one input out to several async functions and gather the results."""
 
     def __init__(self, *functions: Callable):
         self.functions = functions
 
-    async def __call__(self, input):
-        tasks = [function(input) for function in self.functions]
-        return await asyncio.gather(*tasks)
+    async def __call__(self, record):
+        return await asyncio.gather(*(fn(record) for fn in self.functions))
 
 
 class Pipeline:
+    """Chain pipes over a record generator with bounded concurrency."""
+
     def __init__(self, generator, *pipes):
         self.generator = generator
         self.pipes = pipes
 
-    async def loop(self, input, pipes):
-        if len(pipes) > 0:
-            output = await pipes[0](input)
-            return await self.loop(output, pipes[1:])
-        return input
+    async def _chain(self, record):
+        value = record
+        for pipe in self.pipes:
+            value = await pipe(value)
+        return value
 
     async def run(self, max_processes: int = 100, collate: bool = False):
-        sem = asyncio.Semaphore(max_processes)
+        semaphore = asyncio.Semaphore(max_processes)
 
-        async def _process(record):
-            async with sem:
-                return await self.loop(record, self.pipes)
+        async def bounded(record):
+            async with semaphore:
+                return await self._chain(record)
 
         for records in self.generator(collate):
-            tasks = [asyncio.create_task(_process(record)) for record in records]
-            try:
-                from tqdm import tqdm
+            tasks = [asyncio.create_task(bounded(r)) for r in records]
+            progress = _progress_bar(len(tasks))
+            for finished in asyncio.as_completed(tasks):
+                await finished
+                if progress is not None:
+                    progress.update(1)
 
-                pbar = tqdm(total=len(tasks), desc="Collected")
-            except ImportError:
-                pbar = None
-            for completed_task in asyncio.as_completed(tasks):
-                await completed_task
-                if pbar is not None:
-                    pbar.update(1)
+
+def _progress_bar(total: int):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(total=total, desc="Collected")
+    except ImportError:
+        return None
