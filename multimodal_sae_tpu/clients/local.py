@@ -1,5 +1,7 @@
-"""Client for an already-running OpenAI-compatible server (vLLM etc.;
-reference sae_auto_interp/clients/local.py:10-61)."""
+"""Client for an already-running OpenAI-compatible server, e.g. vLLM
+(behavior of reference sae_auto_interp/clients/local.py:10-61): chat
+completions by default, the legacy /completions endpoint on request, with the
+shared retry-and-backoff loop."""
 
 from __future__ import annotations
 
@@ -18,6 +20,23 @@ class Local(Client):
         self.transport = ChatTransport(base_url, "EMPTY", timeout=None)
         self.model = model
 
+    async def _legacy_completion(self, prompt: str, max_retries: int, raw: bool, **kwargs):
+        last_err: Exception = RuntimeError("no attempts made")
+        for attempt in range(max_retries):
+            try:
+                response = await self.transport.completions(
+                    self.model, prompt, **kwargs
+                )
+                if response is None:
+                    raise RuntimeError("Response is None")
+                return response if raw else response["choices"][0]["text"]
+            except (json.JSONDecodeError, Exception) as e:  # noqa: B014
+                last_err = e
+                logger.warning(f"Attempt {attempt + 1}: {e}, retrying...")
+            await asyncio.sleep(1)
+        logger.error(f"All retry attempts failed. Most recent error: {last_err}")
+        raise last_err
+
     async def generate(
         self,
         prompt,
@@ -26,26 +45,11 @@ class Local(Client):
         max_retries: int = 2,
         **kwargs,
     ) -> str:
-        if not use_legacy_api:
-            return await retry_chat(
-                self.transport, self.model, prompt, max_retries=max_retries, raw=raw, **kwargs
-            )
-        last_err = None
-        for attempt in range(max_retries):
-            try:
-                response = await self.transport.completions(self.model, prompt, **kwargs)
-                if response is None:
-                    raise RuntimeError("Response is None")
-                return response if raw else response["choices"][0]["text"]
-            except json.JSONDecodeError as e:
-                last_err = e
-                logger.warning(f"Attempt {attempt + 1}: Invalid JSON response, retrying... {e}")
-            except Exception as e:
-                last_err = e
-                logger.warning(f"Attempt {attempt + 1}: {e}, retrying...")
-            await asyncio.sleep(1)
-        logger.error(f"All retry attempts failed. Most recent error: {last_err}")
-        raise last_err
+        if use_legacy_api:
+            return await self._legacy_completion(prompt, max_retries, raw, **kwargs)
+        return await retry_chat(
+            self.transport, self.model, prompt, max_retries=max_retries, raw=raw, **kwargs
+        )
 
     def postprocess(self, response: dict) -> str:
         return response_text(response)

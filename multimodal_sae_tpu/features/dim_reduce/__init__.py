@@ -1,5 +1,9 @@
+"""Dimensionality reduction over SAE decoder directions (reference
+features/dim_reduce/): UMAP when `umap-learn` is installed, plus a
+dependency-free PCA."""
+
 from .dim_reducer import DimReducer
-from .umap import UmapReducer
 from .pca import PcaReducer
+from .umap import UmapReducer
 
 __all__ = ["DimReducer", "UmapReducer", "PcaReducer"]

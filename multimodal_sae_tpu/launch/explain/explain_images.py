@@ -1,5 +1,5 @@
-"""Image feature explanation CLI
-(reference launch/explain/explain_images.py:27-143): cached COO splits →
+"""Image feature explanation CLI (behavior of reference
+launch/explain/explain_images.py:27-143): cached COO splits →
 base-image-token pooled top examples with highlight composites →
 ImageExplainer over a multimodal endpoint → `{module}.json` append-lists plus
 per-feature images/activated_images/masks directories (the layout the CLIP
@@ -14,13 +14,32 @@ from functools import partial
 
 from ...agents.explainers import ImageExplainer
 from ...clients import SRT
-from ...features import FeatureDataset
 from ...features.constructors import pool_max_activations_windows_image
 from ...features.samplers import sample
-from ...interp_utils import load_filter
 from ...logger import logger
 from ...pipeline import Pipeline, process_wrapper
-from ..utils import parse_feature_experiment
+from ..utils import build_feature_loader, parse_feature_experiment
+
+EXPLAINER_MODEL = "lmms-lab/llava-onevision-qwen2-72b-ov"
+
+
+def _save_feature_assets(base_dir: str, record) -> None:
+    """Per-feature image/activated_image/mask dumps, top-0..k naming."""
+    for sub in ("images", "activated_images", "masks"):
+        os.makedirs(f"{base_dir}/{sub}", exist_ok=True)
+    for rank, example in enumerate(record.train):
+        example.image.save(f"{base_dir}/images/top_{rank}.png")
+        example.activation_image.save(
+            f"{base_dir}/activated_images/top{rank}_activated.jpg"
+        )
+        example.mask.save(f"{base_dir}/masks/{rank}_mask.jpg")
+
+
+def _append_row(path: str, feature, explanation: str) -> None:
+    rows = json.load(open(path, "r")) if os.path.exists(path) else []
+    rows.append({f"{feature}": f"{explanation}"})
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=4, ensure_ascii=False)
 
 
 def main(args):
@@ -31,29 +50,8 @@ def main(args):
     tokens = load_dataset(args.experiment.dataset, split=args.experiment.split)
     processor = AutoProcessor.from_pretrained(args.experiment.model)
 
-    modules = os.listdir(args.experiment.save_dir)
-    filters = (
-        load_filter(args.experiment.filters_path)
-        if args.experiment.filters_path is not None
-        else None
-    )
-    if filters is not None:
-        modules = [mod for mod in modules if mod in filters]
-    elif args.experiment.selected_layers:
-        modules = [
-            mod for idx, mod in enumerate(modules) if idx in args.experiment.selected_layers
-        ]
-    logger.info(f"Module list : {modules}")
-
-    dataset = FeatureDataset(
-        raw_dir=args.experiment.save_dir,
-        cfg=args.feature,
-        modules=modules,
-        features=filters,
-    )
-
-    loader = partial(
-        dataset.load,
+    loader, modules = build_feature_loader(
+        args,
         constructor=partial(
             pool_max_activations_windows_image,
             tokens=tokens,
@@ -62,54 +60,30 @@ def main(args):
         ),
         sampler=partial(sample, cfg=args.experiment),
     )
+    logger.info(f"Module list : {modules}")
 
-    os.makedirs(os.path.expanduser(args.experiment.explanation_dir), exist_ok=True)
+    explanation_dir = os.path.expanduser(args.experiment.explanation_dir)
+    os.makedirs(explanation_dir, exist_ok=True)
 
     logger.info("Setup server")
-    client = SRT(
-        model="lmms-lab/llava-onevision-qwen2-72b-ov",
-        tp=8,
-        base_url="http://localhost:12345",
-    )
+    client = SRT(model=EXPLAINER_MODEL, tp=8, base_url="http://localhost:12345")
 
-    def explainer_postprocess(result):
-        content, reps, result = result
+    def on_result(result):
+        _content, _reply, result = result
         record = result.record
-        images = [train.image for train in record.train]
-        masks = [train.mask for train in record.train]
-        activated_images = [train.activation_image for train in record.train]
         module_name = record.feature.module_name.replace(".", "_")
-        image_output_dir = (
-            f"{args.experiment.explanation_dir}/images/{module_name}/{record.feature}"
+        _append_row(
+            f"{explanation_dir}/{module_name}.json", record.feature, result.explanation
         )
-        os.makedirs(image_output_dir, exist_ok=True)
-        output_path = f"{args.experiment.explanation_dir}/{module_name}.json"
-        output_file = (
-            json.load(open(output_path, "r")) if os.path.exists(output_path) else []
+        _save_feature_assets(
+            f"{explanation_dir}/images/{module_name}/{record.feature}", record
         )
-        output_file.append({f"{record.feature}": f"{result.explanation}"})
-        with open(output_path, "w") as f:
-            json.dump(output_file, f, indent=4, ensure_ascii=False)
-
-        os.makedirs(f"{image_output_dir}/images", exist_ok=True)
-        os.makedirs(f"{image_output_dir}/activated_images", exist_ok=True)
-        os.makedirs(f"{image_output_dir}/masks", exist_ok=True)
-        for idx, (image, activated_image, mask) in enumerate(
-            zip(images, activated_images, masks)
-        ):
-            image.save(f"{image_output_dir}/images/top_{idx}.png")
-            activated_image.save(
-                f"{image_output_dir}/activated_images/top{idx}_activated.jpg"
-            )
-            mask.save(f"{image_output_dir}/masks/{idx}_mask.jpg")
         return result
 
-    explainer_pipe = process_wrapper(
-        ImageExplainer(client=client, verbose=True),
-        postprocess=explainer_postprocess,
+    pipeline = Pipeline(
+        loader,
+        process_wrapper(ImageExplainer(client=client, verbose=True), postprocess=on_result),
     )
-
-    pipeline = Pipeline(loader, explainer_pipe)
     asyncio.run(pipeline.run(max_processes=4))
     client.clean()
 

@@ -1,5 +1,5 @@
 """Regenerate example/activated images for already-explained features
-(reference launch/features/image_activations.py:25-100)."""
+(behavior of reference launch/features/image_activations.py:25-100)."""
 
 from __future__ import annotations
 
@@ -7,25 +7,24 @@ import asyncio
 import os
 from functools import partial
 
-from ...features import FeatureDataset
 from ...features.constructors import pool_max_activations_windows_image
 from ...features.features import FeatureRecord
 from ...features.samplers import sample_with_explanation
-from ...interp_utils import load_explanation, load_filter
+from ...interp_utils import load_explanation
 from ...logger import logger
 from ...pipeline import Pipeline
-from ..utils import parse_feature_experiment
+from ..utils import build_feature_loader, parse_feature_experiment
 
 
 async def image_saver(record: FeatureRecord, save_dir: str):
-    feature_name = f"{record.feature}"
-    module_name = record.feature.module_name.replace(".", "_")
-    save_dir = os.path.join(save_dir, module_name, feature_name)
-    os.makedirs(save_dir, exist_ok=True)
-    for idx, example in enumerate(record.examples):
-        example.image.save(os.path.join(save_dir, f"examples_{idx}.jpg"))
+    feature_dir = os.path.join(
+        save_dir, record.feature.module_name.replace(".", "_"), f"{record.feature}"
+    )
+    os.makedirs(feature_dir, exist_ok=True)
+    for rank, example in enumerate(record.examples):
+        example.image.save(os.path.join(feature_dir, f"examples_{rank}.jpg"))
         example.activation_image.save(
-            os.path.join(save_dir, f"activated_examples_{idx}.jpg")
+            os.path.join(feature_dir, f"activated_examples_{rank}.jpg")
         )
 
 
@@ -37,29 +36,10 @@ def main(args):
     tokens = load_dataset(args.experiment.dataset, split=args.experiment.split)
     processor = AutoProcessor.from_pretrained(args.experiment.model)
 
-    modules = os.listdir(args.experiment.save_dir)
-    if args.experiment.selected_layers:
-        modules = [
-            mod for idx, mod in enumerate(modules) if idx in args.experiment.selected_layers
-        ]
-    filters = (
-        load_filter(args.experiment.filters_path)
-        if args.experiment.filters_path is not None
-        else None
-    )
-    logger.info(f"Module list : {modules}")
-
-    dataset = FeatureDataset(
-        raw_dir=args.experiment.save_dir,
-        cfg=args.feature,
-        modules=modules,
-        features=filters,
-    )
-
     explanations = load_explanation(args.experiment.explanation_dir)
 
-    loader = partial(
-        dataset.load,
+    loader, modules = build_feature_loader(
+        args,
         constructor=partial(
             pool_max_activations_windows_image,
             tokens=tokens,
@@ -70,12 +50,12 @@ def main(args):
             sample_with_explanation, cfg=args.experiment, explanations=explanations
         ),
     )
+    logger.info(f"Module list : {modules}")
 
     save_dir = os.path.join(args.experiment.explanation_dir, "images")
     os.makedirs(save_dir, exist_ok=True)
 
-    saver = partial(image_saver, save_dir=save_dir)
-    pipeline = Pipeline(loader, saver)
+    pipeline = Pipeline(loader, partial(image_saver, save_dir=save_dir))
     asyncio.run(pipeline.run(max_processes=4))
 
 

@@ -1,4 +1,7 @@
-"""CLIP-Score CLI (reference launch/score/clip_score.py:13-89)."""
+"""CLIP-Score CLI (behavior of reference launch/score/clip_score.py:13-89):
+optionally label-refine the explanations (or reuse a refine cache), score
+each feature's example/random/generated images against its label, save json.
+"""
 
 from __future__ import annotations
 
@@ -9,8 +12,36 @@ import os
 from ...agents.scorers import ClipScorer, GeneratedClipScorer, LabelRefiner
 from ...clients import SRT
 
+REFINER_MODEL = "meta-llama/Llama-3.1-8B-Instruct"
 
-def parse_args():
+
+def build_scorer(args):
+    common = dict(
+        explanation_dir=args.explanation_dir,
+        dataset_path=args.dataset_path,
+        dataset_split=args.dataset_split,
+        k=5,
+        clip_model_name_or_path=args.clip_name_or_path,
+    )
+    if args.evaluation_type == "generated":
+        return GeneratedClipScorer(evaluation_type="default", **common)
+    return ClipScorer(evaluation_type=args.evaluation_type, **common)
+
+
+def ensure_refined(scorer, args):
+    if args.refine_cache is not None:
+        scorer.explanations = json.load(open(args.refine_cache, "r"))
+        return
+    client = SRT(model=REFINER_MODEL, tp=2)
+    try:
+        scorer.refine(
+            LabelRefiner(client, scorer.explanations), save_path=args.save_refine_path
+        )
+    finally:
+        client.clean()
+
+
+def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset-path", "-d", type=str, help="The dataset you use")
     parser.add_argument("--dataset-split", type=str, default="train")
@@ -28,39 +59,15 @@ def parse_args():
         default="default",
         choices=["default", "random", "generated"],
     )
-    return parser.parse_args()
+    args = parser.parse_args()
 
-
-def main():
-    args = parse_args()
-    kwargs = {
-        "explanation_dir": args.explanation_dir,
-        "dataset_path": args.dataset_path,
-        "dataset_split": args.dataset_split,
-        "k": 5,
-        "evaluation_type": args.evaluation_type
-        if args.evaluation_type != "generated"
-        else "default",
-        "clip_model_name_or_path": args.clip_name_or_path,
-    }
-    scorer = (
-        ClipScorer(**kwargs)
-        if args.evaluation_type != "generated"
-        else GeneratedClipScorer(**kwargs)
-    )
-
-    if args.refine_cache is None:
-        client = SRT(model="meta-llama/Llama-3.1-8B-Instruct", tp=2)
-        refiner = LabelRefiner(client, scorer.explanations)
-        scorer.refine(refiner, save_path=args.save_refine_path)
-        client.clean()
-    else:
-        scorer.explanations = json.load(open(args.refine_cache, "r"))
-
+    scorer = build_scorer(args)
+    ensure_refined(scorer, args)
     scores = scorer.run()
-    save_dir = os.path.dirname(args.save_score_path)
-    if save_dir:
-        os.makedirs(save_dir, exist_ok=True)
+
+    parent = os.path.dirname(args.save_score_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(args.save_score_path, "w") as f:
         json.dump(scores, f, indent=4)
 

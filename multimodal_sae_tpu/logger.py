@@ -1,13 +1,27 @@
-"""File logger (reference sae_auto_interp/logger.py:1-13)."""
+"""Framework logger: a file-backed logger (reference sae_auto_interp/logger.py
+writes `sae_auto_interp.log`).  Level configurable via MMSAE_LOG_LEVEL; the
+file destination via MMSAE_LOG_FILE."""
+
+from __future__ import annotations
 
 import logging
+import os
 
-logger = logging.getLogger("multimodal_sae_tpu")
-logger.setLevel(logging.INFO)
+_LEVEL = os.environ.get("MMSAE_LOG_LEVEL", "INFO").upper()
+_FILE = os.environ.get("MMSAE_LOG_FILE", "multimodal_sae_tpu.log")
 
-if not logger.handlers:
-    handler = logging.FileHandler("multimodal_sae_tpu.log")
-    handler.setLevel(logging.INFO)
-    formatter = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    handler.setFormatter(formatter)
-    logger.addHandler(handler)
+
+def _build_logger() -> logging.Logger:
+    log = logging.getLogger("multimodal_sae_tpu")
+    log.setLevel(_LEVEL)
+    if not log.handlers:
+        handler = logging.FileHandler(_FILE)
+        handler.setLevel(_LEVEL)
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        )
+        log.addHandler(handler)
+    return log
+
+
+logger = _build_logger()

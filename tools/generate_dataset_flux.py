@@ -1,26 +1,46 @@
 #!/usr/bin/env python
 """FLUX.1-dev text→image generation per refined explanation, pushed as an HF
-dataset for the GeneratedClipScorer (reference tools/generate_dataset_flux.py:19-54).
+dataset for the GeneratedClipScorer (behavior of reference
+tools/generate_dataset_flux.py:19-54).
 
-External-model dependent (diffusers + GPU/TPU serving of FLUX); the interface
-is kept and the script degrades with a clear error when diffusers is absent.
-"""
+External-model dependent (diffusers + an accelerator able to run FLUX.1-dev);
+the interface is preserved and the script exits with a clear message when
+diffusers is absent."""
 
 import argparse
 import json
 
+GEN_SETTINGS = dict(
+    height=512,
+    width=512,
+    guidance_scale=3.5,
+    num_inference_steps=30,
+    max_sequence_length=512,
+)
 
-def parse_argument():
+
+def generate_images(pipe, explanations, seed: int = 0):
+    import torch
+
+    rows = {"feature": [], "image": []}
+    for feature_name, label in explanations.items():
+        if "Unable to produce descriptions" in label:
+            continue
+        generator = torch.Generator("cpu").manual_seed(seed)
+        image = pipe(label, generator=generator, **GEN_SETTINGS).images[0]
+        rows["feature"].append(feature_name)
+        rows["image"].append(image)
+    return rows
+
+
+def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--refined-explanation", type=str, help="The path of the refined explanation."
     )
     parser.add_argument("--hf-repo-id", type=str, help="The repo id of the hf dataset")
-    return parser.parse_args()
+    args = parser.parse_args()
 
-
-def main():
-    args = parse_argument()
     try:
         import torch
         from diffusers import FluxPipeline
@@ -38,25 +58,11 @@ def main():
     if torch.cuda.is_available():
         pipe = pipe.to("cuda")
 
-    explanations = json.load(open(args.refined_explanation, "r"))
-    df = {"feature": [], "image": []}
-    for feature, explanation in explanations.items():
-        if "Unable to produce descriptions" in explanation:
-            continue
-        image = pipe(
-            explanation,
-            height=512,
-            width=512,
-            guidance_scale=3.5,
-            num_inference_steps=30,
-            max_sequence_length=512,
-            generator=torch.Generator("cpu").manual_seed(0),
-        ).images[0]
-        df["feature"].append(feature)
-        df["image"].append(image)
+    with open(args.refined_explanation, "r") as f:
+        explanations = json.load(f)
 
-    dataset = Dataset.from_dict(df)
-    dataset.push_to_hub(args.hf_repo_id)
+    rows = generate_images(pipe, explanations)
+    Dataset.from_dict(rows).push_to_hub(args.hf_repo_id)
 
 
 if __name__ == "__main__":
