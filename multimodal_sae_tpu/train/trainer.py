@@ -344,7 +344,7 @@ class SaeTrainer:
 
         from ..utils import maybe_trace
 
-        with maybe_trace("sae_train"):
+        with maybe_trace("sae_train"), _save_on_preemption(self):
             self._fit_loop(ds, avg_metrics, wandb, log_fn, pbar)
 
         self.save()
@@ -386,6 +386,12 @@ class SaeTrainer:
             # global_step is advanced inside step().
             if pbar is not None:
                 pbar.update()
+            if getattr(self, "_preempted", False):
+                # Preemption-safe exit (SURVEY.md §5: the reference has no
+                # failure handling): checkpoint at the batch boundary and stop;
+                # `--resume` continues from here.
+                rank0_print("Preemption signal received; checkpointing and stopping.")
+                break
 
     def step(self, batch: dict, avg_metrics=None):
         """One batch: capture hiddens, accumulate grads for every hookpoint,
@@ -498,6 +504,39 @@ class SaeTrainer:
                 flat, self.opt_states[name]
             )
         self._b_dec_initialized = True
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _save_on_preemption(trainer: "SaeTrainer"):
+    """Install SIGTERM/SIGINT handlers that request a graceful stop: the fit
+    loop checkpoints at the next batch boundary instead of dying mid-update.
+    Handlers are restored on exit; non-main-thread contexts are a no-op."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+
+    trainer._preempted = False
+
+    def handler(signum, frame):
+        trainer._preempted = True
+
+    previous = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            previous[sig] = signal.signal(sig, handler)
+        except (ValueError, OSError):  # pragma: no cover
+            pass
+    try:
+        yield
+    finally:
+        for sig, old in previous.items():
+            signal.signal(sig, old)
 
 
 def _safe(name: str) -> str:
