@@ -200,9 +200,20 @@ def forward(
         auxk_loss = jnp.zeros((), dtype=dtype)
 
     if cfg.multi_topk:
-        y4, _ = topk_mask_decode(pre, W_dec, 4 * cfg.k)
+        y4, dense4 = topk_mask_decode(pre, W_dec, 4 * cfg.k)
         sae_out4 = y4 + b_dec
         multi_topk_fvu = jnp.sum((sae_out4 - x) ** 2) / total_variance
+        # Reference quirk kept for parity (reference sae.py:232-238): with
+        # multi_topk on, the returned sae_out/latents are the 4k versions
+        # (sae_out is reassigned before constructing ForwardOutput) — which
+        # also makes the trainer's did_fire track the 4k selection.
+        sae_out = sae_out4
+        if fired is not None:
+            fired = jnp.any(dense4 > 0, axis=tuple(range(dense4.ndim - 1)))
+        if top_acts is not None:
+            top_acts, top_indices = select_topk(
+                jax.lax.stop_gradient(pre), 4 * cfg.k
+            )
     else:
         multi_topk_fvu = jnp.zeros((), dtype=dtype)
 

@@ -34,6 +34,13 @@ def _shim_simple_parsing():
     shim.list_field = lambda *a: dataclasses.field(default_factory=lambda: list(a))
     sys.modules["simple_parsing"] = shim
 
+    if "natsort" not in sys.modules:
+        from multimodal_sae_tpu.utils import natsorted
+
+        nat = types.ModuleType("natsort")
+        nat.natsorted = natsorted
+        sys.modules["natsort"] = nat
+
 
 def _load_reference_sae():
     """Import the reference `sae` package from the mount under a private name."""

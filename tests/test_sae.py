@@ -73,6 +73,8 @@ def _torch_reference_forward(params, x_np, k, dead_mask=None, multi_topk=False):
         b4.scatter_(-1, i4, v4)
         out4 = b4 @ W_dec + b_dec
         mt_fvu = ((out4 - x) ** 2).sum() / total_var
+        # Reference reassigns sae_out to the 4k decode (reference sae.py:232-238).
+        sae_out = out4
 
     return sae_out.numpy(), float(fvu), float(auxk), float(mt_fvu)
 
