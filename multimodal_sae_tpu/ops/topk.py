@@ -95,14 +95,21 @@ def _block_filter(x2: jax.Array, k: int, block: int):
     bmax = blocks.max(axis=-1)
     _, bidx = jax.lax.top_k(bmax, k)
     oh = jax.nn.one_hot(bidx, nb, dtype=x2.dtype)  # (n, k, nb)
-    # precision=highest: a single-pass bf16 MXU product would round float32
-    # payloads; the 3-pass decomposition reconstructs 1.0*v bit-exactly.
+    # float32 payloads need HIGHEST (a single-pass bf16 MXU product would
+    # round them; the multi-pass decomposition reconstructs 1.0*v
+    # bit-exactly). bf16 payloads are exact in a single pass already —
+    # 1.0*v multiplies exactly and the f32 accumulator only adds zeros.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x2.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     cand = jnp.einsum(
         "nkb,nbc->nkc",
         oh,
         blocks,
         preferred_element_type=x2.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return cand.reshape(n, k * block), bidx
 
