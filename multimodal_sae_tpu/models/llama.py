@@ -100,20 +100,47 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 class KVCache(NamedTuple):
     """Static-shape KV cache for the jitted generation loop (the reference
-    gets this from HF `generate`; SURVEY.md §7 hard part #6)."""
+    gets this from HF `generate`; SURVEY.md §7 hard part #6).  Stored stacked
+    over layers so the scan-based decode path carries one array pair."""
 
-    k: List[jax.Array]  # per layer (B, kvH, max_len, hd)
-    v: List[jax.Array]
+    k: jax.Array  # (layers, B, kvH, max_len, hd)
+    v: jax.Array
     length: jax.Array  # () int32 — tokens currently in the cache
 
     @staticmethod
     def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32):
-        shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim_)
+        shape = (
+            cfg.num_hidden_layers,
+            batch,
+            cfg.num_key_value_heads,
+            max_len,
+            cfg.head_dim_,
+        )
         return KVCache(
-            k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
-            v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
         )
+
+
+def stack_layer_params(params: dict) -> dict:
+    """Stack the per-layer param dicts into leading-axis arrays for
+    `lax.scan` over layers (O(1) program size in depth — the unrolled loop's
+    serialized program grows linearly with layers and can exceed compiler
+    payload limits). Layout is detected by type: list = per-layer dicts,
+    dict = stacked arrays."""
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
+
+
+def _layer_slice(layers, i: int):
+    """Per-layer param dict from either layout."""
+    if isinstance(layers, dict):
+        return jax.tree_util.tree_map(lambda a: a[i], layers)
+    return layers[i]
 
 
 def attention(
@@ -231,7 +258,7 @@ def llama_forward(
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
 
     if cache is not None:
-        S_k = cache.k[0].shape[2]
+        S_k = cache.k.shape[3]
         kv_valid = jnp.arange(S_k)[None, :] < (offset + S)
         amask = kv_valid.astype(jnp.int32)
         if attention_mask is not None:
@@ -244,28 +271,67 @@ def llama_forward(
     else:
         mask = causal_mask(S, S, h.dtype, attention_mask)
 
+    layers = params["layers"]
+    stacked = isinstance(layers, dict)
     captured: Dict[str, jax.Array] = {}
-    new_k, new_v = [], []
-    for i in range(cfg.num_hidden_layers):
-        name = f"layers.{i}"
-        kv = (cache.k[i], cache.v[i]) if cache is not None else None
-        h, (k_full, v_full) = decoder_layer(
-            params["layers"][i],
-            cfg,
-            h,
-            cos,
-            sin,
-            mask,
-            kv=kv,
-            cache_offset=offset if cache is not None else None,
+
+    if stacked and not capture:
+        # Scan path: one traced layer body regardless of depth. Interventions
+        # become lax.cond on the layer index (only the taken branch executes).
+        iv_by_idx = (
+            {int(k.rsplit(".", 1)[-1]): fn for k, fn in interventions.items()}
+            if interventions
+            else {}
         )
-        if interventions and name in interventions:
-            h = interventions[name](h)
-        if name in capture:
-            captured[name] = h
+        cache_offset = offset if cache is not None else None
+
+        def body(h, xs):
+            lp, kc, vc, idx = xs
+            kv = (kc, vc) if cache is not None else None
+            h, (k_full, v_full) = decoder_layer(
+                lp, cfg, h, cos, sin, mask, kv=kv, cache_offset=cache_offset
+            )
+            for i_target, fn in iv_by_idx.items():
+                h = jax.lax.cond(idx == i_target, fn, lambda x: x, h)
+            ys = (k_full, v_full) if cache is not None else None
+            return h, ys
+
+        idxs = jnp.arange(cfg.num_hidden_layers)
         if cache is not None:
-            new_k.append(k_full)
-            new_v.append(v_full)
+            h, (new_k, new_v) = jax.lax.scan(
+                body, h, (layers, cache.k, cache.v, idxs)
+            )
+        else:
+            zero_kv = (
+                jnp.zeros((cfg.num_hidden_layers, 0)),
+                jnp.zeros((cfg.num_hidden_layers, 0)),
+            )
+            h, _ = jax.lax.scan(body, h, (layers, *zero_kv, idxs))
+            new_k = new_v = None
+    else:
+        new_k_list, new_v_list = [], []
+        for i in range(cfg.num_hidden_layers):
+            name = f"layers.{i}"
+            kv = (cache.k[i], cache.v[i]) if cache is not None else None
+            h, (k_full, v_full) = decoder_layer(
+                _layer_slice(layers, i),
+                cfg,
+                h,
+                cos,
+                sin,
+                mask,
+                kv=kv,
+                cache_offset=offset if cache is not None else None,
+            )
+            if interventions and name in interventions:
+                h = interventions[name](h)
+            if name in capture:
+                captured[name] = h
+            if cache is not None:
+                new_k_list.append(k_full)
+                new_v_list.append(v_full)
+        if cache is not None:
+            new_k, new_v = jnp.stack(new_k_list), jnp.stack(new_v_list)
 
     out = {"captured": captured}
     if cache is not None:
@@ -404,6 +470,10 @@ def greedy_generate(
     B, S = input_ids.shape[0], input_ids.shape[1]
     max_len = S + max_new_tokens
     dtype = params["embed_tokens"].dtype
+    # Stacked layers → the forward scans over depth, keeping the decode-loop
+    # program O(1) in layer count (unrolled 8+-layer generate graphs exceed
+    # compiler payload limits on some platforms).
+    params = stack_layer_params(params)
     cache = KVCache.init(cfg, B, max_len, dtype=dtype)
 
     prefill_iv = interventions

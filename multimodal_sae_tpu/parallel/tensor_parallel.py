@@ -42,19 +42,28 @@ def llama_param_specs(axis: str = "model") -> Dict[str, P]:
 
 def shard_llama_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
     """Place LLaMA params tensor-parallel on `mesh`. Returns a new tree of
-    device arrays; the functional forward (models/llama.py) runs unchanged."""
+    device arrays; the functional forward (models/llama.py) runs unchanged.
+    Handles both layer layouts: per-layer dict lists, and stacked arrays with
+    a leading layer dim (models/llama.py stack_layer_params)."""
     specs = llama_param_specs(axis)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked: prepend the layer dim
+        sharded_layers = {
+            name: put(w, P(None, *specs[name])) for name, w in layers.items()
+        }
+    else:
+        sharded_layers = [
+            {name: put(w, specs[name]) for name, w in layer.items()}
+            for layer in layers
+        ]
     out = {
         "embed_tokens": put(params["embed_tokens"], P(None, None)),
         "norm": put(params["norm"], P()),
-        "layers": [
-            {name: put(w, specs[name]) for name, w in layer.items()}
-            for layer in params["layers"]
-        ],
+        "layers": sharded_layers,
     }
     if "lm_head" in params:
         out["lm_head"] = put(params["lm_head"], P(None, axis))

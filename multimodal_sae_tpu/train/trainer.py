@@ -214,6 +214,12 @@ class SaeTrainer:
             )
             micro = cfg.micro_acc_steps
             n = hiddens.shape[0]
+            if n % micro != 0:
+                raise ValueError(
+                    f"batch tokens ({n}) must be divisible by micro_acc_steps "
+                    f"({micro}) — static-shape microbatching cannot split a "
+                    f"ragged remainder (pick batch_size*ctx_len % micro == 0)"
+                )
             chunked = hiddens.reshape(micro, n // micro, hiddens.shape[-1])
             acc_steps = cfg.grad_acc_steps * cfg.micro_acc_steps
 
