@@ -414,6 +414,16 @@ class SaeTrainer:
             sae = self.saes[name]
             hiddens = hiddens.reshape(-1, hiddens.shape[-1])  # flatten(0,1)
 
+            # Batch sharding needs the token count divisible by the mesh; mm
+            # (anyres) batches are ragged, so pad with wrap-around rows —
+            # duplicating <= ndev-1 of thousands of tokens, a negligible
+            # perturbation of the batch statistics (the reference had no such
+            # constraint because each DDP rank trained its own shard).
+            ndev = int(np.prod(self._mesh_for(name).devices.shape))
+            pad = (-hiddens.shape[0]) % ndev
+            if pad:
+                hiddens = jnp.concatenate([hiddens, hiddens[:pad]], axis=0)
+
             if self.global_step == 0 and not self._b_dec_initialized:
                 sae.params = self._jitted("b_dec_init", name)(sae.params, hiddens)
 
