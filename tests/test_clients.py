@@ -1,102 +1,135 @@
-"""LLM client tests against a local stub OpenAI-compatible HTTP server
-(SURVEY.md §4: clients tested against a stub), covering the chat transport,
-retry behavior, legacy completions, and the SRT attach mode."""
+"""LLM client layer against a local OpenAI-compatible stub server: transport
+URL/header construction (plain, Azure), SRT attach-mode chat, retry loop on
+server errors, dynamic response models (reference clients/*, SURVEY §4: LLM
+clients tested against stubs)."""
 
 import asyncio
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
-from multimodal_sae_tpu.clients import Local, SRT
-from multimodal_sae_tpu.clients.client import ChatTransport, retry_chat
+httpx = pytest.importorskip("httpx")
+
+from multimodal_sae_tpu.clients import SRT, OpenAIClient
+from multimodal_sae_tpu.clients.client import (
+    ChatTransport,
+    create_response_model,
+    retry_chat,
+)
 
 
-class StubHandler(BaseHTTPRequestHandler):
-    fail_next = 0
-    requests = []
-
-    def do_POST(self):
-        length = int(self.headers["Content-Length"])
-        body = json.loads(self.rfile.read(length))
-        StubHandler.requests.append((self.path, body))
-        if StubHandler.fail_next > 0:
-            StubHandler.fail_next -= 1
-            self.send_response(500)
-            self.end_headers()
-            return
-        if self.path.endswith("/chat/completions"):
-            payload = {
-                "choices": [
-                    {"message": {"content": f"echo:{body['messages'][-1]['content']}"}}
-                ]
-            }
-        else:  # legacy completions
-            payload = {"choices": [{"text": f"legacy:{body['prompt']}"}]}
-        data = json.dumps(payload).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(data)))
-        self.end_headers()
-        self.wfile.write(data)
-
-    def do_GET(self):  # health endpoint
-        self.send_response(200)
-        self.end_headers()
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "stub"
 
     def log_message(self, *a):
         pass
 
+    def do_POST(self):
+        srv = self.server
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        srv.requests.append(
+            {"path": self.path, "headers": dict(self.headers), "body": body}
+        )
+        if srv.fail_first and len(srv.requests) == 1:
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b"boom")
+            return
+        reply = {
+            "choices": [{"message": {"role": "assistant", "content": "stub reply"}}]
+        }
+        payload = json.dumps(reply).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
-@pytest.fixture(scope="module")
+
+@pytest.fixture()
 def server():
-    srv = HTTPServer(("127.0.0.1", 0), StubHandler)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.requests = []
+    srv.fail_first = False
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_port}"
+    yield srv
     srv.shutdown()
 
 
-def test_chat_transport(server):
-    transport = ChatTransport(server + "/v1", "EMPTY", timeout=10)
-    out = asyncio.run(retry_chat(transport, "m", [{"role": "user", "content": "hi"}]))
-    assert out == "echo:hi"
+def _url(srv):
+    return f"http://127.0.0.1:{srv.server_address[1]}"
 
 
-def test_retry_then_success(server):
-    StubHandler.fail_next = 1
-    transport = ChatTransport(server + "/v1", "EMPTY", timeout=10)
+def test_srt_attach_mode_generate(server):
+    client = SRT(model="test-model", base_url=_url(server), launch_server=False)
+    assert client.process is None  # attach mode: no server spawned
+    out = asyncio.run(client.generate("hello", temperature=0.5))
+    assert out == "stub reply"
+    req = server.requests[0]
+    assert req["path"] == "/v1/chat/completions"
+    assert req["body"]["model"] == "test-model"
+    assert req["body"]["temperature"] == 0.5
+    assert req["body"]["messages"][0]["content"][0]["text"] == "hello"
+    client.clean()
+
+
+def test_openai_client_plain(server):
+    client = OpenAIClient("gpt-x", api_key="sk-test", base_url=_url(server))
+    out = asyncio.run(client.generate("hi"))
+    assert out == "stub reply"
+    req = server.requests[0]
+    assert req["path"] == "/chat/completions"
+    assert req["headers"]["Authorization"] == "Bearer sk-test"
+
+
+def test_openai_client_azure_routing(server):
+    client = OpenAIClient(
+        "my-deploy", api_key="az-key", azure_endpoint=_url(server)
+    )
+    out = asyncio.run(client.generate([{"role": "user", "content": "hi"}]))
+    assert out == "stub reply"
+    req = server.requests[0]
+    # Azure routes by deployment and carries api-version + api-key header.
+    assert req["path"] == "/openai/deployments/my-deploy/chat/completions?api-version=2024-02-01"
+    assert req["headers"]["api-key"] == "az-key"
+
+
+def test_retry_chat_retries_on_server_error(server):
+    server.fail_first = True
+    transport = ChatTransport(_url(server))
     out = asyncio.run(
         retry_chat(transport, "m", [{"role": "user", "content": "x"}], max_retries=3)
     )
-    assert out == "echo:x"
+    assert out == "stub reply"
+    assert len(server.requests) == 2  # one failure, one success
+    asyncio.run(transport.aclose())
 
 
-def test_retry_exhaustion(server):
-    StubHandler.fail_next = 5
-    transport = ChatTransport(server + "/v1", "EMPTY", timeout=10)
-    with pytest.raises(Exception):
+def test_retry_chat_raises_after_exhaustion(server):
+    transport = ChatTransport(_url(server) + "/missing-prefix-zzz")
+
+    class _Always500(ChatTransport):
+        async def chat(self, *a, **k):
+            raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
         asyncio.run(
-            retry_chat(transport, "m", [{"role": "user", "content": "x"}], max_retries=2)
+            retry_chat(
+                _Always500(_url(server)),
+                "m",
+                [{"role": "user", "content": "x"}],
+                max_retries=2,
+            )
         )
-    StubHandler.fail_next = 0
 
 
-def test_local_client(server):
-    client = Local("model-x", base_url=server + "/v1")
-    out = asyncio.run(client.generate([{"role": "user", "content": "q"}]))
-    assert out == "echo:q"
-    out = asyncio.run(client.generate("raw prompt", use_legacy_api=True))
-    assert out == "legacy:raw prompt"
-
-
-def test_srt_attach_mode(server):
-    # launch_server=False attaches to an existing endpoint.
-    client = SRT("model-y", base_url=server, launch_server=False)
-    out = asyncio.run(client.generate("ping"))
-    assert out.startswith("echo:")
-    # string prompts are wrapped into a single user message with text content
-    path, body = StubHandler.requests[-1]
-    assert body["messages"][0]["content"][0] == {"type": "text", "text": "ping"}
-    client.clean()  # no spawned process; must be a no-op
+def test_create_response_model():
+    pytest.importorskip("pydantic")
+    model = create_response_model(3)
+    inst = model(example_0=1, example_1=2, example_2=3)
+    assert inst.example_2 == 3
+    with pytest.raises(Exception):
+        model(example_0="not-an-int-at-all", example_1=2, example_2=3)
