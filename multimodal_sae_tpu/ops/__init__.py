@@ -1,4 +1,4 @@
-from .topk import top_k, blockwise_top_k, blockmax_top_k
+from .topk import top_k, blockwise_top_k, blockmax_top_k, kth_value
 from .sparse_decode import (
     sparse_decode,
     eager_decode,

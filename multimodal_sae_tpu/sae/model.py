@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import SaeConfig
 from ..ops import geometric_median  # re-exported for trainer convenience  # noqa: F401
-from ..ops import sparse_decode, top_k, topk_mask_decode
+from ..ops import kth_value, sparse_decode, top_k, topk_mask_decode
 from ..utils import natsorted
 
 Params = Dict[str, jax.Array]
@@ -189,7 +189,9 @@ def forward(
 
         neg_inf = jnp.array(-jnp.inf, dtype=pre.dtype)
         scores = jnp.where(dead_mask, pre, neg_inf)
-        kth = top_k(scores, min(k_aux, scores.shape[-1] - 1))[0][..., -1:]
+        # k_aux = d_in/2 is far too large for block-max filtering; the exact
+        # k-th value via bitwise search costs O(width) independent of k.
+        kth = kth_value(scores, min(k_aux, scores.shape[-1] - 1))
         kth = jax.lax.stop_gradient(kth)
         aux_mask = jnp.logical_and(dead_mask, pre >= kth)
         dense_aux = jnp.where(aux_mask, pre, jnp.zeros_like(pre))

@@ -144,3 +144,30 @@ def test_geometric_median_simple():
     pts2 = jnp.concatenate([jnp.zeros((10, 2)), jnp.array([[100.0, 100.0]])])
     med2 = geometric_median(pts2)
     assert float(jnp.linalg.norm(med2)) < 1.0
+
+
+def test_kth_value_exact():
+    """kth_value == the k-th column of a descending sort, for f32 and bf16,
+    with negatives, ties, and -inf fills (the AuxK masked-score case)."""
+    from multimodal_sae_tpu.ops import kth_value
+
+    rng = np.random.default_rng(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for trial, base in enumerate(
+            [
+                rng.normal(size=(7, 512)),
+                rng.integers(-3, 3, size=(5, 512)).astype(float),  # heavy ties
+                np.where(rng.random((4, 512)) < 0.7, -np.inf, rng.normal(size=(4, 512))),
+            ]
+        ):
+            x = jnp.asarray(base, dtype=dtype)
+            ref = -jnp.sort(-x, axis=-1)
+            for k in (1, 17, 256, 511):
+                got = np.asarray(kth_value(x, k))
+                exp = np.asarray(ref[:, k - 1 : k])
+                np.testing.assert_array_equal(got, exp, err_msg=f"{dtype} {trial} k={k}")
+    # leading-dims shape contract
+    from multimodal_sae_tpu.ops import kth_value as kv
+
+    x3 = jnp.asarray(rng.normal(size=(2, 3, 64)), jnp.float32)
+    assert kv(x3, 5).shape == (2, 3, 1)
