@@ -61,13 +61,58 @@ def topk_latents_step(params, x: jax.Array, cfg: SaeConfig):
     return vals.reshape(*lead, cfg.k), idx.reshape(*lead, cfg.k)
 
 
+class _Arena:
+    """Pre-touched, grow-by-doubling COO buffers.
+
+    On this host class, first-touch page faults on fresh GB-scale allocations
+    cost ~50 us/page (~0.06 GB/s effective) while writes to already-touched
+    pages stream at ~8 GB/s — measured 1-core VM, and the reason a per-batch
+    `np.empty` + `.copy()` pipeline runs 50x slower than the extractor loop.
+    One arena per module pays the fault cost once per capacity doubling; the
+    steady-state per-batch cost is pure streaming."""
+
+    __slots__ = ("loc", "act", "n")
+
+    def __init__(self):
+        self.loc: Optional[np.ndarray] = None
+        self.act: Optional[np.ndarray] = None
+        self.n = 0
+
+    def reserve(self, extra: int, act_dtype=np.float32):
+        need = self.n + extra
+        cap = 0 if self.loc is None else self.loc.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2, 1 << 20)
+        from ..native.coo import populated_empty
+
+        loc = populated_empty((new_cap, 3), np.int64)
+        act = populated_empty(
+            (new_cap,), act_dtype if self.act is None else self.act.dtype
+        )
+        if self.n:
+            np.copyto(loc[: self.n], self.loc[: self.n])
+            np.copyto(act[: self.n], self.act[: self.n])
+        self.loc, self.act = loc, act
+
+    def append(self, locations: np.ndarray, activations: np.ndarray):
+        k = len(activations)
+        self.reserve(k, act_dtype=activations.dtype)
+        np.copyto(self.loc[self.n : self.n + k], locations)
+        np.copyto(self.act[self.n : self.n + k], activations)
+        self.n += k
+
+    def views(self):
+        return self.loc[: self.n], self.act[: self.n]
+
+
 class Cache:
     """Host-side COO accumulator (reference cache.py:23-92).
 
-    Stores per-module `locations (N, 3) int64` / `activations (N,)` lists with
-    the global row offset `batch_number * batch_size + shard_size` applied, so
-    rows index into the full (cross-host) dataset (reference cache.py:55).
-    """
+    Stores per-module `locations (N, 3) int64` / `activations (N,)` arenas
+    with the global row offset `batch_number * batch_size + shard_size`
+    applied, so rows index into the full (cross-host) dataset (reference
+    cache.py:55). `save()` publishes them as single arrays."""
 
     def __init__(
         self,
@@ -77,6 +122,7 @@ class Cache:
     ):
         self.feature_locations = defaultdict(list)
         self.feature_activations = defaultdict(list)
+        self._arenas: Dict[str, _Arena] = defaultdict(_Arena)
         self.filters = (
             {k: np.asarray(v) for k, v in filters.items()} if filters else None
         )
@@ -104,13 +150,21 @@ class Cache:
         idx = np.asarray(idx)
         row_offset = batch_number * self.batch_size + self.shard_size
         selected = self.filters[module_path] if self.filters is not None else None
+        arena = self._arenas[module_path]
 
         if vals.dtype == np.float32:
             from ..native import coo_extract_topk
 
-            locations, activations = coo_extract_topk(
-                vals, idx, threshold=threshold, filter_ids=selected, row_offset=row_offset
+            arena.reserve(vals.size)
+            n = coo_extract_topk(
+                vals,
+                idx,
+                threshold=threshold,
+                filter_ids=selected,
+                row_offset=row_offset,
+                out=(arena.loc[arena.n :], arena.act[arena.n :]),
             )
+            arena.n += n
         else:
             mask = np.abs(vals) > threshold
             if selected is not None:
@@ -120,9 +174,7 @@ class Cache:
             locations[:, 0] = b + row_offset
             locations[:, 1] = s
             locations[:, 2] = idx[b, s, j]
-            activations = vals[mask]
-        self.feature_locations[module_path].append(locations)
-        self.feature_activations[module_path].append(activations)
+            arena.append(locations, vals[mask])
 
     def add(self, latents: np.ndarray, batch_number: int, module_path: str):
         """Reference-compatible dense path: (B, S, F) masked latents
@@ -131,8 +183,7 @@ class Cache:
         locations, activations = self.get_nonzeros(latents, module_path)
         locations = locations.copy()
         locations[:, 0] += batch_number * self.batch_size + self.shard_size
-        self.feature_locations[module_path].append(locations)
-        self.feature_activations[module_path].append(activations)
+        self._arenas[module_path].append(locations, activations)
 
     def get_nonzeros(self, latents: np.ndarray, module_path: str):
         mask = np.abs(latents) > 1e-5
@@ -145,17 +196,15 @@ class Cache:
         return locations[keep], activations[keep]
 
     def save(self):
-        """Concatenate accumulated chunks (reference cache.py:59-71)."""
-        for module_path in self.feature_locations.keys():
-            self.feature_locations[module_path] = np.concatenate(
-                self.feature_locations[module_path], axis=0
-            )
-            self.feature_activations[module_path] = np.concatenate(
-                self.feature_activations[module_path], axis=0
-            )
+        """Publish the arenas as single per-module arrays (zero-copy views;
+        reference cache.py:59-71 concatenates its per-batch list here)."""
+        for module_path, arena in self._arenas.items():
+            locations, activations = arena.views()
+            self.feature_locations[module_path] = locations
+            self.feature_activations[module_path] = activations
 
     def nonempty_modules(self) -> Iterable[str]:
-        return self.feature_locations.keys()
+        return set(self.feature_locations) | set(self._arenas)
 
 
 class FeatureCache:

@@ -8,12 +8,38 @@ reference's SAE_DISABLE_TRITON toggle, reference sae/utils.py:119-129)."""
 from __future__ import annotations
 
 import ctypes
+import mmap
 import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def populated_empty(shape, dtype) -> np.ndarray:
+    """`np.empty` with pages pre-faulted via MAP_POPULATE.
+
+    On virtualized hosts, first-touch page faults on fresh GB-scale
+    allocations can cost ~50 us/page (~0.06 GB/s effective writes) while a
+    single MAP_POPULATE mmap populates the same pages ~16x faster (measured
+    0.26 s vs 4.2 s for 600 MB); writes to populated pages then stream at
+    ~8 GB/s. Falls back to touch-by-fill where MAP_POPULATE is unavailable."""
+    dtype = np.dtype(dtype)
+    n = int(np.prod(shape))
+    nbytes = max(1, n * dtype.itemsize)
+    populate = getattr(mmap, "MAP_POPULATE", 0)
+    if populate and n:
+        try:
+            m = mmap.mmap(
+                -1, nbytes, flags=mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS | populate
+            )
+            return np.frombuffer(m, dtype=dtype, count=n).reshape(shape)
+        except (ValueError, OSError):
+            pass
+    a = np.empty(shape, dtype=dtype)
+    a.fill(0)
+    return a
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "coo.cpp"
@@ -98,9 +124,15 @@ def coo_extract_topk(
     threshold: float = 1e-5,
     filter_ids: Optional[np.ndarray] = None,
     row_offset: int = 0,
-) -> Tuple[np.ndarray, np.ndarray]:
+    out: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+):
     """(B, S, k) top-k values/ids -> (locations (N, 3) int64, activations (N,)
-    float32) in row-major order, matching Cache.add_topk's numpy path."""
+    float32) in row-major order, matching Cache.add_topk's numpy path.
+
+    With `out=(locations (cap, 3) int64, activations (cap,) f32)` the triples
+    are written directly into the caller's (pre-touched) buffers and the count
+    is returned — avoiding fresh-page allocations whose first-touch faults
+    dominate the extraction cost on virtualized hosts."""
     vals = np.ascontiguousarray(vals, dtype=np.float32)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     B, S, K = vals.shape
@@ -110,15 +142,28 @@ def coo_extract_topk(
         if filter_ids is not None:
             mask &= np.isin(idx, filter_ids)
         b, s, j = np.nonzero(mask)
-        locations = np.empty((b.shape[0], 3), dtype=np.int64)
+        n = b.shape[0]
+        if out is not None:
+            out_loc, out_act = out
+            out_loc[:n, 0] = b + row_offset
+            out_loc[:n, 1] = s
+            out_loc[:n, 2] = idx[b, s, j]
+            out_act[:n] = vals[mask]
+            return n
+        locations = np.empty((n, 3), dtype=np.int64)
         locations[:, 0] = b + row_offset
         locations[:, 1] = s
         locations[:, 2] = idx[b, s, j]
         return locations, vals[mask]
 
     cap = B * S * K
-    out_loc = np.empty((cap, 3), dtype=np.int64)
-    out_act = np.empty((cap,), dtype=np.float32)
+    if out is not None:
+        out_loc, out_act = out
+        assert out_loc.flags.c_contiguous and out_act.flags.c_contiguous
+        assert out_loc.shape[0] >= cap and out_act.shape[0] >= cap
+    else:
+        out_loc = populated_empty((cap, 3), np.int64)
+        out_act = populated_empty((cap,), np.float32)
     if filter_ids is not None:
         filt = np.ascontiguousarray(np.sort(np.asarray(filter_ids, dtype=np.int64)))
         fptr, flen = _i64p(filt), len(filt)
@@ -129,6 +174,8 @@ def coo_extract_topk(
         ctypes.c_float(threshold), fptr, flen,
         row_offset, _i64p(out_loc), _f32p(out_act),
     )
+    if out is not None:
+        return n
     return out_loc[:n].copy(), out_act[:n].copy()
 
 
@@ -156,8 +203,8 @@ def coo_partition_splits(
         return out
 
     counts = np.zeros(n_splits, dtype=np.int64)
-    out_loc = np.empty_like(locations)
-    out_act = np.empty_like(activations)
+    out_loc = populated_empty(locations.shape, np.int64)
+    out_act = populated_empty(activations.shape, np.float32)
     lib.coo_partition_splits(
         _i64p(locations), _f32p(activations), N,
         _i64p(boundaries), n_splits,
@@ -167,6 +214,8 @@ def coo_partition_splits(
     start = 0
     for i in range(n_splits):
         end = start + int(counts[i])
-        out.append((out_loc[start:end].copy(), out_act[start:end].copy()))
+        # Views, not copies: per-split fresh allocations would re-pay the
+        # first-touch fault cost; callers serialize the splits immediately.
+        out.append((out_loc[start:end], out_act[start:end]))
         start = end
     return out
