@@ -84,3 +84,94 @@ def test_model_steering_cli(ckpt, tmp_path):
     assert result.returncode == 0, result.stderr[-2000:]
     assert "Original" in result.stdout
     assert "Steering" in result.stdout
+
+
+@pytest.fixture(scope="module")
+def chat_ckpt(ckpt):
+    """Checkpoint fixture with a minimal chat template for tools that call
+    apply_chat_template."""
+    cfg = json.loads((ckpt / "tokenizer_config.json").read_text())
+    cfg["chat_template"] = (
+        "{% for m in messages %}{{ m['content'][0]['text'] }}{% endfor %}"
+    )
+    (ckpt / "tokenizer_config.json").write_text(json.dumps(cfg))
+    return ckpt
+
+
+def _env():
+    return {
+        "PYTHONPATH": str(REPO),
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/root",
+        "HF_HUB_OFFLINE": "1",
+    }
+
+
+def _make_sae_dir(tmp_path, module="layers.1"):
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.sae import Sae
+    import jax
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / module
+    )
+    return sae_dir
+
+
+def test_probe_activations_cli(chat_ckpt, tmp_path):
+    """Text probe: top-k mean-activated features land in filters.json
+    (reference tools/probe_activations.py)."""
+    sae_dir = _make_sae_dir(tmp_path)
+    out = tmp_path / "probe"
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "tools" / "probe_activations.py"),
+            "--model", str(chat_ckpt),
+            "--sae-path", str(sae_dir),
+            "--module-name", "layers.1",
+            "--text", "hello world",
+            "--top-k", "5",
+            "--save-to", str(out),
+        ],
+        capture_output=True, text=True, timeout=300, env=_env(),
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    filters = json.loads((out / "filters.json").read_text())
+    assert list(filters) == ["layers.1"]
+    assert len(filters["layers.1"]) == 5
+    assert all(0 <= f < 64 for f in filters["layers.1"])
+
+
+def test_text_activation_vis_cli(chat_ckpt, tmp_path):
+    """HTML heatmap: filtered features with saved explanations render as
+    colored spans (reference tools/text_activation_vis.py)."""
+    sae_dir = _make_sae_dir(tmp_path)
+    exp_dir = tmp_path / "explanations"
+    exp_dir.mkdir()
+    (exp_dir / "layers_1.json").write_text(json.dumps([
+        {"layers.1_feature3": "threes and threeness", "prompt": "p"},
+        {"layers.1_feature7": "lucky sevens", "prompt": "p"},
+    ]))
+    (tmp_path / "filters.json").write_text(json.dumps({"layers.1": [3, 7, 9]}))
+    out_html = tmp_path / "vis.html"
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "tools" / "text_activation_vis.py"),
+            "--model-path", str(chat_ckpt),
+            "--sae-path", str(sae_dir),
+            "--explanation-dir", str(exp_dir),
+            "--filters", str(tmp_path / "filters.json"),
+            "--text", "hello world",
+            "--save-path", str(out_html),
+        ],
+        capture_output=True, text=True, timeout=300, env=_env(),
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    html = out_html.read_text()
+    assert "layers.1_feature3" in html and "threes and threeness" in html
+    assert "layers.1_feature7" in html and "lucky sevens" in html
+    # feature 9 has no saved explanation -> skipped
+    assert "layers.1_feature9" not in html
+    assert "background-color" in html

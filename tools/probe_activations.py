@@ -55,7 +55,12 @@ def main():
         conversation = [{"role": "user", "content": [{"type": "text", "text": text}]}]
         if image is not None:
             conversation[0]["content"].append({"type": "image"})
-        prompt = processor.apply_chat_template(conversation, add_generation_prompt=True)
+        # Text-only subject models have no processor; the tokenizer carries
+        # the chat template then (AutoProcessor falls back the same way).
+        templater = processor if processor is not None else tokenizer
+        prompt = templater.apply_chat_template(
+            conversation, add_generation_prompt=True, tokenize=False
+        )
     else:
         prompt = "<image>"
 
