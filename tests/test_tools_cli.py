@@ -175,3 +175,46 @@ def test_text_activation_vis_cli(chat_ckpt, tmp_path):
     # feature 9 has no saved explanation -> skipped
     assert "layers.1_feature9" not in html
     assert "background-color" in html
+
+
+def test_create_filters_from_attribution_cli(ckpt, tmp_path):
+    """Attribution safetensors -> filters json + saliency visuals
+    (reference tools/create_filters_from_attribution.py)."""
+    import numpy as np
+    from PIL import Image
+    from safetensors.numpy import save_file
+
+    # "<image>" must tokenize atomically
+    (ckpt / "added_tokens.json").write_text(json.dumps({"<image>": 201}))
+    img = tmp_path / "probe.png"
+    Image.fromarray(np.zeros((48, 48, 3), dtype=np.uint8)).save(img)
+    probing = tmp_path / "probe.json"
+    probing.write_text(json.dumps([{
+        "prompt": "x a <image> b c d",
+        "answer": "e", "baseline": "f", "image": str(img),
+    }]))
+
+    # token layout after BOS drop: [a, <image>, b, c, d] -> image pos 1,
+    # expanded attribution seq = 1 + 576 + 3 text positions
+    rng = np.random.default_rng(0)
+    att = tmp_path / "attribution.safetensors"
+    save_file({"model.layers.1": rng.random((64, 1 + 576 + 3), dtype=np.float32)}, str(att))
+
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "tools" / "create_filters_from_attribution.py"),
+            "--attribution-path", str(att),
+            "--filters-path", str(tmp_path / "filters"),
+            "--probing-data", str(probing),
+            "--tokenizer", str(ckpt),
+            "-k", "5",
+        ],
+        capture_output=True, text=True, timeout=300, env=_env(), cwd=tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = json.loads((tmp_path / "filters" / "filters_top_5_probe.json").read_text())
+    assert set(out) == {"model.layers.1"}
+    assert len(out["model.layers.1"]) == 10  # 5 image + 5 text features
+    pngs = list((tmp_path / "attribution").glob("top_*_feature_*.png"))
+    assert len(pngs) == 5
+    assert (tmp_path / "model.layers.1_activations.html").exists()
