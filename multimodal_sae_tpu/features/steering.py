@@ -79,8 +79,10 @@ class SteeringController:
             image = Image.open(image_path)
             conversation[0]["content"].append({"type": "image"})
 
+        # tokenize=False: processors default to returning the string, plain
+        # tokenizers (text-only subject models) default to token ids.
         templated = processor.apply_chat_template(
-            conversation, add_generation_prompt=True
+            conversation, add_generation_prompt=True, tokenize=False
         )
         tokenizer = getattr(processor, "tokenizer", processor)
         prompt_ids = tokenizer(templated)["input_ids"]

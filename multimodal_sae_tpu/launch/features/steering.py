@@ -39,7 +39,9 @@ def main():
     args = parse_argument()
     rank, world = shard_info()
 
-    model, processor, _ = load_subject_model(args.model)
+    model, processor, tokenizer = load_subject_model(args.model)
+    if processor is None:  # text-only subject model
+        processor = tokenizer
     filters = load_filter(args.filters)
     sae_dict = load_saes(args.sae_path, filters)
 

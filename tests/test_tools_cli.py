@@ -218,3 +218,29 @@ def test_create_filters_from_attribution_cli(ckpt, tmp_path):
     pngs = list((tmp_path / "attribution").glob("top_*_feature_*.png"))
     assert len(pngs) == 5
     assert (tmp_path / "model.layers.1_activations.html").exists()
+
+
+def test_launch_steering_cli(chat_ckpt, tmp_path):
+    """Large-scale steering CLI on a text-only subject model: per-feature
+    original vs clamped continuations land in {module}.json
+    (reference launch/features/steering.py)."""
+    sae_dir = _make_sae_dir(tmp_path)
+    (tmp_path / "filters.json").write_text(json.dumps({"layers.1": [3]}))
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "multimodal_sae_tpu.launch.features.steering",
+            "-m", str(chat_ckpt),
+            "--sae-path", str(sae_dir),
+            "--filters", str(tmp_path / "filters.json"),
+            "-t", "tell me a story",
+            "-k", "40",
+            "-s", str(tmp_path / "steer"),
+        ],
+        capture_output=True, text=True, timeout=500, env=_env(), cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    d = json.loads((tmp_path / "steer" / "layers.1.json").read_text())
+    assert set(d) == {"layers.1_feature3"}
+    entry = d["layers.1_feature3"]
+    assert {"original_resps", "clamped_resps", "idx"} <= set(entry)
+    assert isinstance(entry["original_resps"], str)
