@@ -47,7 +47,10 @@ def main():
         conversation = [{"role": "user", "content": [{"type": "text", "text": text}]}]
         if image is not None:
             conversation[0]["content"].append({"type": "image"})
-        prompt = processor.apply_chat_template(conversation, add_generation_prompt=True)
+        templater = processor if processor is not None else tokenizer
+        prompt = templater.apply_chat_template(
+            conversation, add_generation_prompt=True, tokenize=False
+        )
     else:
         prompt = text if image is None else "<image>\n" + text
 
