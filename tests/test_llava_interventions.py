@@ -87,7 +87,7 @@ class FakeProcessor:
 
     tokenizer = tokenizer()
 
-    def apply_chat_template(self, conversation, add_generation_prompt=False):
+    def apply_chat_template(self, conversation, add_generation_prompt=False, tokenize=False):
         text = conversation[0]["content"][0]["text"]
         has_image = any(c.get("type") == "image" for c in conversation[0]["content"])
         return ("<image>" if has_image else "") + text
