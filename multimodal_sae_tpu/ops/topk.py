@@ -221,6 +221,13 @@ def top_k(
     if approx:
         return jax.lax.approx_max_k(x, k, recall_target=recall_target)
     width = x.shape[-1]
-    if num_blocks is None and width >= 32768 and k * 64 * 4 <= width:
-        return blockmax_top_k(x, k, block=64)
+    if num_blocks is None and width >= 32768:
+        # Shrink the block until the k winning blocks cover at most 1/4 of the
+        # width (the filter must discard most of the row to pay for itself);
+        # e.g. k=256 -> block 64, k=1024 (multi-topk 4k) -> block 32.
+        block = 64
+        while block > 8 and k * block * 4 > width:
+            block //= 2
+        if k * block * 4 <= width and width % block == 0:
+            return blockmax_top_k(x, k, block=block)
     return blockwise_top_k(x, k, num_blocks=num_blocks)
