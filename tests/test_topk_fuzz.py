@@ -1,0 +1,50 @@
+"""Randomized exactness fuzz for every top-k routine: values must match
+`lax.top_k` as a multiset, indices must point at their values with no
+duplicates, across dtypes, widths, k, and tie-heavy distributions."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sae_tpu.ops import blockmax_top_k, blockwise_top_k, kth_value, top_k
+
+ml_dtypes = pytest.importorskip("ml_dtypes")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_topk_fuzz(seed):
+    r = np.random.default_rng(seed)
+    w = int(r.choice([8192, 32768, 131072]))
+    k = int(r.choice([16, 256, 1024]))
+    dtype = r.choice([np.float32, ml_dtypes.bfloat16])
+    style = int(r.integers(0, 3))
+    if style == 0:
+        x = r.normal(size=(3, w))
+    elif style == 1:
+        x = np.maximum(r.normal(size=(3, w)), 0)  # relu zeros
+    else:
+        x = r.integers(-2, 2, size=(3, w)).astype(float)  # massive ties
+    x = x.astype(dtype)
+    xj = jnp.asarray(x)
+    ref_sorted = np.sort(np.asarray(jax.lax.top_k(xj, k)[0]).astype(np.float32), axis=1)
+
+    candidates = [top_k, blockwise_top_k]
+    if k * 64 * 4 <= w:
+        candidates.append(blockmax_top_k)
+    for fn in candidates:
+        v, i = fn(xj, k)
+        v = np.asarray(v).astype(np.float32)
+        i = np.asarray(i)
+        np.testing.assert_array_equal(np.sort(v, axis=1), ref_sorted, err_msg=fn.__name__)
+        np.testing.assert_array_equal(
+            np.take_along_axis(x, i, 1).astype(np.float32), v, err_msg=fn.__name__
+        )
+        for row in i:
+            assert len(set(row.tolist())) == k, fn.__name__
+
+    kv = np.asarray(kth_value(xj, k)).astype(np.float32)
+    np.testing.assert_array_equal(
+        kv[:, 0], np.sort(x.astype(np.float32), axis=1)[:, -k]
+    )
