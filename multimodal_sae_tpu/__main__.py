@@ -31,8 +31,9 @@ def load_artifacts(args: RunConfig):
     else:
         from .launch.utils import load_subject_model
 
-        dtype = jnp.float16 if args.load_in_8bit else jnp.bfloat16
-        model, _, tokenizer = load_subject_model(args.model, dtype=dtype)
+        model, _, tokenizer = load_subject_model(
+            args.model, dtype=jnp.bfloat16, load_in_8bit=args.load_in_8bit
+        )
 
     if args.dataset.endswith(".bin"):
         dataset = MemmapDataset(args.dataset, args.ctx_len, args.max_examples)

@@ -285,3 +285,8 @@ class AttributionConfig:
 
     save_dir: str = "./attribution_cache"
     """Save dir for attribution results."""
+
+    load_in_8bit: bool = False
+    """Int8-quantize the subject model (the TPU analogue of the reference's
+    fp8-Quanto backward model, reference utils.py:91-103) — halves subject
+    HBM so 8B-scale attribution backward fits one 16 GB chip."""

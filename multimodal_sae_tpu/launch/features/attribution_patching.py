@@ -5,8 +5,9 @@ attribution for every (or sharded) SAE feature, saved as
 
 Feature-index sharding across processes replaces the reference's DDP
 arange-chunk + all_gather_object; the reference's fp8-quantized backward model
-maps to bf16 params here (TPUs have no fp8 quanto path; bf16 halves memory the
-same way)."""
+(reference utils.py:91-103) maps to `--load_in_8bit` here: per-channel int8
+weights with dequant-on-use (models/quant.py), halving subject HBM the same
+way."""
 
 from __future__ import annotations
 
@@ -33,7 +34,9 @@ def main(cfg: AttributionConfig):
 
     import jax.numpy as jnp
 
-    model, processor, _ = load_subject_model(cfg.model, dtype=jnp.bfloat16)
+    model, processor, _ = load_subject_model(
+        cfg.model, dtype=jnp.bfloat16, load_in_8bit=cfg.load_in_8bit
+    )
     attribution = Attribution(
         model,
         tokenizer,

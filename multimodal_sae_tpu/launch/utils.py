@@ -14,15 +14,22 @@ from ..utils.cli import add_dataclass_args, dataclass_from_namespace
 
 
 def load_subject_model(
-    model_name_or_path: str, dtype=jnp.bfloat16
+    model_name_or_path: str, dtype=jnp.bfloat16, load_in_8bit: bool = False
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
     "llava", plain LLaMA otherwise.  Returns (model, processor, tokenizer).
 
+    `load_in_8bit` quantizes the language-model weights to per-channel int8
+    with dequant-on-use (models/quant.py) — the TPU equivalent of the
+    reference's bitsandbytes 8-bit load (reference __main__.py:66-97),
+    halving subject HBM so 8B-scale attribution/training fits one v5e chip.
+
     `model_name_or_path` must be a local HF checkpoint directory (this
     environment has no network egress; pre-download checkpoints)."""
     from transformers import AutoTokenizer
+
+    from ..models.quant import quantize_llama_params
 
     if "llava" in model_name_or_path:
         from transformers import LlavaNextProcessor
@@ -30,6 +37,11 @@ def load_subject_model(
         from ..models.llava_next import LlavaNextModel, load_llava_next
 
         params, cfg = load_llava_next(model_name_or_path, dtype=dtype)
+        if load_in_8bit:
+            params = dict(params)
+            params["language_model"] = quantize_llama_params(
+                params["language_model"]
+            )
         model = LlavaNextModel(params, cfg)
         processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
     else:
@@ -37,6 +49,8 @@ def load_subject_model(
         from ..models.llama import LlamaModel
 
         params, cfg = load_llama(model_name_or_path, dtype=dtype)
+        if load_in_8bit:
+            params = quantize_llama_params(params)
         model = LlamaModel(params, cfg)
         processor = None
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)

@@ -27,6 +27,8 @@ from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .quant import is_quantized, leaf_dtype, qembed, qmatmul
+
 
 @dataclass(frozen=True)
 class LlamaConfig:
@@ -43,15 +45,36 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
+    """HF rope_scaling config as a sorted (key, value) tuple (hashable; use
+    `rope_scaling_dict`). Only the Llama-3.1 'llama3' variant is implemented;
+    anything else raises in `from_hf` rather than silently using default RoPE."""
 
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
+
     @classmethod
     def from_hf(cls, d: dict) -> "LlamaConfig":
         names = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in names})
+        kw = {k: v for k, v in d.items() if k in names}
+        rs = d.get("rope_scaling")
+        if rs is not None:
+            # HF spells the variant 'rope_type' (new) or 'type' (legacy).
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype != "llama3":
+                raise NotImplementedError(
+                    f"rope_scaling type {rtype!r} is not implemented; "
+                    "activations would be silently wrong with default RoPE"
+                )
+            kw["rope_scaling"] = tuple(
+                sorted((k, v) for k, v in rs.items() if isinstance(v, (int, float)))
+            )
+        return cls(**kw)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -63,12 +86,35 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (x32.astype(dtype)) * weight
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """HF LlamaRotaryEmbedding (default rope): fp32 cos/sin of shape
-    (..., seq, head_dim) with the half-split frequency layout."""
+def rope_cos_sin(
+    positions: jax.Array,
+    head_dim: int,
+    theta: float,
+    rope_scaling: Optional[dict] = None,
+):
+    """HF LlamaRotaryEmbedding: fp32 cos/sin of shape (..., seq, head_dim)
+    with the half-split frequency layout. `rope_scaling` (llama3 variant,
+    Llama-3.1+) rescales low-frequency components per HF's
+    `_compute_llama3_parameters`."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if rope_scaling:
+        factor = rope_scaling["factor"]
+        low = rope_scaling["low_freq_factor"]
+        high = rope_scaling["high_freq_factor"]
+        orig = rope_scaling["original_max_position_embeddings"]
+        low_wavelen = orig / low
+        high_wavelen = orig / high
+        wavelen = 2 * jnp.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (orig / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen < high_wavelen,
+            inv_freq,
+            jnp.where(wavelen > low_wavelen, scaled, smoothed),
+        )
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., S, hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -177,9 +223,9 @@ def decoder_layer(
 
     residual = h
     x = rms_norm(h, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    q = (x @ layer_params["q_proj"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    k = (x @ layer_params["k_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
-    v = (x @ layer_params["v_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    q = qmatmul(x, layer_params["q_proj"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = qmatmul(x, layer_params["k_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    v = qmatmul(x, layer_params["v_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
@@ -199,13 +245,13 @@ def decoder_layer(
     v_att = _repeat_kv(v_att, H // kvH)
     attn = attention(q, k_att, v_att, mask, scale=hd**-0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
-    h = residual + attn @ layer_params["o_proj"]
+    h = residual + qmatmul(attn, layer_params["o_proj"])
 
     residual = h
     x = rms_norm(h, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(x @ layer_params["gate_proj"])
-    up = x @ layer_params["up_proj"]
-    h = residual + (gate * up) @ layer_params["down_proj"]
+    gate = jax.nn.silu(qmatmul(x, layer_params["gate_proj"]))
+    up = qmatmul(x, layer_params["up_proj"])
+    h = residual + qmatmul(gate * up, layer_params["down_proj"])
     return h, (k_full, v_full)
 
 
@@ -248,25 +294,41 @@ def llama_forward(
     input), "captured" {hookpoint: (B, S, D)}, "cache" (updated KVCache).
     """
     if inputs_embeds is None:
-        inputs_embeds = params["embed_tokens"][input_ids]
+        inputs_embeds = qembed(
+            params["embed_tokens"], input_ids, leaf_dtype(params["embed_tokens"])
+        )
     h = inputs_embeds
     B, S, _ = h.shape
 
     offset = cache.length if cache is not None else 0
     if position_ids is None:
         position_ids = jnp.arange(S)[None, :] + offset
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+    cos, sin = rope_cos_sin(
+        position_ids, cfg.head_dim_, cfg.rope_theta, cfg.rope_scaling_dict
+    )
 
     if cache is not None:
         S_k = cache.k.shape[3]
         kv_valid = jnp.arange(S_k)[None, :] < (offset + S)
         amask = kv_valid.astype(jnp.int32)
         if attention_mask is not None:
-            pad = jnp.zeros((B, S_k), dtype=jnp.int32)
-            pad = jax.lax.dynamic_update_slice(
-                pad, attention_mask.astype(jnp.int32), (0, 0)
-            )
-            amask = amask * pad if attention_mask.shape[1] == S_k else amask
+            if attention_mask.shape[1] == S_k:
+                # Full-cache-length mask (greedy_generate threads this).
+                pad = attention_mask.astype(jnp.int32)
+            elif attention_mask.shape[1] == S:
+                # Mask covers only the current block: place it at the block's
+                # cache offset, leave every other position allowed (kv_valid
+                # already bounds the live region).
+                pad = jnp.ones((B, S_k), dtype=jnp.int32)
+                pad = jax.lax.dynamic_update_slice(
+                    pad, attention_mask.astype(jnp.int32), (0, offset)
+                )
+            else:
+                raise ValueError(
+                    f"attention_mask length {attention_mask.shape[1]} matches "
+                    f"neither the input block ({S}) nor the cache ({S_k})"
+                )
+            amask = amask * pad
         mask = causal_mask(S, S_k, h.dtype, amask, offset=offset)
     else:
         mask = causal_mask(S, S, h.dtype, attention_mask)
@@ -342,8 +404,19 @@ def llama_forward(
     if return_logits:
         lm_head = params.get("lm_head")
         if lm_head is None:
-            lm_head = params["embed_tokens"].T
-        out["logits"] = h_final @ lm_head
+            emb = params["embed_tokens"]
+            if is_quantized(emb):
+                # Tied head with a quantized table: scale is per hidden dim
+                # (= the matmul's *input* dim after transpose), so fold it
+                # into the activations before the int8 matmul.
+                out["logits"] = jnp.dot(
+                    (h_final.astype(jnp.float32) * emb["scale"]).astype(h_final.dtype),
+                    emb["q8"].T.astype(h_final.dtype),
+                )
+            else:
+                out["logits"] = h_final @ emb.T
+        else:
+            out["logits"] = qmatmul(h_final, lm_head)
     return out
 
 
@@ -439,7 +512,9 @@ class LlamaModel:
         `intervene_prefill_only` mirrors the reference steering hook's
         "skip decode-phase len-1 sequences" condition
         (reference features/steering.py:113-114)."""
+        attention_mask = None
         if isinstance(input_ids, dict):
+            attention_mask = input_ids.get("attention_mask")
             input_ids = input_ids["input_ids"]
         import numpy as _np
 
@@ -452,6 +527,7 @@ class LlamaModel:
             interventions=interventions,
             intervene_prefill_only=intervene_prefill_only,
             eos_token_id=eos_token_id,
+            attention_mask=attention_mask,
         )
 
 
@@ -464,17 +540,54 @@ def greedy_generate(
     intervene_prefill_only: bool = True,
     eos_token_id: Optional[int] = None,
     inputs_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
 ):
     """Greedy decode: jitted prefill + `lax.while_loop` decode with a static
-    KV cache."""
+    KV cache.
+
+    `attention_mask` supports batched *left-padded* prompts (HF's decoder-only
+    generation convention, and what the collator emits — reference
+    train/sae/data.py pad handling): pad positions are masked out of attention
+    for the whole generation, position ids follow the real tokens
+    (cumsum(mask) - 1, like HF), and the next-token logit is taken at the last
+    column, which left-padding guarantees is the final real token.
+    Right-padded batches are rejected up front rather than silently attending
+    to pad tokens."""
     B, S = input_ids.shape[0], input_ids.shape[1]
     max_len = S + max_new_tokens
-    dtype = params["embed_tokens"].dtype
+    dtype = leaf_dtype(params["embed_tokens"])
     # Stacked layers → the forward scans over depth, keeping the decode-loop
     # program O(1) in layer count (unrolled 8+-layer generate graphs exceed
     # compiler payload limits on some platforms).
     params = stack_layer_params(params)
     cache = KVCache.init(cfg, B, max_len, dtype=dtype)
+
+    if attention_mask is not None:
+        import numpy as _np
+
+        am = _np.asarray(attention_mask).astype(_np.int32)
+        if am.shape != (B, S):
+            raise ValueError(f"attention_mask shape {am.shape} != {(B, S)}")
+        if am.all():
+            attention_mask = None  # dense mask: fall through to the fast path
+        elif not (_np.diff(am, axis=1) >= 0).all():
+            raise ValueError(
+                "batched generation requires LEFT-padded inputs (pad tokens "
+                "first); right padding would take the next-token logit from "
+                "a pad position"
+            )
+    if attention_mask is not None:
+        lengths = jnp.asarray(am.sum(axis=1), jnp.int32)  # real tokens per row
+        # One mask covering the whole cache: prompt pads stay masked for
+        # every decode step; generated slots are always live.
+        full_mask = jnp.concatenate(
+            [jnp.asarray(am), jnp.ones((B, max_new_tokens), jnp.int32)], axis=1
+        )
+        prefill_pos = jnp.maximum(jnp.cumsum(jnp.asarray(am), axis=1) - 1, 0)
+    else:
+        lengths = jnp.full((B,), S, jnp.int32)
+        full_mask = None
+        prefill_pos = None
 
     prefill_iv = interventions
     decode_iv = None if intervene_prefill_only else interventions
@@ -486,6 +599,8 @@ def greedy_generate(
             cfg,
             input_ids,
             inputs_embeds=inputs_embeds,
+            attention_mask=full_mask,
+            position_ids=prefill_pos,
             cache=cache,
             capture=(),
             interventions=prefill_iv,
@@ -510,10 +625,15 @@ def greedy_generate(
         def body(state):
             i, cache, tokens, done = state
             cur = jax.lax.dynamic_slice(tokens, (0, i - 1), (B, 1))
+            # Generated token i-1 follows the row's real tokens directly:
+            # position = real_length + (i - 1), regardless of left padding.
+            pos = (lengths + i - 1)[:, None] if full_mask is not None else None
             out = llama_forward(
                 params,
                 cfg,
                 cur,
+                attention_mask=full_mask,
+                position_ids=pos,
                 cache=cache,
                 interventions=decode_iv,
             )

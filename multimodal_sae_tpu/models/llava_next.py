@@ -30,6 +30,7 @@ import numpy as np
 
 from .clip_vit import ClipVisionConfig, clip_vision_forward
 from .llama import LlamaConfig, llama_forward, greedy_generate
+from .quant import leaf_dtype, qembed
 
 OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -347,7 +348,9 @@ class LlavaNextModel:
         positions (HF get_placeholder_mask + masked_scatter semantics)."""
         lm = self.params["language_model"]
         ids = np.asarray(batch["input_ids"])
-        embeds = jnp.asarray(lm["embed_tokens"])[jnp.asarray(ids)]
+        embeds = qembed(
+            lm["embed_tokens"], jnp.asarray(ids), leaf_dtype(lm["embed_tokens"])
+        )
         if "pixel_values" not in batch or batch["pixel_values"] is None:
             return embeds
         tok = self.cfg.image_token_index
@@ -446,6 +449,7 @@ class LlavaNextModel:
             intervene_prefill_only=intervene_prefill_only,
             eos_token_id=eos_token_id,
             inputs_embeds=embeds,
+            attention_mask=batch.get("attention_mask"),
         )
 
 

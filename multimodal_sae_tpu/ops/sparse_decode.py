@@ -155,13 +155,26 @@ def topk_mask_decode(
     Thresholds each row at its k-th largest value (threshold treated as a
     constant, matching torch.topk's backward which flows gradient only into
     the selected values) and runs a single dense (N, L) @ (L, d) matmul —
-    pure MXU work, no gather/scatter.  With float ties at the k-th value more
-    than k latents can survive; for ReLU'd pre-activations the extras are
-    zero-valued and contribute nothing to the reconstruction.
+    pure MXU work, no gather/scatter.
+
+    Tie semantics: with float ties at the k-th value, *every* tied latent
+    survives the mask, so more than k latents can contribute to the
+    reconstruction and receive gradient — unlike `torch.topk`, which keeps
+    exactly k (breaking ties arbitrarily).  When the tie value is 0 (common:
+    pre-activations are ReLU'd, so rows with < k positive entries tie at 0)
+    the extras are zero-valued and contribute nothing; a *nonzero* bf16 tie
+    across 131k latents is possible, and then this path distributes the k-th
+    slot's reconstruction across all tied latents instead of picking one.
+    This is an intentional, documented deviation: correcting to exactly-k
+    would need a per-row tie-count-and-fix pass that costs more than the
+    drift is worth during training.
 
     Returns:
-        (y, dense_masked): the reconstruction (no bias) and the masked dense
-        latents (useful for callers that need which latents fired).
+        (y, dense_masked, mask): the reconstruction (no bias), the masked
+        dense latents, and the boolean selection mask (`pre >= kth`) — the
+        mask marks selected latents even when their activation is exactly 0,
+        which is what dead-feature bookkeeping needs (the reference scatters
+        did_fire from latent_indices regardless of value).
     """
     from .topk import kth_value, top_k
 
@@ -176,6 +189,7 @@ def topk_mask_decode(
     else:
         kth = kth_value(pre_acts, k)
     kth = jax.lax.stop_gradient(kth)
-    dense = jnp.where(pre_acts >= kth, pre_acts, jnp.zeros_like(pre_acts))
+    mask = pre_acts >= kth
+    dense = jnp.where(mask, pre_acts, jnp.zeros_like(pre_acts))
     y = jnp.dot(dense, W_dec, preferred_element_type=pre_acts.dtype)
-    return y, dense
+    return y, dense, mask

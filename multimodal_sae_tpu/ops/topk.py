@@ -135,7 +135,14 @@ def blockmax_top_k(
     """
     width = x.shape[-1]
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, width)
+    # Clamp to the finite minimum: a -inf input (common masking pattern)
+    # would produce 0 * -inf = NaN in the non-selected positions of the
+    # one-hot gather matmul and silently corrupt the result. The clamp means
+    # returned *values* for -inf entries read finfo.min instead of -inf
+    # (indices are unaffected); selection order is preserved since the map
+    # is monotone. Callers needing literal -inf values back should use
+    # blockwise_top_k.
+    x2 = jnp.maximum(x.reshape(-1, width), jnp.finfo(x.dtype).min)
     n = x2.shape[0]
     pad = (-width) % block
     if pad:

@@ -157,9 +157,14 @@ def forward(
     W_dec, b_dec = params["W_dec"], params["b_dec"]
 
     if fast:
-        y, dense = topk_mask_decode(pre, W_dec, cfg.k)
+        y, dense, sel_mask = topk_mask_decode(pre, W_dec, cfg.k)
         sae_out = y + b_dec
-        fired = jnp.any(dense > 0, axis=tuple(range(dense.ndim - 1)))
+        # Fired = selected by the top-k threshold, not `dense > 0`: a latent
+        # whose top-k activation is exactly 0 (row with < k positive
+        # pre-activations) still counts as fired, matching the reference's
+        # scatter of did_fire from latent_indices regardless of value
+        # (reference train/sae/sae/trainer.py:334-339).
+        fired = jnp.any(sel_mask, axis=tuple(range(sel_mask.ndim - 1)))
         if return_topk:
             # Parity with the reference output type; skipped by default on the
             # train path since `fired` covers the dead-feature bookkeeping.
@@ -202,7 +207,7 @@ def forward(
         auxk_loss = jnp.zeros((), dtype=dtype)
 
     if cfg.multi_topk:
-        y4, dense4 = topk_mask_decode(pre, W_dec, 4 * cfg.k)
+        y4, dense4, sel4 = topk_mask_decode(pre, W_dec, 4 * cfg.k)
         sae_out4 = y4 + b_dec
         multi_topk_fvu = jnp.sum((sae_out4 - x) ** 2) / total_variance
         # Reference quirk kept for parity (reference sae.py:232-238): with
@@ -211,7 +216,7 @@ def forward(
         # also makes the trainer's did_fire track the 4k selection.
         sae_out = sae_out4
         if fired is not None:
-            fired = jnp.any(dense4 > 0, axis=tuple(range(dense4.ndim - 1)))
+            fired = jnp.any(sel4, axis=tuple(range(sel4.ndim - 1)))
         if top_acts is not None:
             top_acts, top_indices = select_topk(
                 jax.lax.stop_gradient(pre), 4 * cfg.k

@@ -1,6 +1,6 @@
 """End-to-end drive of tools/label_explanation.py against a local stub LLM
-server on the tool's default endpoint (localhost:8000): each refined
-explanation gets a concept label; sentinel rows are skipped."""
+server on an ephemeral port (--base-url): each refined explanation gets a
+concept label; sentinel rows are skipped."""
 
 import json
 import subprocess
@@ -32,10 +32,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def test_label_explanation_cli(tmp_path):
-    try:
-        srv = ThreadingHTTPServer(("127.0.0.1", 8000), _Handler)
-    except OSError:
-        pytest.skip("port 8000 busy")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)  # ephemeral port
     srv.requests = []
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
@@ -48,7 +45,8 @@ def test_label_explanation_cli(tmp_path):
         out = tmp_path / "labels.json"
         result = subprocess.run(
             [sys.executable, str(REPO / "tools" / "label_explanation.py"),
-             "--refined-explanation", str(refined), "--save-path", str(out)],
+             "--refined-explanation", str(refined), "--save-path", str(out),
+             "--base-url", f"http://127.0.0.1:{srv.server_address[1]}"],
             capture_output=True, text=True, timeout=240,
             env={"PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu",
                  "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},

@@ -141,6 +141,102 @@ def test_generate_with_intervention_runs(tiny):
     assert out.shape == (1, 7)
 
 
+def test_rope_scaling_llama3_matches_hf():
+    """Llama-3.1's 'llama3' rope_scaling must be applied, not silently
+    dropped (it changes every activation)."""
+    rs = {
+        "rope_type": "llama3",
+        "factor": 8.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 64,
+    }
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        rope_scaling=dict(rs),
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+    cfg = LlamaConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.rope_scaling_dict is not None
+    params = llama_params_from_state_dict(
+        torch_module_state_dict(hf), cfg, dtype=jnp.float32
+    )
+    ids = np.array([[1, 5, 9, 42, 100, 7, 3, 120]])
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(llama_forward(params, cfg, jnp.asarray(ids))["logits"])
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+    # And the scaling genuinely differs from default RoPE.
+    cfg_plain = LlamaConfig.from_hf(
+        {k: v for k, v in hf_cfg.to_dict().items() if k != "rope_scaling"}
+    )
+    plain = np.asarray(llama_forward(params, cfg_plain, jnp.asarray(ids))["logits"])
+    assert not np.allclose(ours, plain)
+
+
+def test_rope_scaling_unknown_type_raises():
+    with pytest.raises(NotImplementedError):
+        LlamaConfig.from_hf(
+            {"hidden_size": 64, "rope_scaling": {"rope_type": "yarn", "factor": 2.0}}
+        )
+
+
+def test_generate_left_padded_matches_hf(tiny):
+    """Batched generation with left-padded prompts: pad positions masked for
+    the whole generation, per-row position ids — token-parity vs HF."""
+    hf, cfg, params = tiny
+    ids = np.array([[0, 0, 1, 5, 9], [7, 3, 9, 42, 2]])
+    amask = np.array([[0, 0, 1, 1, 1], [1, 1, 1, 1, 1]])
+    with torch.no_grad():
+        hf_tokens = hf.generate(
+            torch.tensor(ids),
+            attention_mask=torch.tensor(amask),
+            max_new_tokens=6,
+            do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+    ours = np.asarray(
+        greedy_generate(
+            params,
+            cfg,
+            jnp.asarray(ids),
+            max_new_tokens=6,
+            attention_mask=jnp.asarray(amask),
+        )
+    )
+    np.testing.assert_array_equal(ours, hf_tokens)
+
+
+def test_generate_right_padded_raises(tiny):
+    _, cfg, params = tiny
+    ids = jnp.array([[1, 5, 0], [7, 3, 9]])
+    amask = jnp.array([[1, 1, 0], [1, 1, 1]])
+    with pytest.raises(ValueError, match="LEFT-padded"):
+        greedy_generate(params, cfg, ids, max_new_tokens=2, attention_mask=amask)
+
+
+def test_forward_bad_mask_length_raises(tiny):
+    _, cfg, params = tiny
+    cache = KVCache.init(cfg, 1, 16)
+    with pytest.raises(ValueError, match="attention_mask length"):
+        llama_forward(
+            params,
+            cfg,
+            jnp.array([[1, 2, 3]]),
+            attention_mask=jnp.ones((1, 7), jnp.int32),
+            cache=cache,
+        )
+
+
 def test_activation_source_protocol(tiny):
     _, cfg, params = tiny
     model = LlamaModel(params, cfg)

@@ -115,15 +115,18 @@ def test_decode_grads_match_eager():
 
 def test_topk_mask_decode_matches_sparse_decode():
     vals, idx, W, pre = _random_sparse(jax.random.PRNGKey(4), n=16, k=8, L=256, d=64)
-    y_mask, dense = topk_mask_decode(pre, W, 8)
+    y_mask, dense, sel = topk_mask_decode(pre, W, 8)
     y_ref = eager_decode(idx, vals, W)
     np.testing.assert_allclose(y_mask, y_ref, rtol=1e-5, atol=1e-5)
     # Fired mask marks exactly the nonzero selected latents.
     assert int(jnp.sum(dense > 0)) <= 16 * 8 + 16  # ties allowance
+    # The selection mask marks at least k latents per row (>k only on ties),
+    # including exactly-zero selections that `dense > 0` would miss.
+    assert int(jnp.sum(sel)) >= 16 * 8
     # Gradient parity with the explicit sparse path (grad flows only to
     # selected latents through the threshold mask).
     def loss_mask(p, w):
-        y, _ = topk_mask_decode(p, w, 8)
+        y, _, _ = topk_mask_decode(p, w, 8)
         return jnp.sum(y**2)
 
     def loss_sparse(p, w):

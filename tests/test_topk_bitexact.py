@@ -33,3 +33,21 @@ def test_blockmax_two_level_bitexact_f32():
         ref_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i_ref[r], v_ref[r])}
         got_pairs = {int(ii): np.asarray(vv).tobytes() for ii, vv in zip(i[r], v[r])}
         assert ref_pairs == got_pairs
+
+
+def test_blockmax_neg_inf_inputs_no_nan():
+    """-inf entries (masking pattern) must not poison the one-hot gather with
+    0 * -inf = NaN; indices stay exact, -inf values clamp to finfo.min."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 8192)).astype(np.float32)
+    x[:, ::3] = -np.inf  # a third of each row masked out
+    x[3, :] = -np.inf  # fully masked row
+    v, i = blockmax_top_k(jnp.asarray(x), 16, block=64)
+    assert not np.any(np.isnan(np.asarray(v)))
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 16)
+    for r in range(3):
+        assert set(np.asarray(i[r]).tolist()) == set(np.asarray(i_ref[r]).tolist())
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(v[r])),
+            np.sort(np.maximum(np.asarray(v_ref[r]), np.finfo(np.float32).min)),
+        )

@@ -46,12 +46,18 @@ def main():
         "--refined-explanation", type=str, help="The path of the refined explanation."
     )
     parser.add_argument("--save-path", type=str, help="The path to save your labels")
+    parser.add_argument(
+        "--base-url",
+        type=str,
+        default="http://localhost:8000",
+        help="OpenAI-compatible endpoint of the labeling LLM",
+    )
     args = parser.parse_args()
 
     with open(args.refined_explanation, "r") as f:
         explanations = json.load(f)
 
-    client = SRT("meta-llama/Llama-3.1-70B-Instruct", tp=8)
+    client = SRT("meta-llama/Llama-3.1-70B-Instruct", tp=8, base_url=args.base_url)
     try:
         labels = asyncio.run(label_all(client, explanations))
     finally:
