@@ -1,4 +1,4 @@
-from .topk import top_k, blockwise_top_k, blockmax_top_k, kth_value
+from .topk import top_k, blockwise_top_k, blockmax_top_k, kth_value, kth_value_bitwise
 from .sparse_decode import (
     sparse_decode,
     eager_decode,
@@ -9,6 +9,8 @@ from .geometric_median import geometric_median
 
 __all__ = [
     "top_k",
+    "kth_value",
+    "kth_value_bitwise",
     "blockwise_top_k",
     "blockmax_top_k",
     "sparse_decode",

@@ -89,10 +89,23 @@ def _block_filter(x2: jax.Array, k: int, block: int):
     (4096, 2048, 64) on v5e vs ~1.4 ms for the einsum. Exact for any payload:
     each one-hot row has a single 1.0, so the "accumulation" copies the value
     bit-for-bit."""
+    from .pallas_topk import _on_tpu, pallas_block_max, use_pallas_block_max
+
     n, width = x2.shape
     nb = width // block
-    blocks = x2.reshape(n, nb, block)
-    bmax = blocks.max(axis=-1)
+    # Clamp -inf (masking pattern) to the finite minimum ONLY on the einsum
+    # operand, where 0 * -inf = NaN would corrupt the gather; max() itself is
+    # -inf-safe.  The clamp fuses into the einsum's operand read, so no
+    # clamped copy is ever materialized (keeping it out of the Pallas input,
+    # which XLA cannot fuse into).
+    blocks = jnp.maximum(x2, jnp.finfo(x2.dtype).min).reshape(n, nb, block)
+    if use_pallas_block_max(x2, block):
+        # One streaming pass at DMA speed (XLA's reduce fusion runs ~4x off
+        # HBM peak here) and a scheduling boundary the compiler cannot smear
+        # into the upstream matmul.
+        bmax = pallas_block_max(x2, block, interpret=not _on_tpu())
+    else:
+        bmax = x2.reshape(n, nb, block).max(axis=-1)
     _, bidx = jax.lax.top_k(bmax, k)
     oh = jax.nn.one_hot(bidx, nb, dtype=x2.dtype)  # (n, k, nb)
     # float32 payloads need HIGHEST (a single-pass bf16 MXU product would
@@ -135,14 +148,12 @@ def blockmax_top_k(
     """
     width = x.shape[-1]
     lead = x.shape[:-1]
-    # Clamp to the finite minimum: a -inf input (common masking pattern)
-    # would produce 0 * -inf = NaN in the non-selected positions of the
-    # one-hot gather matmul and silently corrupt the result. The clamp means
-    # returned *values* for -inf entries read finfo.min instead of -inf
-    # (indices are unaffected); selection order is preserved since the map
-    # is monotone. Callers needing literal -inf values back should use
-    # blockwise_top_k.
-    x2 = jnp.maximum(x.reshape(-1, width), jnp.finfo(x.dtype).min)
+    # -inf inputs (common masking pattern) are handled by clamping the
+    # one-hot gather operand inside `_block_filter` (0 * -inf = NaN there);
+    # returned *values* for -inf entries therefore read finfo.min instead of
+    # -inf (indices are unaffected). Callers needing literal -inf values
+    # back should use blockwise_top_k.
+    x2 = x.reshape(-1, width)
     n = x2.shape[0]
     pad = (-width) % block
     if pad:
@@ -187,14 +198,12 @@ def _key_to_val(key: jax.Array, dtype) -> jax.Array:
     return jax.lax.bitcast_convert_type(bits, dtype)
 
 
-def kth_value(x: jax.Array, k: int) -> jax.Array:
+def kth_value_bitwise(x: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest value along the last axis, shape (..., 1).
 
     Bitwise binary search over a monotone integer key: one masked count per
-    key bit (16 passes for bf16, 32 for f32), no sorting. Cost is independent
-    of k — use where k is too large for block-max filtering to help (e.g. the
-    AuxK dead-latent threshold at k_aux = d_in/2, reference sae.py:207-227,
-    where a full-width `lax.top_k` is ~20x slower)."""
+    key bit (16 passes for bf16, 32 for f32), no sorting.  Kept as the
+    trusted oracle for `kth_value` (the 4x-fewer-pass histogram search)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     key = _monotone_key(x2)
@@ -206,6 +215,51 @@ def kth_value(x: jax.Array, k: int) -> jax.Array:
         return jnp.where(cnt >= k, cand, t)
 
     t = jax.lax.fori_loop(0, nbits, body, jnp.zeros((x2.shape[0],), key.dtype))
+    return _key_to_val(t, x.dtype).reshape(*lead, 1)
+
+
+def kth_value(x: jax.Array, k: int) -> jax.Array:
+    """Exact k-th largest value along the last axis, shape (..., 1).
+
+    Nibble-wise histogram binary search over a monotone integer key: each
+    round streams the keys ONCE and counts all 16 values of the next nibble
+    simultaneously (a broadcast-compare reduce XLA fuses into 16 running
+    accumulators), so bf16 needs 4 passes over the data and f32 needs 8 —
+    vs 16/32 for the bit-at-a-time search (`kth_value_bitwise`) and a full
+    sort for `lax.top_k`.  Cost is independent of k — use where k is too
+    large for block-max filtering to help (e.g. the AuxK dead-latent
+    threshold at k_aux = d_in/2, reference sae.py:207-227, where a
+    full-width `lax.top_k` is ~20x slower)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    rows = x2.shape[0]
+    key = _monotone_key(x2)
+    nbits = key.dtype.itemsize * 8
+    kdt = key.dtype.type
+    lanes = jnp.arange(16, dtype=jnp.uint32)
+
+    # Invariants entering each round (high nibbles above `shift` decided):
+    #   t     — decided high bits of the k-th largest key (rest zero)
+    #   above — #elements whose decided high bits exceed t's (all rank < k)
+    t = jnp.zeros((rows,), key.dtype)
+    above = jnp.zeros((rows,), jnp.int32)
+    for shift in range(nbits - 4, -4, -4):
+        hi = kdt(~kdt(0)) << kdt(shift + 4) if shift + 4 < nbits else kdt(0)
+        eq = (key & hi) == (t & hi)[:, None]
+        nib = (key >> kdt(shift)).astype(jnp.uint32) & 15
+        # hist[r, i] = #elements in row r matching the prefix with nibble i.
+        hist = jnp.sum(
+            (eq[..., None] & (nib[..., None] == lanes)).astype(jnp.int32),
+            axis=1,
+        )
+        # c[r, i] = #elements ranking >= (prefix | i<<shift); nonincreasing
+        # in i, so the chosen nibble is (#i with c_i >= k) - 1.
+        suffix = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+        c = above[:, None] + suffix
+        nib_star = jnp.sum((c >= k).astype(jnp.int32), axis=1) - 1
+        t = t | (nib_star.astype(key.dtype) << kdt(shift))
+        c_pad = jnp.concatenate([c, above[:, None]], axis=1)  # c_16 = above
+        above = jnp.take_along_axis(c_pad, nib_star[:, None] + 1, axis=1)[:, 0]
     return _key_to_val(t, x.dtype).reshape(*lead, 1)
 
 
@@ -229,9 +283,16 @@ def top_k(
         return jax.lax.approx_max_k(x, k, recall_target=recall_target)
     width = x.shape[-1]
     if num_blocks is None and width >= 32768:
-        # Shrink the block until the k winning blocks cover at most 1/4 of the
-        # width (the filter must discard most of the row to pay for itself);
-        # e.g. k=256 -> block 64, k=1024 (multi-topk 4k) -> block 32.
+        # Prefer block=128 when the Pallas reduce can take it (the kernel's
+        # lane-width constraint; still a 4x row shrink for k=256 @ 131072),
+        # else shrink the block until the k winning blocks cover at most 1/4
+        # of the width (the filter must discard most of the row to pay for
+        # itself); e.g. k=256 -> block 64, k=1024 (multi-topk 4k) -> block 32.
+        from .pallas_topk import use_pallas_block_max
+
+        x2 = x.reshape(-1, width)
+        if k * 128 * 4 <= width and use_pallas_block_max(x2, 128):
+            return blockmax_top_k(x, k, block=128)
         block = 64
         while block > 8 and k * block * 4 > width:
             block //= 2

@@ -48,3 +48,25 @@ def test_topk_fuzz(seed):
     np.testing.assert_array_equal(
         kv[:, 0], np.sort(x.astype(np.float32), axis=1)[:, -k]
     )
+
+
+def test_kth_value_histogram_matches_bitwise_adversarial():
+    """The 4-pass nibble-histogram search must agree bit-for-bit with the
+    bit-at-a-time oracle on ties, negatives, infs, and degenerate rows."""
+    from multimodal_sae_tpu.ops import kth_value_bitwise
+
+    rng = np.random.default_rng(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        rows = [
+            rng.normal(size=512).astype(np.float32),
+            np.zeros(512, np.float32),                      # all ties at 0
+            np.full(512, 2.5, np.float32),                  # all ties nonzero
+            np.repeat(rng.normal(size=64).astype(np.float32), 8),  # heavy ties
+            np.concatenate([np.full(500, -np.inf), rng.normal(size=12)]).astype(np.float32),
+            -np.abs(rng.normal(size=512)).astype(np.float32),  # all negative
+        ]
+        x = jnp.asarray(np.stack(rows)).astype(dtype)
+        for k in (1, 7, 256, 511):
+            a = np.asarray(kth_value(x, k), np.float32)
+            b = np.asarray(kth_value_bitwise(x, k), np.float32)
+            np.testing.assert_array_equal(a, b, err_msg=f"{dtype} k={k}")
