@@ -167,6 +167,144 @@ def full_pipeline_bench():
     )
 
 
+def full_depth_bench():
+    """`bench.py --full-depth`: the flagship image-caching pipeline MEASURED,
+    not extrapolated (VERDICT r1 item 2): a full-depth LLaMA-3-8B-shaped
+    subject (32 layers, d=4096, inter=14336, GQA 8, vocab 128256) in int8
+    (models/quant.py — the production posture that fits a 16 GB v5e chip,
+    ~8 GB weights) + the 131k bf16 SAE cache step at hookpoint layers.24,
+    image ctx 64 (reference README.md:41-56).  Weights are random and
+    initialized layer-by-layer ON DEVICE (a bf16 8B tree would not fit, and
+    the tunnel moves ~17 MB/s).  Reports tokens/s and images/s per chip."""
+    from multimodal_sae_tpu.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+    )
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+
+    lcfg = LlamaConfig(
+        vocab_size=128256,
+        hidden_size=D_IN,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        tie_word_embeddings=True,  # caching never touches the LM head
+    )
+    import dataclasses
+
+    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
+
+    @jax.jit
+    def init_quant_layer(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        return quantize_llama_params(p)["layers"][0]
+
+    @jax.jit
+    def init_quant_rest(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        q = quantize_llama_params(p)
+        return {k: v for k, v in q.items() if k != "layers"}
+
+    _log("initializing 32-layer int8 subject on device...")
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
+    layers = [init_quant_layer(keys[i]) for i in range(lcfg.num_hidden_layers)]
+    rest = init_quant_rest(keys[-1])
+    lparams = {**rest, "layers": layers}
+    cfg = SaeConfig(num_latents=LATENTS, k=K)
+    sae_params = jax.device_put(
+        init_params(jax.random.PRNGKey(1), D_IN, cfg, dtype=DTYPE)
+    )
+    batch, seq = 32, SEQ  # ctx 64 (image caching config)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0, lcfg.vocab_size)
+    _log(f"  init done in {time.perf_counter() - t0:.1f}s")
+
+    hook = "layers.24"  # the released SAE's hookpoint (train/sae/README.md:37)
+
+    def step(params, ids):
+        lp, sp = params
+        out = llama_forward(lp, lcfg, ids, capture=(hook,), return_logits=False)
+        return topk_latents_step(sp, out["captured"][hook], cfg)
+
+    @jax.jit
+    def loop(params, ids):
+        def body(_, carry):
+            ids, acc = carry
+            vals, idx = step(params, ids)
+            s = jnp.sum(vals).astype(jnp.float32)
+            ids = jnp.roll(ids, s.astype(jnp.int32) & 1)
+            return (ids, acc + s)
+
+        return jax.lax.fori_loop(0, 10, body, (ids, jnp.zeros((), jnp.float32)))[1]
+
+    t0 = time.perf_counter()
+    float(loop((lparams, sae_params), ids))
+    _log(f"  full-depth compile+warm {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    float(loop((lparams, sae_params), ids))
+    dt = (time.perf_counter() - t0) / 10
+    tokens = batch * seq
+    print(
+        json.dumps(
+            {
+                "metric": "cache_image_pipeline_tokens_per_sec",
+                "value": round(tokens / dt, 1),
+                "unit": "tokens/s/chip (32-layer int8 8B subject + 131k SAE, ctx 64; "
+                f"~{tokens / dt / seq:.1f} images/s)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
+def train_step_bench():
+    """`bench.py --train`: SAE training grad step at flagship shape, with and
+    without the AuxK dead-latent loss (reference sae.py:207-227).  Tracks
+    VERDICT r1 item 5: the nibble-histogram `kth_value` (4 passes over the
+    (N, 131k) latents for bf16) replacing the 16-pass bitwise search."""
+    from multimodal_sae_tpu.sae.model import forward as sae_forward
+
+    cfg = SaeConfig(num_latents=LATENTS, k=K)
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), D_IN, cfg, dtype=DTYPE))
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH * SEQ, D_IN), dtype=DTYPE)
+    dead = jnp.zeros((LATENTS,), bool).at[::3].set(True)  # ~44k dead latents
+
+    def make_step(dead_mask):
+        def loss_fn(p, h):
+            out = sae_forward(p, h, cfg, dead_mask)
+            loss = out.fvu + (
+                (1 / 32) * out.auxk_loss if dead_mask is not None else 0.0
+            )
+            return loss.astype(jnp.float32)
+
+        def step(p, h):
+            loss, g = jax.value_and_grad(loss_fn)(p, h)
+            return loss, g
+
+        return step
+
+    tokens = BATCH * SEQ
+    _log("timing train grad step (no AuxK)...")
+    t_base = _time(lambda p, h: make_step(None)(p, h), params, x)
+    _log(f"base: {t_base * 1e3:.1f} ms; timing with AuxK...")
+    t_aux = _time(lambda p, h: make_step(dead)(p, h), params, x)
+    _log(f"auxk: {t_aux * 1e3:.1f} ms")
+    print(
+        json.dumps(
+            {
+                "metric": "sae_train_step_tokens_per_sec",
+                "value": round(tokens / t_aux, 1),
+                "unit": "tokens/s/chip @131k width with AuxK "
+                f"(base {round(tokens / t_base, 1)} tok/s, "
+                f"{t_base * 1e3:.0f} -> {t_aux * 1e3:.0f} ms)",
+                "vs_baseline": round(t_base / t_aux, 3),
+            }
+        )
+    )
+
+
 def main():
     cfg = SaeConfig(num_latents=LATENTS, k=K)
     key = jax.random.PRNGKey(0)
@@ -197,7 +335,11 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--full" in sys.argv:
+    if "--full-depth" in sys.argv:
+        full_depth_bench()
+    elif "--full" in sys.argv:
         full_pipeline_bench()
+    elif "--train" in sys.argv:
+        train_step_bench()
     else:
         main()

@@ -1,24 +1,38 @@
-"""IoU segment scorer
-(reference agents/scorers/segment/segment_scorer.py:36-359): for each explained
-feature, ground the (refined) label with a zero-shot detector, generate masks
-with SAM, union them, and compute IoU against the SAE activation mask.
+"""IoU segment scorer — batched redesign.
 
-Differences from the reference are infrastructural only:
-* feature-index self-sharding uses the process index instead of
-  torch.distributed rank (reference segment_scorer.py:85-108);
-* the detector/segmentor are injectable callables so the scorer runs against
-  any backend (HF pipeline by default, a stub in tests).
-Score-dict schema (`iou_scores`, `avg_iou` with the +1-per-bad-case
-convention, `k`, `activated_pct`, `label`, -1 sentinel for unexplainable
-features) matches exactly.
+Semantics follow the reference (agents/scorers/segment/segment_scorer.py:
+36-359): ground each explained feature's (refined) label with a zero-shot
+detector, mask the detections with SAM, union them, and IoU against the SAE
+activation mask.  The score-dict schema (`iou_scores`, `avg_iou` with the
++1-per-bad-case convention, `k`, `activated_pct`, `label`, -1 sentinel for
+unexplainable features) is byte-compatible.
+
+The execution model is not the reference's: instead of one
+detect→segment→IoU round-trip per (feature, example) — thousands of
+single-image model calls — scoring runs as a staged pipeline over a flat
+work list:
+
+1. collect: drain the FeatureDataset loader into (feature, example) work
+   items; unexplainable features short-circuit to sentinel scores.
+2. detect:  ONE batched zero-shot-detection pass over every work item
+   (the HF pipeline consumes the whole list with `batch_size`).
+3. segment: SAM runs batched too — work items are bucketed by detection
+   count so each bucket is a single rectangular (images, boxes) call.
+4. score:   IoU / activated-pct reduce vectorized over each feature's
+   stacked example masks.
+
+Both model stages are injectable (`detect_fn`, `segment_fn`) so the scorer
+runs against any backend; `load_model()` installs the default HF
+pipeline + SAM pair.
 """
 
 from __future__ import annotations
 
 import asyncio
 import os
+from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -35,6 +49,37 @@ from ....utils import natsorted
 from .label_refiner import LabelRefiner
 from .utils import DetectionResult, get_boxes, refine_masks
 
+# A batched detect callback: (images, per-image label) -> per-image detections.
+DetectFn = Callable[[Sequence[Image.Image], Sequence[str]], List[List[DetectionResult]]]
+# A batched segment callback: (images, per-image box lists) -> per-image masks.
+SegmentFn = Callable[[Sequence[Image.Image], Sequence[list]], List[List[np.ndarray]]]
+
+_UNEXPLAINABLE = "Unable to produce descriptions"
+
+
+@dataclass
+class _WorkItem:
+    """One (feature, example) unit flowing through the staged pipeline."""
+
+    feature: str
+    example_index: int
+    image: Image.Image
+    mask: Image.Image
+    label: str
+    detections: List[DetectionResult] = field(default_factory=list)
+    failed: bool = False
+
+
+def _sentinel_score(feature: str, label: str) -> dict:
+    return {
+        "feature": feature,
+        "iou_scores": [],
+        "avg_iou": -1,
+        "k": -1,
+        "activated_pct": -1,
+        "label": label,
+    }
+
 
 def _process_info():
     try:
@@ -46,6 +91,10 @@ def _process_info():
 
 
 class SegmentScorer:
+    """Args mirror the reference CLI surface; `detect_fn`/`segment_fn`
+    override the model backends, `detect_batch_size` controls stage-2
+    batching."""
+
     def __init__(
         self,
         explanation_dir: str,
@@ -63,6 +112,9 @@ class SegmentScorer:
         num_image_tokens: Optional[int] = None,
         min_examples: int = 200,
         max_examples: int = 5,
+        detect_fn: Optional[DetectFn] = None,
+        segment_fn: Optional[SegmentFn] = None,
+        detect_batch_size: int = 8,
     ) -> None:
         self.detector_id = detector
         self.segmentor_id = segmentor
@@ -74,13 +126,15 @@ class SegmentScorer:
         self.explanation_dir = explanation_dir
         self.explanation = load_explanation(explanation_dir)
         self._image_processor = processor
-        self.object_detector = None
-        self.segmentator = None
-        self.sam_processor = None
-        self._maybe_shard(filters=filters)
+        self.detect_fn = detect_fn
+        self.segment_fn = segment_fn
+        self.detect_batch_size = detect_batch_size
+        self._shard_features(filters=filters)
         self._build_dataset(activation_dir, width, n_splits, selected_layer)
-        self._init_loader(tokens, processor)
+        self._constructor = pool_max_activations_windows_image
+        self._loader_tokens = tokens
 
+    # ---- setup -------------------------------------------------------------
     def _build_dataset(self, activation_dir, width, n_splits, selected_layer):
         self.modules = os.listdir(activation_dir)
         self.width = width
@@ -100,32 +154,19 @@ class SegmentScorer:
             features=self.filters,
         )
 
-    def _maybe_shard(self, filters=None):
+    def _shard_features(self, filters=None):
         """Split the natsorted explained-feature list over processes
-        (reference segment_scorer.py:85-108)."""
+        (replaces the reference's DDP tensor_split, segment_scorer.py:85-108)."""
         self.rank, world = _process_info()
         self.features = natsorted(self.explanation.keys())
         chunk_size = len(self.features) if filters is None else len(filters)
-        all_idx = np.arange(chunk_size)
-        self.feature_idx = np.array_split(all_idx, world)[self.rank]
+        self.feature_idx = np.array_split(np.arange(chunk_size), world)[self.rank]
         self.filters = self.feature_idx
         keep = set(self.feature_idx.tolist())
         self.features = [f for i, f in enumerate(self.features) if i in keep]
         self.filtered_explanation = {
             k: v for k, v in self.explanation.items() if k in self.features
         }
-
-    def _init_loader(self, tokens, processor):
-        self.loader = partial(
-            self.dataset.load,
-            constructor=partial(
-                pool_max_activations_windows_image,
-                tokens=tokens,
-                cfg=self.feature_cfg,
-                processor=processor,
-                num_image_tokens=self.num_image_tokens,
-            ),
-        )
 
     def refine(self, refiner: LabelRefiner, save_path):
         """Run the label refiner first (reference segment_scorer.py:121-124)."""
@@ -134,154 +175,219 @@ class SegmentScorer:
         refiner.save_result(save_path)
 
     def load_model(self):
-        """Default backends: HF zero-shot detection pipeline + SAM
-        (reference segment_scorer.py:126-136)."""
+        """Install the default HF backends: zero-shot-detection pipeline +
+        SAM mask generator (reference segment_scorer.py:126-136), both batched."""
         from transformers import AutoModelForMaskGeneration, AutoProcessor, pipeline
 
         logger.info(f"Loading object detector : {self.detector_id}")
-        self.object_detector = pipeline(
+        detector = pipeline(
             model=self.detector_id,
             task="zero-shot-object-detection",
             device=self.device,
         )
         logger.info(f"Loading segmentor : {self.segmentor_id}")
-        self.segmentator = AutoModelForMaskGeneration.from_pretrained(
-            self.segmentor_id
-        ).to(self.device)
-        self.sam_processor = AutoProcessor.from_pretrained(self.segmentor_id)
+        sam = AutoModelForMaskGeneration.from_pretrained(self.segmentor_id).to(
+            self.device
+        )
+        sam_processor = AutoProcessor.from_pretrained(self.segmentor_id)
+        self.detect_fn = partial(
+            hf_batched_detect,
+            detector,
+            threshold=self.threshold,
+            batch_size=self.detect_batch_size,
+        )
+        self.segment_fn = partial(hf_batched_segment, sam, sam_processor, self.device)
 
-    def __call__(self) -> Any:
-        self.scores = []
-        try:
-            from tqdm import tqdm
-
-            pbar = tqdm(total=len(self.features), desc="Perform scoring", disable=self.rank)
-        except ImportError:
-            pbar = None
-        for records in self.loader():
+    # ---- staged pipeline -----------------------------------------------------
+    def _collect(self) -> tuple:
+        """Stage 1: drain the loader into a flat work list; emit sentinel
+        scores for unexplainable features."""
+        loader = self.dataset.load(
+            constructor=partial(
+                self._constructor,
+                tokens=self._loader_tokens,
+                cfg=self.feature_cfg,
+                processor=self._image_processor,
+                num_image_tokens=self.num_image_tokens,
+            )
+        )
+        work: List[_WorkItem] = []
+        ordered: List[str] = []
+        sentinels: Dict[str, dict] = {}
+        for records in loader:
             for record in records:
-                explanation = self.explanation[f"{record.feature}"]
-                if "Unable to produce descriptions" in explanation:
-                    self.scores.append(
-                        {
-                            "feature": f"{record.feature}",
-                            "iou_scores": [],
-                            "avg_iou": -1,
-                            "k": -1,
-                            "activated_pct": -1,
-                            "label": explanation,
-                        }
-                    )
-                    if pbar:
-                        pbar.update(1)
+                feature = f"{record.feature}"
+                label = self.explanation[feature]
+                ordered.append(feature)
+                if _UNEXPLAINABLE in label:
+                    sentinels[feature] = _sentinel_score(feature, label)
                     continue
-                iou_scores = []
-                activated_pct = []
-                bad_cases = 0
-                for idx, example in enumerate(record.examples):
-                    image: Image.Image = example.image
-                    mask: Image.Image = example.mask
-                    image = image.resize(mask.size).convert("RGB")
+                for i, example in enumerate(record.examples):
+                    image = example.image.resize(example.mask.size).convert("RGB")
+                    work.append(_WorkItem(feature, i, image, example.mask, label))
+        return ordered, sentinels, work
+
+    def _detect_stage(self, work: List[_WorkItem]):
+        """Stage 2: one batched detection pass; batch failures degrade to
+        per-item calls so a poison image marks only itself failed."""
+        if not work:
+            return
+        try:
+            results = self.detect_fn(
+                [w.image for w in work], [w.label for w in work]
+            )
+            for w, dets in zip(work, results):
+                w.detections = dets
+        except Exception:
+            logger.info("Batched detection failed; retrying per item")
+            for w in work:
+                try:
+                    w.detections = self.detect_fn([w.image], [w.label])[0]
+                except Exception:
+                    w.failed = True
+
+    def _segment_stage(self, work: List[_WorkItem]):
+        """Stage 3: SAM over rectangular buckets (same detection count ⇒ one
+        batched call). Items with no detections are bad cases, like the
+        reference's raise-on-empty-boxes path."""
+        buckets: Dict[int, List[_WorkItem]] = {}
+        for w in work:
+            if w.failed:
+                continue
+            if not w.detections:
+                w.failed = True
+                continue
+            buckets.setdefault(len(w.detections), []).append(w)
+        for n_boxes, items in sorted(buckets.items()):
+            try:
+                masks = self.segment_fn(
+                    [w.image for w in items],
+                    [get_boxes(w.detections)[0] for w in items],
+                )
+            except Exception:
+                logger.info(f"Batched SAM failed for {n_boxes}-box bucket")
+                masks = []
+                for w in items:
                     try:
-                        image_np, detections = self.grounded_segmentation(
-                            image, [explanation]
+                        masks.append(
+                            self.segment_fn([w.image], get_boxes(w.detections))[0]
                         )
                     except Exception:
-                        logger.info(
-                            f"Unable to grounded for feature : {record.feature} - Top {idx + 1}"
-                        )
-                        iou_scores.append(-1)
-                        bad_cases += 1
-                        continue
-                    # Activation mask stores active regions as 0 and the
-                    # background as >=224; invert to binary active=1
-                    # (reference segment_scorer.py:176-181).
-                    mask_np = np.array(mask)
-                    mask_np = (mask_np < 224).astype(np.uint8)
-                    target = np.zeros_like(mask_np)
-                    for detection in detections:
-                        target = np.logical_or(detection.mask, target)
+                        w.failed = True
+                        masks.append(None)
+            for w, item_masks in zip(items, masks):
+                if item_masks is None:
+                    continue
+                for det, m in zip(w.detections, item_masks):
+                    det.mask = m
 
-                    iou_scores.append(self._calculate_iou(mask_np, target))
-                    activated_pct.append(
-                        mask_np.sum() / (mask.size[0] * mask.size[1])
-                    )
+    def _score_stage(self, ordered, sentinels, work) -> List[dict]:
+        """Stage 4: vectorized IoU / activated-pct per feature."""
+        by_feature: Dict[str, List[_WorkItem]] = {}
+        for w in work:
+            by_feature.setdefault(w.feature, []).append(w)
 
-                self.scores.append(
-                    {
-                        "feature": f"{record.feature}",
-                        "iou_scores": iou_scores,
-                        # Bad cases were appended as -1; the +bad_cases term
-                        # cancels them out of the mean (reference :196).
-                        "avg_iou": (sum(iou_scores) + bad_cases) / len(iou_scores)
-                        if iou_scores
-                        else -1,
-                        "k": len(iou_scores),
-                        "activated_pct": sum(activated_pct) / len(activated_pct)
-                        if len(activated_pct) != 0
-                        else 0,
-                        "label": explanation,
-                    }
+        scores = []
+        for feature in dict.fromkeys(ordered):  # preserve loader order
+            if feature in sentinels:
+                scores.append(sentinels[feature])
+                continue
+            items = sorted(by_feature.get(feature, []), key=lambda w: w.example_index)
+            label = items[0].label if items else self.explanation[feature]
+            iou_scores: List[float] = []
+            pcts: List[float] = []
+            bad = 0
+            for w in items:
+                if w.failed:
+                    iou_scores.append(-1)
+                    bad += 1
+                    continue
+                active = np.asarray(w.mask) < 224  # active regions stored dark
+                union_mask = np.logical_or.reduce(
+                    [np.asarray(d.mask, dtype=bool) for d in w.detections]
                 )
-                if pbar:
-                    pbar.update(1)
-        return self.scores
+                inter = np.logical_and(active, union_mask).sum()
+                uni = np.logical_or(active, union_mask).sum()
+                iou_scores.append(float(inter / uni) if uni else 0.0)
+                pcts.append(float(active.mean()))
+            scores.append(
+                {
+                    "feature": feature,
+                    "iou_scores": iou_scores,
+                    # Failures enter as -1; +bad cancels them out of the mean
+                    # (reference segment_scorer.py:196).
+                    "avg_iou": (sum(iou_scores) + bad) / len(iou_scores)
+                    if iou_scores
+                    else -1,
+                    "k": len(iou_scores),
+                    "activated_pct": sum(pcts) / len(pcts) if pcts else 0,
+                    "label": label,
+                }
+            )
+        return scores
 
-    def _calculate_iou(self, mask: np.ndarray, target: np.ndarray) -> float:
-        intersection = np.logical_and(target, mask)
-        union = np.logical_or(target, mask)
-        return float(np.sum(intersection) / np.sum(union))
-
-    def grounded_segmentation(
-        self, image: Image.Image, labels: List[str], polygon_refinement: bool = False
-    ) -> Tuple[np.ndarray, List[DetectionResult]]:
-        detections = self.detect(image, labels)
-        detections = self.segment(image, detections, polygon_refinement)
-        return np.array(image), detections
-
-    def detect(self, image: Image.Image, labels: List[str]) -> List[DetectionResult]:
-        """Zero-shot detection; labels get a trailing period
-        (reference segment_scorer.py:224-239)."""
-        labels = [label if label.endswith(".") else label + "." for label in labels]
-        results = self.object_detector(
-            image, candidate_labels=labels, threshold=self.threshold
+    def __call__(self) -> Any:
+        if self.detect_fn is None or self.segment_fn is None:
+            self.load_model()
+        ordered, sentinels, work = self._collect()
+        logger.info(
+            f"Scoring {len(dict.fromkeys(ordered))} features / {len(work)} examples"
         )
-        return [DetectionResult.from_dict(result) for result in results]
-
-    def segment(
-        self,
-        image: Image.Image,
-        detection_results: List[DetectionResult],
-        polygon_refinement: bool = False,
-    ) -> List[DetectionResult]:
-        """SAM masks for the detected boxes (reference segment_scorer.py:241-268)."""
-        boxes = get_boxes(detection_results)
-        inputs = self.sam_processor(
-            images=image, input_boxes=boxes, return_tensors="pt"
-        ).to(self.device)
-        outputs = self.segmentator(**inputs)
-        masks = self.sam_processor.post_process_masks(
-            masks=outputs.pred_masks,
-            original_sizes=inputs.original_sizes,
-            reshaped_input_sizes=inputs.reshaped_input_sizes,
-        )[0]
-        masks = refine_masks(masks, polygon_refinement)
-        for detection_result, mask in zip(detection_results, masks):
-            detection_result.mask = mask
-        return detection_results
+        self._detect_stage(work)
+        self._segment_stage(work)
+        self.scores = self._score_stage(ordered, sentinels, work)
+        return self.scores
 
 
 class RandomSegmentScorer(SegmentScorer):
     """Random-image baseline (reference segment_scorer.py:315-359)."""
 
-    def _init_loader(self, tokens, processor):
-        self.loader = partial(
-            self.dataset.load,
-            constructor=partial(
-                random_activations_image,
-                tokens=tokens,
-                cfg=self.feature_cfg,
-                processor=processor,
-                num_image_tokens=self.num_image_tokens,
-            ),
-        )
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._constructor = random_activations_image
+
+
+# ---- default HF backends ----------------------------------------------------
+def hf_batched_detect(
+    detector,
+    images: Sequence[Image.Image],
+    labels: Sequence[str],
+    threshold: float = 0.3,
+    batch_size: int = 8,
+) -> List[List[DetectionResult]]:
+    """Drive the HF zero-shot-object-detection pipeline over the whole work
+    list in one call (per-item candidate label, trailing period as the
+    grounding models expect)."""
+    inputs = [
+        {
+            "image": im,
+            "candidate_labels": [lab if lab.endswith(".") else lab + "."],
+        }
+        for im, lab in zip(images, labels)
+    ]
+    outputs = detector(inputs, threshold=threshold, batch_size=batch_size)
+    if len(inputs) == 1 and outputs and isinstance(outputs[0], dict):
+        outputs = [outputs]  # pipeline unwraps singleton batches
+    return [
+        [DetectionResult.from_dict(r) for r in per_image] for per_image in outputs
+    ]
+
+
+def hf_batched_segment(
+    sam,
+    sam_processor,
+    device,
+    images: Sequence[Image.Image],
+    boxes: Sequence[list],
+) -> List[List[np.ndarray]]:
+    """One SAM forward for a rectangular (images, boxes) bucket."""
+    inputs = sam_processor(
+        images=list(images), input_boxes=[list(b) for b in boxes], return_tensors="pt"
+    ).to(device)
+    outputs = sam(**inputs)
+    per_image = sam_processor.post_process_masks(
+        masks=outputs.pred_masks,
+        original_sizes=inputs.original_sizes,
+        reshaped_input_sizes=inputs.reshaped_input_sizes,
+    )
+    return [refine_masks(m, polygon_refinement=False) for m in per_image]

@@ -35,7 +35,7 @@ import numpy as np
 from ..config import SaeConfig
 from ..sae import Sae
 from ..sae.model import pre_acts as sae_pre_acts
-from ..ops import top_k
+from ..ops import sort_pairs_by_index, top_k
 
 
 def topk_latents_step(params, x: jax.Array, cfg: SaeConfig):
@@ -54,10 +54,12 @@ def topk_latents_step(params, x: jax.Array, cfg: SaeConfig):
     # selection: letting XLA interleave the two fusions costs ~11% end to end
     # (measured v5e: 74.7 -> 66.7 ms per 4096 tokens).
     latents = jax.lax.optimization_barrier(latents)
-    vals, idx = top_k(latents, cfg.k)
-    # sort_key_val is ~free on TPU where argsort+take_along_axis costs ~8x the
-    # top-k itself (measured: 31 ms vs <0.1 ms at (4096, 256)).
-    idx, vals = jax.lax.sort_key_val(idx, vals, dimension=-1)
+    # Post-ReLU latents are finite, so the -inf-defense clamp (a full
+    # materialized copy) is skipped.
+    vals, idx = top_k(latents, cfg.k, assume_finite=True)
+    # Rank-permutation sort on the MXU: XLA's sort_key_val lowering costs
+    # ~20 ms composed after the blockmax pipeline at (4096, 256) on v5e.
+    idx, vals = sort_pairs_by_index(idx, vals, max_index=latents.shape[-1])
     return vals.reshape(*lead, cfg.k), idx.reshape(*lead, cfg.k)
 
 
@@ -246,6 +248,27 @@ class FeatureCache:
             name: jax.jit(partial(topk_latents_step, cfg=sae.cfg))
             for name, sae in self.submodule_dict.items()
         }
+        self._stream = None
+        self._stream_n_splits = 0
+        self._stream_marks: Dict[str, int] = {}
+
+    def enable_streaming(self, save_dir: str, n_splits: int, rank: int = 0):
+        """Persist `Rank{r}_{start}_{end}.safetensors` shards incrementally
+        DURING the run (background thread) instead of partition+write-at-end,
+        amortizing `save_splits`' dead time (3.8 s/31M entries at flagship
+        scale) into the device loop; `save_splits` then just finalizes shard
+        headers (<0.5 s).  Call before `run()`."""
+        from .stream_writer import StreamingSplitWriter
+
+        os.makedirs(save_dir, exist_ok=True)
+        self._stream = StreamingSplitWriter(
+            save_dir,
+            self._generate_split_indices(n_splits),
+            rank=rank,
+            act_dtype=self.activation_dtype,
+        )
+        self._stream_n_splits = n_splits
+        self._stream_marks = {}
 
     def filter_submodules(self, filters: Dict[str, np.ndarray]):
         """Keep only hookpoints present in the filter (reference cache.py:151-156)."""
@@ -267,6 +290,19 @@ class FeatureCache:
             vals = np.asarray(vals, dtype=self.activation_dtype)
             idx = np.asarray(idx)
             self.cache.add_topk(vals, idx, batch_number, module_path)
+            if self._stream is not None:
+                arena = self.cache._arenas[module_path]
+                mark = self._stream_marks.get(module_path, 0)
+                if arena.n > mark:
+                    # Views into the arena are safe to hand off: the producer
+                    # only appends past `n`, and growth reallocates (the old
+                    # buffer stays alive under the submitted views).
+                    self._stream.submit(
+                        module_path,
+                        arena.loc[mark : arena.n],
+                        arena.act[mark : arena.n],
+                    )
+                    self._stream_marks[module_path] = arena.n
 
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
@@ -322,6 +358,24 @@ class FeatureCache:
         (e.g. 128 features at width 131072 / 128 splits).  We keep those
         features by default; pass `replicate_boundary_drop=True` only when
         bit-matching reference-produced caches."""
+        if getattr(self, "_stream", None) is not None:
+            if replicate_boundary_drop:
+                raise ValueError(
+                    "streaming shard writes keep boundary features; disable "
+                    "enable_streaming() to replicate the reference's "
+                    "boundary-drop bug"
+                )
+            if n_splits != self._stream_n_splits:
+                raise ValueError(
+                    f"streaming was enabled with n_splits="
+                    f"{self._stream_n_splits}, got {n_splits}"
+                )
+            counts = self._stream.close()
+            self._stream = None
+            for module_path, n in counts.items():
+                have = self.cache._arenas[module_path].n
+                assert n == have, (module_path, n, have)
+            return
         from safetensors.numpy import save_file
 
         split_indices = self._generate_split_indices(n_splits)

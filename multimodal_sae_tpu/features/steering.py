@@ -34,6 +34,33 @@ def clamp_features_max(sae: Sae, feature: int, k: float = 10) -> Callable:
     return intervention
 
 
+def clamp_features_max_batched(sae: Sae, features, k: float = 10) -> Callable:
+    """Batched steering intervention: row b of the hidden batch gets
+    `features[b]` clamped to `k`.
+
+    The reference steers 5k+ features with one full autoregressive `generate`
+    per feature, strictly sequentially (reference
+    launch/features/steering.py:71-78) — an architecture artifact of its hook
+    API. Since every steered generation shares the same prompt, the feature
+    index can ride the *batch axis* of the jitted generate loop instead: one
+    compiled program steers F features per sweep. Per-row math is identical to
+    `clamp_features_max` (the scatter touches only that row's latent)."""
+    import jax.numpy as jnp
+
+    params, cfg = sae.params, sae.cfg
+    features = jnp.asarray(features, jnp.int32)  # (B,)
+
+    def intervention(h: jax.Array) -> jax.Array:
+        latents = sae_pre_acts(params, h)
+        rows = jnp.arange(latents.shape[0])
+        latents = latents.at[rows, :, features].set(k)
+        top_acts, top_indices = select_topk(latents, cfg.k)
+        out = sae_decode(params, top_acts, top_indices)
+        return out.astype(h.dtype)
+
+    return intervention
+
+
 class SteeringController:
     """Generates baseline vs per-feature clamped continuations
     (reference steering.py:13-100).
@@ -47,6 +74,11 @@ class SteeringController:
         prompt: user text.
         image_path: optional input image.
         k: clamp value (default 50).
+        feature_batch_size: features steered per generate call. The prompt is
+            shared, so features ride the batch axis of the jitted generate
+            loop (`clamp_features_max_batched`): F features per compiled
+            sweep instead of the reference's one-generation-per-feature
+            sequential loop (reference launch/features/steering.py:71-78).
     """
 
     def __init__(
@@ -60,6 +92,7 @@ class SteeringController:
         image_path: Optional[str] = None,
         k: float = 50,
         max_new_tokens: int = 512,
+        feature_batch_size: int = 1,
     ):
         self.sae = sae
         self.feature_idx = feature_idx
@@ -68,6 +101,7 @@ class SteeringController:
         self.processor = processor
         self.k = k
         self.max_new_tokens = max_new_tokens
+        self.feature_batch_size = max(1, int(feature_batch_size))
 
         conversation = [
             {"role": "user", "content": [{"type": "text", "text": prompt}]}
@@ -92,7 +126,7 @@ class SteeringController:
         else:
             self.batch = {"input_ids": [prompt_ids]}
 
-    def _decode_continuation(self, output) -> str:
+    def _decode_continuations(self, output) -> List[str]:
         import numpy as np
 
         prompt_len = len(self.batch["input_ids"][0]) if isinstance(
@@ -100,12 +134,28 @@ class SteeringController:
         ) else self.batch["input_ids"].shape[-1]
         cont = np.asarray(output)[:, prompt_len:]
         tokenizer = getattr(self.processor, "tokenizer", self.processor)
-        return tokenizer.batch_decode(cont, skip_special_tokens=True)[0]
+        return tokenizer.batch_decode(cont, skip_special_tokens=True)
+
+    def _replicate_batch(self, n: int) -> dict:
+        """Tile the single-prompt batch to `n` identical rows (preprocessing
+        is reused; identical pixel_values objects embed once per generate)."""
+        import numpy as np
+
+        if n == 1:
+            return self.batch
+        out = {}
+        for key, val in self.batch.items():
+            if isinstance(val, list):
+                out[key] = [v for v in val for _ in range(n)] if len(val) == 1 else list(val) * n
+            else:
+                arr = np.asarray(val)
+                out[key] = np.repeat(arr, n, axis=0)
+        return out
 
     def run(self) -> Dict[str, dict]:
         result_dict = {}
         output = self.model.generate(self.batch, max_new_tokens=self.max_new_tokens)
-        original_resps = self._decode_continuation(output)
+        original_resps = self._decode_continuations(output)[0]
 
         try:
             from tqdm import tqdm
@@ -113,21 +163,27 @@ class SteeringController:
             pbar = tqdm(total=len(self.feature_idx), desc="Clamping...")
         except ImportError:
             pbar = None
-        for idx in self.feature_idx:
-            feature_name = f"{self.module_name}_feature{idx}"
-            iv = {self.module_name: clamp_features_max(self.sae, int(idx), k=self.k)}
+        fbs = self.feature_batch_size
+        for i in range(0, len(self.feature_idx), fbs):
+            chunk = [int(f) for f in self.feature_idx[i : i + fbs]]
+            iv = {
+                self.module_name: clamp_features_max_batched(
+                    self.sae, chunk, k=self.k
+                )
+            }
             output = self.model.generate(
-                self.batch,
+                self._replicate_batch(len(chunk)),
                 max_new_tokens=self.max_new_tokens,
                 interventions=iv,
                 intervene_prefill_only=True,
             )
-            clamped_resps = self._decode_continuation(output)
-            result_dict[feature_name] = {
-                "original_resps": original_resps,
-                "clamped_resps": clamped_resps,
-                "idx": int(idx),
-            }
+            clamped = self._decode_continuations(output)
+            for idx, clamped_resps in zip(chunk, clamped):
+                result_dict[f"{self.module_name}_feature{idx}"] = {
+                    "original_resps": original_resps,
+                    "clamped_resps": clamped_resps,
+                    "idx": idx,
+                }
             if pbar:
-                pbar.update(1)
+                pbar.update(len(chunk))
         return result_dict

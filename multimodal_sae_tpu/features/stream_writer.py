@@ -1,0 +1,202 @@
+"""Streaming per-split shard persistence for the activation cache.
+
+The reference (and our round-1 port) buffers the whole COO stream in RAM and
+partitions + writes every `Rank{r}_{start}_{end}.safetensors` shard *after*
+the run (reference cache.py:243-309) — 3.8 s of dead time per 31M entries at
+flagship scale while the TPU sits idle.  This writer amortizes that cost into
+the run: as the arenas fill, chunks are partitioned by feature range
+(native two-pass `coo_partition_splits`) and appended to the final shard
+files by a background thread, overlapped with the device step.
+
+Shard layout trick: a safetensors file is `u64 header_len | JSON | data`, and
+the JSON spec allows trailing-whitespace padding.  We reserve a fixed-size
+header region up front, stream the `locations` bytes directly into the final
+file as they arrive, stream `activations` into a sidecar (its exact byte
+offset inside the file depends on the final count), and `finalize()` writes
+the real header into the reserved region and appends the sidecar — so the
+end-of-run cost is one small header write plus a copy of the activations
+stream (1/7th of the data) per split, <0.5 s at 31M entries.
+
+The streamed shard files parse with `safetensors.load_file` and contain
+arrays byte-identical to the buffered `save_splits` path, so rank-merged
+`{start}_{end}.safetensors` outputs stay byte-identical to the reference
+format (they are re-serialized by `concate_safetensors` either way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HDR = 256  # reserved bytes for `u64 len | JSON + space padding`
+_DTYPE_TAGS = {"float32": "F32", "float16": "F16", "int64": "I64"}
+
+
+class _SplitAppender:
+    """One open shard: locations stream straight into the final file after
+    the reserved header; activations stream into a sidecar."""
+
+    __slots__ = ("path", "f", "f_act", "n", "act_dtype")
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb", buffering=1 << 20)
+        self.f.write(b"\0" * _HDR)
+        self.f_act = open(path + ".acts", "wb", buffering=1 << 20)
+        self.n = 0
+        self.act_dtype: Optional[np.dtype] = None
+
+    def append(self, locs: np.ndarray, acts: np.ndarray):
+        if self.act_dtype is None:
+            self.act_dtype = acts.dtype
+        self.f.write(memoryview(np.ascontiguousarray(locs)))
+        self.f_act.write(memoryview(np.ascontiguousarray(acts)))
+        self.n += len(acts)
+
+    def finalize(self):
+        self.f_act.close()
+        act_dtype = np.dtype(self.act_dtype or np.float32)
+        tag = _DTYPE_TAGS[act_dtype.name]
+        n = self.n
+        loc_bytes = n * 3 * 8
+        act_bytes = n * act_dtype.itemsize
+        header = {
+            "locations": {
+                "dtype": "I64",
+                "shape": [n, 3],
+                "data_offsets": [0, loc_bytes],
+            },
+            "activations": {
+                "dtype": tag,
+                "shape": [n],
+                "data_offsets": [loc_bytes, loc_bytes + act_bytes],
+            },
+        }
+        blob = json.dumps(header, separators=(",", ":")).encode()
+        if len(blob) > _HDR - 8:
+            raise ValueError(f"header too large ({len(blob)} bytes)")
+        blob = blob + b" " * (_HDR - 8 - len(blob))  # spec-sanctioned padding
+        # Append the activations sidecar, then patch the reserved header.
+        with open(self.path + ".acts", "rb") as src:
+            while True:
+                chunk = src.read(1 << 24)
+                if not chunk:
+                    break
+                self.f.write(chunk)
+        self.f.seek(0)
+        self.f.write(int(_HDR - 8).to_bytes(8, "little"))
+        self.f.write(blob)
+        self.f.close()
+        os.remove(self.path + ".acts")
+
+
+class StreamingSplitWriter:
+    """Background-threaded per-split appenders for one cache run.
+
+    Args:
+        save_dir: cache root (shards land in `{save_dir}/{module}/`).
+        split_indices: [(start, inclusive_end), ...] feature ranges — the
+            same `linspace` partition `save_splits` uses.
+        rank: this host's rank (shard filename component).
+    """
+
+    def __init__(
+        self,
+        save_dir: str,
+        split_indices: Sequence[Tuple[int, int]],
+        rank: int = 0,
+        act_dtype=np.float32,
+    ):
+        self.save_dir = save_dir
+        self.split_indices = list(split_indices)
+        self.rank = rank
+        self.act_dtype = np.dtype(act_dtype)
+        self.boundaries = np.array(
+            [s for s, _ in self.split_indices] + [self.split_indices[-1][1] + 1],
+            dtype=np.int64,
+        )
+        self._appenders: Dict[Tuple[str, int], _SplitAppender] = {}
+        self._queue: "queue.Queue" = queue.Queue(maxsize=4)
+        self._error: List[BaseException] = []
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ---- producer side -----------------------------------------------------
+    def submit(self, module_path: str, locs: np.ndarray, acts: np.ndarray):
+        """Enqueue a COO chunk (row-major within the chunk) for partitioning
+        and appending.  Chunks must arrive in stream order per module."""
+        if self._error:
+            raise self._error[0]
+        if len(acts):
+            self._queue.put((module_path, locs, acts))
+
+    def close(self) -> Dict[str, int]:
+        """Drain the queue, finalize every shard header (creating empty
+        shards for splits a module never touched, like the buffered path),
+        and return per-module entry counts."""
+        self._queue.put(None)
+        self._thread.join()
+        if self._error:
+            raise self._error[0]
+        for module in self.modules():
+            for split_i in range(len(self.split_indices)):
+                self._get_appender(module, split_i)
+        counts: Dict[str, int] = {}
+        for (module, _split), app in sorted(self._appenders.items()):
+            counts[module] = counts.get(module, 0) + app.n
+            if app.act_dtype is None:
+                app.act_dtype = self.act_dtype
+            app.finalize()
+        return counts
+
+    # ---- worker side ---------------------------------------------------------
+    def _worker(self):
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    return
+                module, locs, acts = item
+                self._append_chunk(module, locs, acts)
+        except BaseException as e:  # surfaced on the producer thread
+            self._error.append(e)
+
+    def _append_chunk(self, module: str, locs: np.ndarray, acts: np.ndarray):
+        from ..native.coo import coo_partition_splits
+
+        if acts.dtype == np.float32:
+            parts = coo_partition_splits(locs, acts, self.boundaries)
+        else:  # the native partition is f32-only; never silently upcast
+            feats = locs[:, 2]
+            parts = [
+                (locs[m], acts[m])
+                for m in (
+                    (feats >= s) & (feats < e)
+                    for s, e in zip(self.boundaries[:-1], self.boundaries[1:])
+                )
+            ]
+        for split_i, (p_locs, p_acts) in enumerate(parts):
+            if not len(p_acts):
+                continue
+            self._get_appender(module, split_i).append(p_locs, p_acts)
+
+    def _get_appender(self, module: str, split_i: int) -> _SplitAppender:
+        key = (module, split_i)
+        app = self._appenders.get(key)
+        if app is None:
+            start, end = self.split_indices[split_i]
+            module_dir = os.path.join(self.save_dir, module)
+            os.makedirs(module_dir, exist_ok=True)
+            path = os.path.join(
+                module_dir, f"Rank{self.rank}_{start}_{end}.safetensors"
+            )
+            app = self._appenders[key] = _SplitAppender(path)
+        return app
+
+    def modules(self) -> List[str]:
+        return sorted({m for m, _ in self._appenders})

@@ -53,6 +53,9 @@ def main(cfg: CacheConfig):
         shard_size=shard_start,
         filters=filters,
     )
+    # Persist split shards incrementally during the run (the buffered
+    # partition+write-at-end path costs seconds of dead time at scale).
+    cache.enable_streaming(cfg.save_dir, cfg.n_splits, rank=rank)
     logger.info("Start caching activations")
     cache.run(cfg.ctx_len, dataset)
 

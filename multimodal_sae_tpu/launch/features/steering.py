@@ -32,6 +32,27 @@ def parse_argument():
     parser.add_argument("--filters", type=str, help="The filters json path")
     parser.add_argument("--clamp-value", "-k", type=float, default=50)
     parser.add_argument("--save-dir", "-s", default="./results/steering")
+    parser.add_argument(
+        "--feature-batch-size",
+        type=int,
+        default=8,
+        help="Features steered per generate call: the shared prompt lets "
+        "features ride the batch axis of the jitted generate loop (F "
+        "generations -> 1), unlike the reference's sequential per-feature "
+        "loop (reference launch/features/steering.py:71-78). Batched rows "
+        "compute the same math as sequential ones, but floating-point "
+        "reduction order varies with batch shape, so a long greedy horizon "
+        "can diverge after a near-tie argmax (standard batched-inference "
+        "numerics; the reference's HF batching behaves the same) — set 1 "
+        "for exactly-sequential behavior.",
+    )
+    parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument(
+        "--dtype",
+        choices=["bfloat16", "float32", "float16"],
+        default="bfloat16",
+        help="Subject model dtype",
+    )
     return parser.parse_args()
 
 
@@ -39,7 +60,11 @@ def main():
     args = parse_argument()
     rank, world = shard_info()
 
-    model, processor, tokenizer = load_subject_model(args.model)
+    import jax.numpy as jnp
+
+    model, processor, tokenizer = load_subject_model(
+        args.model, dtype=getattr(jnp, args.dtype)
+    )
     if processor is None:  # text-only subject model
         processor = tokenizer
     filters = load_filter(args.filters)
@@ -56,6 +81,8 @@ def main():
             processor=processor,
             image_path=args.image_path,
             k=args.clamp_value,
+            max_new_tokens=args.max_new_tokens,
+            feature_batch_size=args.feature_batch_size,
         )
         result_dict = controller.run()
 

@@ -354,7 +354,18 @@ class LlavaNextModel:
         if "pixel_values" not in batch or batch["pixel_values"] is None:
             return embeds
         tok = self.cfg.image_token_index
+        feat_memo = {}  # id(pv) -> packed feats: replicated rows (batched
+        # steering tiles one prompt) run the vision tower once, not per row
         for b, (pv, size) in enumerate(zip(batch["pixel_values"], batch["image_sizes"])):
+            memo_key = (id(pv), tuple(size))
+            if memo_key in feat_memo:
+                feats = feat_memo[memo_key]
+                positions = np.nonzero(ids[b] == tok)[0]
+                assert len(positions) == feats.shape[0]
+                embeds = embeds.at[b, jnp.asarray(positions)].set(
+                    feats.astype(embeds.dtype)
+                )
+                continue
             n_patches = image_size_to_num_patches(
                 size, self.cfg.image_grid_pinpoints, self.cfg.vision_config.image_size
             )
@@ -364,6 +375,7 @@ class LlavaNextModel:
             feats = pack_image_features(
                 projected, self.params["image_newline"], self.cfg, size
             )
+            feat_memo[memo_key] = feats
             positions = np.nonzero(ids[b] == tok)[0]
             assert len(positions) == feats.shape[0], (
                 f"image token count {len(positions)} != packed features {feats.shape[0]}"

@@ -1,4 +1,11 @@
-from .topk import top_k, blockwise_top_k, blockmax_top_k, kth_value, kth_value_bitwise
+from .topk import (
+    top_k,
+    blockwise_top_k,
+    blockmax_top_k,
+    kth_value,
+    kth_value_bitwise,
+    sort_pairs_by_index,
+)
 from .sparse_decode import (
     sparse_decode,
     eager_decode,

@@ -80,7 +80,7 @@ def blockwise_top_k(
     return vals, idx
 
 
-def _block_filter(x2: jax.Array, k: int, block: int):
+def _block_filter(x2: jax.Array, k: int, block: int, assume_finite: bool = False):
     """One level of block-max filtering: returns (candidates (n, k*block),
     winning block ids (n, k)).
 
@@ -93,16 +93,20 @@ def _block_filter(x2: jax.Array, k: int, block: int):
 
     n, width = x2.shape
     nb = width // block
-    # Clamp -inf (masking pattern) to the finite minimum ONLY on the einsum
-    # operand, where 0 * -inf = NaN would corrupt the gather; max() itself is
-    # -inf-safe.  The clamp fuses into the einsum's operand read, so no
-    # clamped copy is ever materialized (keeping it out of the Pallas input,
-    # which XLA cannot fuse into).
-    blocks = jnp.maximum(x2, jnp.finfo(x2.dtype).min).reshape(n, nb, block)
+    if assume_finite:
+        # Post-ReLU SAE latents are always finite; the defensive clamp below
+        # materializes a full clamped copy of the operand (XLA does not fuse
+        # it into the einsum read): +6.5 ms at (4096, 131072) bf16 on v5e.
+        blocks = x2.reshape(n, nb, block)
+    else:
+        # Clamp -inf (masking pattern) to the finite minimum on the einsum
+        # operand, where 0 * -inf = NaN would corrupt the gather; max()
+        # itself is -inf-safe.
+        blocks = jnp.maximum(x2, jnp.finfo(x2.dtype).min).reshape(n, nb, block)
     if use_pallas_block_max(x2, block):
-        # One streaming pass at DMA speed (XLA's reduce fusion runs ~4x off
-        # HBM peak here) and a scheduling boundary the compiler cannot smear
-        # into the upstream matmul.
+        # Beats XLA's reduce fusion 1.45x at block=128 (7.7 vs 11.1 ms at
+        # (4096, 131072) bf16 v5e); ties it at block=64 (the kernel's lane
+        # constraint only admits block=128).
         bmax = pallas_block_max(x2, block, interpret=not _on_tpu())
     else:
         bmax = x2.reshape(n, nb, block).max(axis=-1)
@@ -127,8 +131,68 @@ def _block_filter(x2: jax.Array, k: int, block: int):
     return cand.reshape(n, k * block), bidx
 
 
+def _one_hot_gather_int(table: jax.Array, pos: jax.Array) -> jax.Array:
+    """`take_along_axis(table, pos, axis=-1)` for int tables via a one-hot
+    MXU matmul — exact for |values| < 2^24 (f32 mantissa).  XLA's native
+    per-row gather lowering costs ~10 ms per call at (4096, 256) on v5e where
+    the einsum is ~free; the two translation gathers below plus the final
+    index sort account for ~20 ms of the cache step without this
+    (46.5 -> 66.8 ms measured)."""
+    oh = jax.nn.one_hot(pos, table.shape[-1], dtype=jnp.float32)
+    out = jnp.einsum(
+        "...kj,...j->...k",
+        oh,
+        table.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(table.dtype)
+
+
+def sort_pairs_by_index(
+    idx: jax.Array, vals: jax.Array, max_index: Optional[int] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort (idx, vals) ascending by idx along the last axis.
+
+    For the (n, k<=1024) unique-int-index case (top-k output), a rank
+    permutation applied with one-hot MXU matmuls: rank_i = #{j: idx_j <
+    idx_i} is exact for *unique* indices (top-k positions always are), and
+    the permutation matmul copies payloads bit-for-bit (1.0 * v with HIGHEST
+    precision).  XLA's `sort_key_val` lowering costs ~20 ms composed after
+    the blockmax pipeline at (4096, 256) on v5e; this costs <1 ms.  Falls
+    back to `lax.sort_key_val` when the exactness preconditions don't hold:
+    wide k, f64 payloads, or index values not provably < 2^24 (pass
+    `max_index` — e.g. the top-k width — to assert that bound)."""
+    k = idx.shape[-1]
+    if k > 1024 or vals.dtype == jnp.float64 or (
+        max_index is None or max_index >= 1 << 24
+    ):
+        i, v = jax.lax.sort_key_val(idx, vals, dimension=-1)
+        return i, v
+    ranks = jnp.sum(
+        (idx[..., None, :] < idx[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    oh = jax.nn.one_hot(ranks, k, dtype=jnp.float32)
+    vals_s = jnp.einsum(
+        "...k,...kj->...j",
+        vals.astype(jnp.float32),
+        oh,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(vals.dtype)
+    idx_s = jnp.einsum(
+        "...k,...kj->...j",
+        idx.astype(jnp.float32),
+        oh,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(idx.dtype)
+    return idx_s, vals_s
+
+
 def blockmax_top_k(
-    x: jax.Array, k: int, block: int = 64, block2: int = 8
+    x: jax.Array,
+    k: int,
+    block: int = 64,
+    block2: int = 8,
+    assume_finite: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k via recursive block-max filtering with one-hot gathers.
 
@@ -152,7 +216,9 @@ def blockmax_top_k(
     # one-hot gather operand inside `_block_filter` (0 * -inf = NaN there);
     # returned *values* for -inf entries therefore read finfo.min instead of
     # -inf (indices are unaffected). Callers needing literal -inf values
-    # back should use blockwise_top_k.
+    # back should use blockwise_top_k. `assume_finite=True` skips the clamp
+    # (a full materialized copy, +6.5 ms at flagship shape) — safe for
+    # post-ReLU latents.
     x2 = x.reshape(-1, width)
     n = x2.shape[0]
     pad = (-width) % block
@@ -163,20 +229,27 @@ def blockmax_top_k(
         x2 = jnp.concatenate([x2, fill], axis=-1)
         width += pad
 
-    cand1, bidx1 = _block_filter(x2, k, block)  # (n, k*block)
+    # Index-translation gathers run as one-hot matmuls when exactness allows
+    # (values < 2^24): XLA's per-row gather costs ~10 ms/call here.
+    use_mm_gather = k <= 1024 and width <= 1 << 24
+
+    def _gather(table, pos):
+        if use_mm_gather:
+            return _one_hot_gather_int(table, pos)
+        return jnp.take_along_axis(table, pos, axis=1)
+
+    cand1, bidx1 = _block_filter(x2, k, block, assume_finite)  # (n, k*block)
 
     if k * block > 4096 and block % block2 == 0 and block2 > 1:
-        cand2, bidx2 = _block_filter(cand1, k, block2)  # (n, k*block2)
+        # Level-1 candidates are finite even for -inf inputs (clamped there).
+        cand2, bidx2 = _block_filter(cand1, k, block2, True)  # (n, k*block2)
         vals, pos2 = jax.lax.top_k(cand2, k)
         # position in level-1 candidate space
-        pos1 = (
-            jnp.take_along_axis(bidx2, pos2 // block2, axis=1) * block2
-            + pos2 % block2
-        )
+        pos1 = _gather(bidx2, pos2 // block2) * block2 + pos2 % block2
     else:
         vals, pos1 = jax.lax.top_k(cand1, k)
 
-    sel_block = jnp.take_along_axis(bidx1, pos1 // block, axis=1)
+    sel_block = _gather(bidx1, pos1 // block)
     idx = sel_block * block + (pos1 % block)
     return vals.reshape(*lead, k), idx.reshape(*lead, k)
 
@@ -270,6 +343,7 @@ def top_k(
     num_blocks: Optional[int] = None,
     approx: bool = False,
     recall_target: float = 0.95,
+    assume_finite: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k over the last axis.
 
@@ -278,24 +352,24 @@ def top_k(
     block-max filtering for wide axes (where the k winning blocks cover a
     small fraction of the width), blockwise reduction otherwise — both of
     which the bit-exact cache path can rely on.
+
+    `assume_finite=True` promises no -inf/NaN inputs (e.g. post-ReLU SAE
+    latents), letting the filter skip a defensive clamp that costs a full
+    materialized copy of the operand (+6.5 ms at (4096, 131072) bf16, v5e).
     """
     if approx:
         return jax.lax.approx_max_k(x, k, recall_target=recall_target)
     width = x.shape[-1]
     if num_blocks is None and width >= 32768:
-        # Prefer block=128 when the Pallas reduce can take it (the kernel's
-        # lane-width constraint; still a 4x row shrink for k=256 @ 131072),
-        # else shrink the block until the k winning blocks cover at most 1/4
-        # of the width (the filter must discard most of the row to pay for
+        # Shrink the block until the k winning blocks cover at most 1/4 of
+        # the width (the filter must discard most of the row to pay for
         # itself); e.g. k=256 -> block 64, k=1024 (multi-topk 4k) -> block 32.
-        from .pallas_topk import use_pallas_block_max
-
-        x2 = x.reshape(-1, width)
-        if k * 128 * 4 <= width and use_pallas_block_max(x2, 128):
-            return blockmax_top_k(x, k, block=128)
+        # block=128 + the Pallas reduce was measured NET slower at flagship
+        # shape (33.2 vs 26.4 ms): the kernel wins the reduce (7.7 vs 11.1 ms
+        # at block=128) but the 2x candidate set costs more downstream.
         block = 64
         while block > 8 and k * block * 4 > width:
             block //= 2
         if k * block * 4 <= width and width % block == 0:
-            return blockmax_top_k(x, k, block=block)
+            return blockmax_top_k(x, k, block=block, assume_finite=assume_finite)
     return blockwise_top_k(x, k, num_blocks=num_blocks)

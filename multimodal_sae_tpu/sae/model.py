@@ -118,8 +118,11 @@ def pre_acts(params: Params, x: jax.Array) -> jax.Array:
 
 
 def select_topk(latents: jax.Array, k: int) -> EncoderOutput:
-    """Select the top-k latents (reference sae.py:179-181)."""
-    return EncoderOutput(*top_k(latents, k))
+    """Select the top-k latents (reference sae.py:179-181).
+
+    Latents are post-ReLU (finite by construction), so the wide-top-k filter
+    may skip its -inf defense clamp."""
+    return EncoderOutput(*top_k(latents, k, assume_finite=True))
 
 
 def encode(params: Params, x: jax.Array, cfg: SaeConfig) -> EncoderOutput:

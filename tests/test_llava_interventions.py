@@ -126,6 +126,30 @@ def test_steering_controller_multimodal(llava, sae, tmp_path):
     )
 
 
+def test_batched_steering_matches_sequential_multimodal(llava, sae, tmp_path):
+    """Multimodal batched steering: replicated image rows (vision tower memoized
+    per unique pixel_values) must reproduce the sequential per-feature path."""
+    img_path = tmp_path / "img.png"
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(img_path)
+
+    def run(fbs):
+        return SteeringController(
+            sae=sae,
+            module_name="model.layers.1",
+            feature_idx=[3, 7, 21],
+            model=llava,
+            processor=FakeProcessor(),
+            prompt="hi",
+            image_path=str(img_path),
+            k=100.0,
+            max_new_tokens=4,
+            feature_batch_size=fbs,
+        ).run()
+
+    assert run(1) == run(2)
+
+
 def test_attribution_class_multimodal(llava, sae, tmp_path):
     rng = np.random.default_rng(1)
     img_path = tmp_path / "probe.png"

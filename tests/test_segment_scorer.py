@@ -1,6 +1,7 @@
-"""SegmentScorer flow test with stub detector/segmentor backends: IoU math,
-score schema (incl. the avg_iou bad-case convention and the -1 sentinel for
-unexplainable features), and feature sharding."""
+"""SegmentScorer tests: staged-pipeline flow with stub backends (IoU math,
+score schema incl. the avg_iou bad-case convention and the -1 sentinel),
+feature sharding, and the REAL HF zero-shot-object-detection pipeline + SAM
+driven with tiny random models (VERDICT r1 item 6)."""
 
 import json
 
@@ -10,6 +11,10 @@ import pytest
 import jax
 
 from multimodal_sae_tpu.agents.scorers import SegmentScorer
+from multimodal_sae_tpu.agents.scorers.segment.segment_scorer import (
+    hf_batched_detect,
+    hf_batched_segment,
+)
 from multimodal_sae_tpu.agents.scorers.segment.utils import (
     BoundingBox,
     DetectionResult,
@@ -45,54 +50,38 @@ def _make_cache(tmp_path, module="model.layers.24", width=64):
     return tmp_path / "acts"
 
 
-class StubDetector:
-    def __call__(self, image, candidate_labels, threshold):
-        assert candidate_labels[0].endswith(".")
-        w, h = image.size
-        return [
-            {
-                "score": 0.9,
-                "label": candidate_labels[0],
-                "box": {"xmin": 0, "ymin": 0, "xmax": w, "ymax": h // 2},
-            }
-        ]
+def _top_half_detect(images, labels):
+    """Stub batched detector: one box over the top half of every image."""
+    out = []
+    for im, lab in zip(images, labels):
+        w, h = im.size
+        out.append(
+            [
+                DetectionResult(
+                    score=0.9,
+                    label=lab,
+                    box=BoundingBox(xmin=0, ymin=0, xmax=w, ymax=h // 2),
+                )
+            ]
+        )
+    return out
 
 
-class StubSamProcessor:
-    def __call__(self, images, input_boxes, return_tensors):
-        class Inputs(dict):
-            original_sizes = [images.size[::-1]]
-            reshaped_input_sizes = [images.size[::-1]]
-
-            def to(self, device):
-                return self
-
-        self._size = images.size
-        return Inputs(boxes=input_boxes)
-
-    def post_process_masks(self, masks, original_sizes, reshaped_input_sizes):
-        return [masks]
+def _box_fill_segment(images, boxes):
+    """Stub batched segmentor: each box's mask is exactly the box region."""
+    out = []
+    for im, per_image in zip(images, boxes):
+        w, h = im.size
+        masks = []
+        for x0, y0, x1, y1 in per_image:
+            m = np.zeros((h, w), dtype=np.uint8)
+            m[y0:y1, x0:x1] = 1
+            masks.append(m)
+        out.append(masks)
+    return out
 
 
-class StubSegmentator:
-    """Produces a mask covering the top half of the image."""
-
-    def __init__(self, size=336):
-        self.size = size
-
-    def __call__(self, **inputs):
-        class Out:
-            pass
-
-        out = Out()
-        m = np.zeros((1, 1, self.size, self.size), dtype=np.float32) - 1.0
-        m[:, :, : self.size // 2, :] = 1.0
-        out.pred_masks = m
-        return out
-
-
-@pytest.fixture()
-def scorer(tmp_path):
+def _build_scorer(tmp_path, **kw):
     acts_dir = _make_cache(tmp_path)
     expl_dir = tmp_path / "expl"
     expl_dir.mkdir()
@@ -109,9 +98,11 @@ def scorer(tmp_path):
         {"image": Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)), "id": i}
         for i in range(6)
     ]
-    s = SegmentScorer(
+    kw.setdefault("detect_fn", _top_half_detect)
+    kw.setdefault("segment_fn", _box_fill_segment)
+    return SegmentScorer(
         explanation_dir=str(expl_dir),
-        activation_dir=str(tmp_path / "acts"),
+        activation_dir=str(acts_dir),
         tokens=tokens,
         processor=None,
         selected_layer="model.layers.24",
@@ -120,18 +111,16 @@ def scorer(tmp_path):
         num_image_tokens=4,  # 2x2 activation grid
         min_examples=1,
         max_examples=2,
+        **kw,
     )
-    s.object_detector = StubDetector()
-    s.segmentator = StubSegmentator()
-    s.sam_processor = StubSamProcessor()
-    return s
 
 
-def test_segment_scorer_scores(scorer):
-    scores = scorer()
+def test_segment_scorer_scores(tmp_path):
+    scores = _build_scorer(tmp_path)()
     by_feature = {s["feature"]: s for s in scores}
     # Unexplainable feature gets the sentinel row.
     assert by_feature["model.layers.24_feature1"]["avg_iou"] == -1
+    assert by_feature["model.layers.24_feature1"]["k"] == -1
     ok = by_feature["model.layers.24_feature0"]
     assert ok["k"] == 2 and len(ok["iou_scores"]) == 2
     # Feature 0 fires on the top row of the 2x2 grid. Bilinear mask upsampling
@@ -144,6 +133,20 @@ def test_segment_scorer_scores(scorer):
     assert ok["label"] == "the top half region"
 
 
+def test_segment_scorer_bad_case_convention(tmp_path):
+    """No detections ⇒ iou -1 entries that the +bad_cases term cancels out of
+    avg_iou (reference segment_scorer.py:196)."""
+
+    def no_detections(images, labels):
+        return [[] for _ in images]
+
+    scores = _build_scorer(tmp_path, detect_fn=no_detections)()
+    ok = {s["feature"]: s for s in scores}["model.layers.24_feature0"]
+    assert ok["iou_scores"] == [-1, -1]
+    assert ok["avg_iou"] == 0  # (-1 -1 + 2) / 2
+    assert ok["activated_pct"] == 0
+
+
 def test_segment_utils():
     det = DetectionResult.from_dict(
         {"score": 0.5, "label": "x", "box": {"xmin": 1, "ymin": 2, "xmax": 3, "ymax": 4}}
@@ -152,3 +155,151 @@ def test_segment_utils():
     assert get_boxes([det]) == [[[1, 2, 3, 4]]]
     masks = refine_masks(np.ones((2, 1, 4, 4), dtype=np.float32))
     assert len(masks) == 2 and masks[0].dtype == np.uint8
+
+
+# ---- real HF backends at tiny-random scale ----------------------------------
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def tiny_zero_shot_pipeline():
+    """The actual `transformers.pipeline(zero-shot-object-detection)` over a
+    tiny random OwlViT — exercises the real pipeline pre/post-processing that
+    `load_model` installs (reference segment_scorer.py:126-136)."""
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+
+    cfg = transformers.OwlViTConfig(
+        projection_dim=32,
+        text_config={
+            "vocab_size": 64,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "max_position_embeddings": 16,
+        },
+        vision_config={
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "image_size": 64,
+            "patch_size": 32,
+        },
+    )
+    torch.manual_seed(0)
+    model = transformers.OwlViTForObjectDetection(cfg).eval()
+
+    vocab = {f"w{i}": i for i in range(62)}
+    vocab["<unk>"] = 62
+    vocab["<pad>"] = 63
+    tok = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", pad_token="<pad>"
+    )
+    fast.model_input_names = ["input_ids", "attention_mask"]  # no token_type_ids
+    image_processor = transformers.OwlViTImageProcessor(
+        size={"height": 64, "width": 64}
+    )
+    return transformers.pipeline(
+        task="zero-shot-object-detection",
+        model=model,
+        tokenizer=fast,
+        image_processor=image_processor,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    cfg = transformers.SamConfig(
+        vision_config={
+            "hidden_size": 24,
+            "intermediate_size": 48,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "image_size": 64,
+            "patch_size": 16,
+            "output_channels": 32,
+            "num_pos_feats": 16,  # shared pos-embedding dim = 2*16 = hidden
+            "global_attn_indexes": [1],
+        },
+        prompt_encoder_config={
+            "hidden_size": 32,
+            "image_size": 64,
+            "patch_size": 16,
+            "image_embedding_size": 4,
+        },
+        mask_decoder_config={
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "iou_head_depth": 2,
+            "iou_head_hidden_dim": 32,
+        },
+    )
+    torch.manual_seed(0)
+    sam = transformers.SamModel(cfg).eval()
+    processor = transformers.SamProcessor(
+        transformers.SamImageProcessor(
+            size={"longest_edge": 64}, pad_size={"height": 64, "width": 64}
+        )
+    )
+    return sam, processor
+
+
+def test_hf_batched_detect_real_pipeline(tiny_zero_shot_pipeline):
+    rng = np.random.default_rng(0)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    labels = ["w1 w2", "w3", "w4 w5"]
+    out = hf_batched_detect(
+        tiny_zero_shot_pipeline, images, labels, threshold=0.0, batch_size=2
+    )
+    assert len(out) == 3
+    for dets in out:
+        for d in dets:
+            assert isinstance(d, DetectionResult)
+            assert d.box.xyxy[2] >= d.box.xyxy[0]
+
+
+def test_hf_batched_segment_real_sam(tiny_sam):
+    sam, processor = tiny_sam
+    rng = np.random.default_rng(1)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    boxes = [[[0, 0, 24, 24], [8, 8, 40, 40]], [[4, 4, 30, 30], [0, 0, 48, 20]]]
+    with torch.no_grad():
+        out = hf_batched_segment(sam, processor, "cpu", images, boxes)
+    assert len(out) == 2
+    for per_image in out:
+        assert len(per_image) == 2  # one mask per box
+        for m in per_image:
+            assert m.shape == (48, 48) and m.dtype == np.uint8
+
+
+def test_segment_scorer_with_real_models(tmp_path, tiny_zero_shot_pipeline, tiny_sam):
+    """Full staged pipeline through the genuine HF pipeline + SAM."""
+    from functools import partial
+
+    sam, sam_processor = tiny_sam
+    scorer = _build_scorer(
+        tmp_path,
+        detect_fn=partial(
+            hf_batched_detect, tiny_zero_shot_pipeline, threshold=0.0, batch_size=2
+        ),
+        segment_fn=partial(hf_batched_segment, sam, sam_processor, "cpu"),
+    )
+    with torch.no_grad():
+        scores = scorer()
+    by_feature = {s["feature"]: s for s in scores}
+    assert by_feature["model.layers.24_feature1"]["avg_iou"] == -1
+    ok = by_feature["model.layers.24_feature0"]
+    assert ok["k"] == 2 and len(ok["iou_scores"]) == 2
+    for iou in ok["iou_scores"]:
+        assert -1 <= iou <= 1

@@ -1,0 +1,123 @@
+"""Streaming split-shard persistence (features/stream_writer.py): shards
+written incrementally during the run must parse as valid safetensors, carry
+arrays byte-identical to the buffered `save_splits` path, and produce
+byte-identical merged `{start}_{end}.safetensors` files through
+`concate_safetensors` (VERDICT r1 item 8; reference format cache.py:243-309).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodal_sae_tpu.config import SaeConfig
+from multimodal_sae_tpu.features.cache import FeatureCache
+from multimodal_sae_tpu.sae import Sae
+
+D_IN = 16
+N_SPLITS = 4
+
+
+def _make_sae():
+    return Sae(D_IN, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0))
+
+
+def _run_cache(tmp_path, streaming: bool, n_batches=6, bs=2, seq=8):
+    sae = _make_sae()
+    keys = jax.random.split(jax.random.PRNGKey(3), n_batches)
+    batches = [jax.random.normal(k, (bs, seq, D_IN)) for k in keys]
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}
+
+    fc = FeatureCache(capture_fn, {"layers.0": sae}, batch_size=bs, shard_size=0)
+    if streaming:
+        fc.enable_streaming(str(tmp_path), N_SPLITS, rank=0)
+    for i, b in enumerate(batches):
+        fc.process_batch({"h": b}, i)
+    fc.cache.save()
+    fc.save_splits(N_SPLITS, str(tmp_path), rank=0)
+    return fc
+
+
+def test_streamed_rank_shards_match_buffered(tmp_path):
+    from safetensors.numpy import load_file
+
+    buf_dir = tmp_path / "buffered"
+    str_dir = tmp_path / "streamed"
+    os.makedirs(buf_dir)
+    os.makedirs(str_dir)
+    _run_cache(buf_dir, streaming=False)
+    _run_cache(str_dir, streaming=True)
+
+    files = sorted(os.listdir(buf_dir / "layers.0"))
+    assert files == sorted(os.listdir(str_dir / "layers.0"))
+    assert len(files) == N_SPLITS
+    assert not any(f.endswith(".acts") for f in files)  # sidecars cleaned up
+    for f in files:
+        a = load_file(str(buf_dir / "layers.0" / f))
+        b = load_file(str(str_dir / "layers.0" / f))
+        assert a["locations"].dtype == b["locations"].dtype == np.int64
+        assert a["activations"].dtype == b["activations"].dtype
+        np.testing.assert_array_equal(a["locations"], b["locations"])
+        np.testing.assert_array_equal(
+            a["activations"].view(np.uint8), b["activations"].view(np.uint8)
+        )
+
+
+def test_streamed_merged_files_byte_identical(tmp_path):
+    buf_dir = tmp_path / "buffered"
+    str_dir = tmp_path / "streamed"
+    os.makedirs(buf_dir)
+    os.makedirs(str_dir)
+    fc_b = _run_cache(buf_dir, streaming=False)
+    fc_s = _run_cache(str_dir, streaming=True)
+    fc_b.concate_safetensors(N_SPLITS, str(buf_dir))
+    fc_s.concate_safetensors(N_SPLITS, str(str_dir))
+
+    files = sorted(os.listdir(buf_dir / "layers.0"))
+    assert files == sorted(os.listdir(str_dir / "layers.0"))
+    for f in files:
+        assert (buf_dir / "layers.0" / f).read_bytes() == (
+            str_dir / "layers.0" / f
+        ).read_bytes(), f
+
+
+def test_streaming_rejects_boundary_drop_and_split_mismatch(tmp_path):
+    fc = _run_cache(tmp_path, streaming=False, n_batches=1)
+    fc.enable_streaming(str(tmp_path / "s2"), N_SPLITS)
+    with pytest.raises(ValueError):
+        fc.save_splits(N_SPLITS, str(tmp_path / "s2"), replicate_boundary_drop=True)
+    with pytest.raises(ValueError):
+        fc.save_splits(N_SPLITS + 1, str(tmp_path / "s2"))
+
+
+def test_streamed_empty_module_splits(tmp_path):
+    """A filter keeping only low features leaves high splits empty; the
+    streamed shards must still exist (like the buffered path) and merge."""
+    from safetensors.numpy import load_file
+
+    sae = _make_sae()
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}
+
+    fc = FeatureCache(
+        capture_fn,
+        {"layers.0": sae},
+        batch_size=2,
+        shard_size=0,
+        filters={"layers.0": np.array([0, 1, 2, 3])},
+    )
+    fc.enable_streaming(str(tmp_path), N_SPLITS, rank=0)
+    fc.process_batch({"h": jax.random.normal(jax.random.PRNGKey(0), (2, 8, D_IN))}, 0)
+    fc.cache.save()
+    fc.save_splits(N_SPLITS, str(tmp_path), rank=0)
+    files = sorted(os.listdir(tmp_path / "layers.0"))
+    assert len(files) == N_SPLITS
+    high = load_file(str(tmp_path / "layers.0" / files[-1]))
+    assert high["locations"].shape == (0, 3)
+    fc.concate_safetensors(N_SPLITS, str(tmp_path))
+    assert len(os.listdir(tmp_path / "layers.0")) == N_SPLITS
