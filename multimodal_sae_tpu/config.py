@@ -80,6 +80,13 @@ class TrainConfig:
     auxk_alpha: float = 0.0
     """Weight of the auxiliary (dead-latent) loss term."""
 
+    adam_8bit: bool = False
+    """Store Adam moments in 8-bit blockwise-quantized form (ops/adam8bit.py)
+    — the TPU equivalent of the reference's bitsandbytes Adam8bit (reference
+    trainer.py:139-147), ~4x less optimizer HBM (4.3 GB -> 1.1 GB at 131k
+    width). Explicit opt-in rather than the reference's silent
+    import-success autodetect."""
+
     dead_feature_threshold: int = 10_000_000
     """Number of tokens after which a feature is considered dead."""
 

@@ -4,6 +4,7 @@ from .topk import (
     blockmax_top_k,
     kth_value,
     kth_value_bitwise,
+    kth_value_histogram,
     sort_pairs_by_index,
 )
 from .sparse_decode import (
@@ -18,6 +19,7 @@ __all__ = [
     "top_k",
     "kth_value",
     "kth_value_bitwise",
+    "kth_value_histogram",
     "blockwise_top_k",
     "blockmax_top_k",
     "sparse_decode",

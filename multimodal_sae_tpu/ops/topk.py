@@ -275,8 +275,11 @@ def kth_value_bitwise(x: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest value along the last axis, shape (..., 1).
 
     Bitwise binary search over a monotone integer key: one masked count per
-    key bit (16 passes for bf16, 32 for f32), no sorting.  Kept as the
-    trusted oracle for `kth_value` (the 4x-fewer-pass histogram search)."""
+    key bit (16 passes for bf16, 32 for f32), no sorting.  Measured v5e at
+    (4096, 131072) bf16: 32.6 ms — XLA streams the uint16 compare+count
+    fusion at ~500 GB/s effective, already near the 16-pass memory floor,
+    which is why this remains `kth_value`'s dispatch target for 16-bit keys
+    (see `kth_value_histogram`)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     key = _monotone_key(x2)
@@ -294,15 +297,33 @@ def kth_value_bitwise(x: jax.Array, k: int) -> jax.Array:
 def kth_value(x: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest value along the last axis, shape (..., 1).
 
+    Cost is independent of k — use where k is too large for block-max
+    filtering to help (e.g. the AuxK dead-latent threshold at
+    k_aux = d_in/2, reference sae.py:207-227, where a full-width
+    `lax.top_k` is ~20x slower).  Dispatch measured on v5e at
+    (4096, 131072): 16-bit keys -> bitwise search (32.6 ms; the nibble
+    histogram does NOT fuse and measures 62.7 ms), 32-bit keys -> nibble
+    histogram (8 rounds vs 32 bitwise passes)."""
+    if jnp.dtype(x.dtype).itemsize <= 2:
+        return kth_value_bitwise(x, k)
+    return kth_value_histogram(x, k)
+
+
+def kth_value_histogram(x: jax.Array, k: int) -> jax.Array:
+    """Exact k-th largest value along the last axis, shape (..., 1).
+
     Nibble-wise histogram binary search over a monotone integer key: each
-    round streams the keys ONCE and counts all 16 values of the next nibble
-    simultaneously (a broadcast-compare reduce XLA fuses into 16 running
-    accumulators), so bf16 needs 4 passes over the data and f32 needs 8 —
-    vs 16/32 for the bit-at-a-time search (`kth_value_bitwise`) and a full
-    sort for `lax.top_k`.  Cost is independent of k — use where k is too
-    large for block-max filtering to help (e.g. the AuxK dead-latent
-    threshold at k_aux = d_in/2, reference sae.py:207-227, where a
-    full-width `lax.top_k` is ~20x slower)."""
+    round nominally streams the keys once and counts all 16 values of the
+    next nibble simultaneously, so bf16 needs 4 rounds and f32 needs 8 — vs
+    16/32 for the bit-at-a-time search.
+
+    Measured v5e at (4096, 131072) bf16: 62.7 ms — SLOWER than the 16-pass
+    bitwise search (32.6 ms): XLA materializes the (N, C, 16)
+    broadcast-compare intermediate instead of fusing it into 16 running
+    accumulators (a 16-separate-reduces formulation measures 35.3 ms, and a
+    2-round one-hot-einsum byte histogram 213 ms — the per-(n,c)-varying
+    one-hot defeats the MXU operand fusion that makes the top-k gathers
+    free).  Kept for 32-bit keys, where 8 rounds beat 32 bitwise passes."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     rows = x2.shape[0]

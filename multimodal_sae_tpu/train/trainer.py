@@ -141,7 +141,13 @@ class SaeTrainer:
         # horizon (trainer.py:155-157); kept for parity.
         self.schedule = linear_warmup_schedule(cfg.lr_warmup_steps, num_batches)
 
-        self.optimizer = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        if cfg.adam_8bit:
+            from ..ops.adam8bit import scale_by_adam8bit
+
+            rank0_print("Using 8-bit blockwise Adam state")
+            self.optimizer = scale_by_adam8bit(b1=0.9, b2=0.999, eps=1e-8)
+        else:
+            self.optimizer = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self.opt_states = {
             name: self.optimizer.init(sae.params) for name, sae in self.saes.items()
         }

@@ -51,9 +51,12 @@ def test_topk_fuzz(seed):
 
 
 def test_kth_value_histogram_matches_bitwise_adversarial():
-    """The 4-pass nibble-histogram search must agree bit-for-bit with the
-    bit-at-a-time oracle on ties, negatives, infs, and degenerate rows."""
+    """The nibble-histogram search must agree bit-for-bit with the
+    bit-at-a-time oracle on ties, negatives, infs, and degenerate rows.
+    (kth_value dispatches: bitwise for 16-bit keys, histogram for 32-bit —
+    both paths are exercised against the oracle here.)"""
     from multimodal_sae_tpu.ops import kth_value_bitwise
+    from multimodal_sae_tpu.ops.topk import kth_value_histogram
 
     rng = np.random.default_rng(7)
     for dtype in (jnp.float32, jnp.bfloat16):
@@ -67,6 +70,7 @@ def test_kth_value_histogram_matches_bitwise_adversarial():
         ]
         x = jnp.asarray(np.stack(rows)).astype(dtype)
         for k in (1, 7, 256, 511):
-            a = np.asarray(kth_value(x, k), np.float32)
             b = np.asarray(kth_value_bitwise(x, k), np.float32)
-            np.testing.assert_array_equal(a, b, err_msg=f"{dtype} k={k}")
+            for name, fn in (("hist", kth_value_histogram), ("dispatch", kth_value)):
+                a = np.asarray(fn(x, k), np.float32)
+                np.testing.assert_array_equal(a, b, err_msg=f"{name} {dtype} k={k}")
