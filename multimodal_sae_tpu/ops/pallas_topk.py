@@ -1,15 +1,15 @@
-"""Pallas TPU kernels for the wide top-k hot path.
+"""Pallas TPU kernel for the block-max reduce of the wide top-k hot path.
 
-The cache/training step's dominant non-matmul cost is streaming the
-(N, 131072) pre-activation tensor: XLA's reduce/elementwise fusions move it
-at ~150-200 GB/s effective on v5e — ~4x off the 819 GB/s HBM peak — and XLA
-additionally interleaves the reduce badly with the encoder matmul (~18 ms of
-scheduling residue at flagship shape, BASELINE.md r1 notes).  This module
-provides the reduce stage of `ops.topk.blockmax_top_k` as a Pallas kernel:
-one clean streaming pass at DMA speed, and a hard scheduling boundary XLA
-cannot smear.
+Measured reality (v5e, (4096, 131072) bf16): the kernel beats XLA's reduce
+fusion 1.45x at block=128 (7.7 vs 11.1 ms) and TIES it at block=64 (7.7 ms
+both) — and the block=64 filter wins end-to-end because its candidate set is
+half the size, so the dispatcher in ops/topk.py no longer prefers this
+kernel (the r1 "fused reduce reclaims the scheduling residue" hypothesis did
+not survive measurement; the residue turned out to be gather/sort lowerings,
+fixed with one-hot MXU matmuls in ops/topk.py).  The kernel stays available
+for block=128 shapes and as the template for future fused-epilogue work.
 
-Replaces the role of the reference's Triton block-sparse kernels as the
+Fills the role of the reference's Triton block-sparse kernels as the
 "custom kernel under the top-k SAE hot path" (reference
 sae_auto_interp/sae/kernels.py:403-429) — the TPU-shaped operation is a
 block-max filter feeding exact narrow top-ks, not a scatter/gather.

@@ -185,7 +185,9 @@ def topk_mask_decode(
     # the bitwise exact k-th value is ~5x cheaper again (35 vs 165 ms at
     # k=1024) and costs the same for any k.
     if k * 256 <= pre_acts.shape[-1]:
-        kth = top_k(pre_acts, k)[0][..., -1:]
+        # assume_finite: pre_acts are ReLU'd by contract (docstring above),
+        # so the -inf defense clamp (a materialized copy) is skipped.
+        kth = top_k(pre_acts, k, assume_finite=True)[0][..., -1:]
     else:
         kth = kth_value(pre_acts, k)
     kth = jax.lax.stop_gradient(kth)
