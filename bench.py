@@ -223,28 +223,40 @@ def full_depth_bench():
 
     hook = "layers.24"  # the released SAE's hookpoint (train/sae/README.md:37)
 
-    def step(params, ids):
-        lp, sp = params
-        out = llama_forward(lp, lcfg, ids, capture=(hook,), return_logits=False)
-        return topk_latents_step(sp, out["captured"][hook], cfg)
+    def time_variant(model_cfg):
+        def step(params, ids):
+            lp, sp = params
+            out = llama_forward(
+                lp, model_cfg, ids, capture=(hook,), return_logits=False
+            )
+            return topk_latents_step(sp, out["captured"][hook], cfg)
 
-    @jax.jit
-    def loop(params, ids):
-        def body(_, carry):
-            ids, acc = carry
-            vals, idx = step(params, ids)
-            s = jnp.sum(vals).astype(jnp.float32)
-            ids = jnp.roll(ids, s.astype(jnp.int32) & 1)
-            return (ids, acc + s)
+        @jax.jit
+        def loop(params, ids):
+            def body(_, carry):
+                ids, acc = carry
+                vals, idx = step(params, ids)
+                s = jnp.sum(vals).astype(jnp.float32)
+                ids = jnp.roll(ids, s.astype(jnp.int32) & 1)
+                return (ids, acc + s)
 
-        return jax.lax.fori_loop(0, 10, body, (ids, jnp.zeros((), jnp.float32)))[1]
+            return jax.lax.fori_loop(
+                0, 10, body, (ids, jnp.zeros((), jnp.float32))
+            )[1]
 
-    t0 = time.perf_counter()
-    float(loop((lparams, sae_params), ids))
-    _log(f"  full-depth compile+warm {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    float(loop((lparams, sae_params), ids))
-    dt = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        float(loop((lparams, sae_params), ids))
+        _log(f"  compile+warm {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        float(loop((lparams, sae_params), ids))
+        return (time.perf_counter() - t0) / 10
+
+    _log("timing bf16-compute (weight-only int8) subject...")
+    dt_bf16 = time_variant(lcfg)
+    _log(f"  bf16 compute: {dt_bf16 * 1e3:.1f} ms/step; timing int8 MXU...")
+    dt_int8 = time_variant(dataclasses.replace(lcfg, int8_matmul=True))
+    _log(f"  int8 compute: {dt_int8 * 1e3:.1f} ms/step")
+    dt = min(dt_bf16, dt_int8)
     tokens = batch * seq
     print(
         json.dumps(
@@ -252,8 +264,9 @@ def full_depth_bench():
                 "metric": "cache_image_pipeline_tokens_per_sec",
                 "value": round(tokens / dt, 1),
                 "unit": "tokens/s/chip (32-layer int8 8B subject + 131k SAE, ctx 64; "
-                f"~{tokens / dt / seq:.1f} images/s)",
-                "vs_baseline": 0.0,
+                f"~{tokens / dt / seq:.1f} images/s; bf16-compute "
+                f"{tokens / dt_bf16:.0f} tok/s, int8-MXU {tokens / dt_int8:.0f} tok/s)",
+                "vs_baseline": round(dt_bf16 / dt_int8, 3),
             }
         )
     )

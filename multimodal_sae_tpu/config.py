@@ -251,6 +251,12 @@ class CacheConfig:
     load_in_8bit: bool = False
     """Load the model in reduced precision."""
 
+    int8_matmul: bool = False
+    """Run the int8-quantized subject through native int8 MXU matmuls
+    (W8A8, ~2x bf16 matmul rate; implies load_in_8bit). Opt-in: activation
+    quantization changes numerics, so the bit-stable cache guarantee only
+    holds within the same flag setting."""
+
     split: str = "train"
     """Dataset split to use."""
 
@@ -292,6 +298,11 @@ class AttributionConfig:
 
     save_dir: str = "./attribution_cache"
     """Save dir for attribution results."""
+
+    int8_matmul: bool = False
+    """Native int8 MXU matmuls for the quantized subject (W8A8; implies
+    load_in_8bit). Backward uses a straight-through dequantized-weight
+    matmul, so attribution gradients still flow to the spliced hiddens."""
 
     load_in_8bit: bool = False
     """Int8-quantize the subject model (the TPU analogue of the reference's

@@ -23,7 +23,9 @@ def main(cfg: CacheConfig):
     rank, world = shard_info()
 
     logger.info(f"Load Model : {cfg.model}")
-    model, _, tokenizer = load_subject_model(cfg.model, load_in_8bit=cfg.load_in_8bit)
+    model, _, tokenizer = load_subject_model(
+        cfg.model, load_in_8bit=cfg.load_in_8bit, int8_matmul=cfg.int8_matmul
+    )
 
     logger.info(f"Load Dataset : {cfg.dataset}")
     from datasets import load_dataset

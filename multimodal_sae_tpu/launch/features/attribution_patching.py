@@ -35,7 +35,10 @@ def main(cfg: AttributionConfig):
     import jax.numpy as jnp
 
     model, processor, _ = load_subject_model(
-        cfg.model, dtype=jnp.bfloat16, load_in_8bit=cfg.load_in_8bit
+        cfg.model,
+        dtype=jnp.bfloat16,
+        load_in_8bit=cfg.load_in_8bit,
+        int8_matmul=cfg.int8_matmul,
     )
     attribution = Attribution(
         model,

@@ -14,7 +14,10 @@ from ..utils.cli import add_dataclass_args, dataclass_from_namespace
 
 
 def load_subject_model(
-    model_name_or_path: str, dtype=jnp.bfloat16, load_in_8bit: bool = False
+    model_name_or_path: str,
+    dtype=jnp.bfloat16,
+    load_in_8bit: bool = False,
+    int8_matmul: bool = False,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
@@ -25,8 +28,15 @@ def load_subject_model(
     reference's bitsandbytes 8-bit load (reference __main__.py:66-97),
     halving subject HBM so 8B-scale attribution/training fits one v5e chip.
 
+    `int8_matmul` (implies `load_in_8bit`) additionally runs the quantized
+    matmuls as native int8xint8 MXU ops with dynamic per-token activation
+    quantization — ~2x the bf16 matmul rate for the frozen-subject forward
+    (W8A8 numerics; see models/quant.py qmatmul).
+
     `model_name_or_path` must be a local HF checkpoint directory (this
     environment has no network egress; pre-download checkpoints)."""
+    import dataclasses
+
     from transformers import AutoTokenizer
 
     from ..models.quant import quantize_llama_params
@@ -37,10 +47,15 @@ def load_subject_model(
         from ..models.llava_next import LlavaNextModel, load_llava_next
 
         params, cfg = load_llava_next(model_name_or_path, dtype=dtype)
-        if load_in_8bit:
+        if load_in_8bit or int8_matmul:
             params = dict(params)
             params["language_model"] = quantize_llama_params(
                 params["language_model"]
+            )
+        if int8_matmul:
+            cfg = dataclasses.replace(
+                cfg,
+                text_config=dataclasses.replace(cfg.text_config, int8_matmul=True),
             )
         model = LlavaNextModel(params, cfg)
         processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
@@ -49,8 +64,10 @@ def load_subject_model(
         from ..models.llama import LlamaModel
 
         params, cfg = load_llama(model_name_or_path, dtype=dtype)
-        if load_in_8bit:
+        if load_in_8bit or int8_matmul:
             params = quantize_llama_params(params)
+        if int8_matmul:
+            cfg = dataclasses.replace(cfg, int8_matmul=True)
         model = LlamaModel(params, cfg)
         processor = None
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)

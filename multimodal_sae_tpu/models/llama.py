@@ -50,6 +50,12 @@ class LlamaConfig:
     `rope_scaling_dict`). Only the Llama-3.1 'llama3' variant is implemented;
     anything else raises in `from_hf` rather than silently using default RoPE."""
 
+    int8_matmul: bool = False
+    """Run quantized weights through native int8xint8 MXU matmuls with
+    dynamic per-token activation quantization (models/quant.py qmatmul
+    int8=True) — 2x the bf16 MXU rate. Opt-in: W8A8 changes numerics vs the
+    weight-only dequant path. Ignored for unquantized weights."""
+
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
@@ -221,11 +227,13 @@ def decoder_layer(
     B, S, D = h.shape
     H, kvH, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
+    i8 = cfg.int8_matmul
+
     residual = h
     x = rms_norm(h, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    q = qmatmul(x, layer_params["q_proj"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    k = qmatmul(x, layer_params["k_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
-    v = qmatmul(x, layer_params["v_proj"]).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    q = qmatmul(x, layer_params["q_proj"], int8=i8).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = qmatmul(x, layer_params["k_proj"], int8=i8).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
+    v = qmatmul(x, layer_params["v_proj"], int8=i8).reshape(B, S, kvH, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
@@ -245,13 +253,13 @@ def decoder_layer(
     v_att = _repeat_kv(v_att, H // kvH)
     attn = attention(q, k_att, v_att, mask, scale=hd**-0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
-    h = residual + qmatmul(attn, layer_params["o_proj"])
+    h = residual + qmatmul(attn, layer_params["o_proj"], int8=i8)
 
     residual = h
     x = rms_norm(h, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(qmatmul(x, layer_params["gate_proj"]))
-    up = qmatmul(x, layer_params["up_proj"])
-    h = residual + qmatmul(gate * up, layer_params["down_proj"])
+    gate = jax.nn.silu(qmatmul(x, layer_params["gate_proj"], int8=i8))
+    up = qmatmul(x, layer_params["up_proj"], int8=i8)
+    h = residual + qmatmul(gate * up, layer_params["down_proj"], int8=i8)
     return h, (k_full, v_full)
 
 
@@ -416,7 +424,7 @@ def llama_forward(
             else:
                 out["logits"] = h_final @ emb.T
         else:
-            out["logits"] = qmatmul(h_final, lm_head)
+            out["logits"] = qmatmul(h_final, lm_head, int8=cfg.int8_matmul)
     return out
 
 

@@ -50,15 +50,69 @@ def dequantize_weight(w: QuantizedArray, dtype=jnp.float32) -> jax.Array:
 
 
 def qmatmul(
-    x: jax.Array, w: Union[jax.Array, QuantizedArray], preferred_element_type=None
+    x: jax.Array,
+    w: Union[jax.Array, QuantizedArray],
+    preferred_element_type=None,
+    int8: bool = False,
 ) -> jax.Array:
     """`x @ w` for dense or int8-quantized `w` (dequant fused into the
-    matmul's epilogue: accumulate in f32, scale per output channel, cast)."""
+    matmul's epilogue: accumulate in f32, scale per output channel, cast).
+
+    `int8=True` additionally quantizes the *activations* per token (dynamic
+    symmetric absmax) and runs a native int8xint8->int32 MXU matmul — 2x the
+    bf16 MXU rate on v5e-class chips, halving the frozen-subject forward
+    where it is matmul-bound. W8A8 changes numerics (the reference's
+    bitsandbytes path is also W8A8, reference train/sae/sae/__main__.py:66-97),
+    so it is opt-in; gradients use a straight-through dequantized-weight
+    matmul (exact for the W8A0 part, ignores activation rounding) so
+    attribution/steering backward still flows to the inputs."""
     if not is_quantized(w):
         return jnp.dot(x, w, preferred_element_type=preferred_element_type)
+    if int8:
+        out = _int8_matmul(x, w["q8"], w["scale"])
+        return out.astype(preferred_element_type or x.dtype)
     acc = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
     out = acc * w["scale"]
     return out.astype(preferred_element_type or x.dtype)
+
+
+@jax.custom_vjp
+def _int8_matmul(x: jax.Array, q8: jax.Array, scale: jax.Array) -> jax.Array:
+    """f32 = ((round(x/sx) int8) @ q8 int8 -> int32) * sx * scale, with sx the
+    per-row activation absmax / 127. Exact when x rows are already
+    int8-scaled; otherwise introduces the standard W8A8 rounding error."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    sx = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0
+    safe = jnp.where(sx == 0, 1.0, sx)
+    xq = jnp.clip(jnp.round(x2 / safe), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * sx * scale
+    return out.reshape(*lead, q8.shape[-1])
+
+
+def _int8_matmul_fwd(x, q8, scale):
+    return _int8_matmul(x, q8, scale), (jnp.zeros((0,), x.dtype), q8, scale)
+
+
+def _int8_matmul_bwd(res, g):
+    xproto, q8, scale = res
+    lead = g.shape[:-1]
+    g2 = g.reshape(-1, g.shape[-1]).astype(jnp.float32) * scale
+    # dx = g @ (q8 * scale).T computed as (g * scale) @ q8.T; bf16 operands
+    # keep the backward on the fast MXU path (int8 columns are exact in bf16).
+    gx = jnp.dot(
+        g2.astype(jnp.bfloat16),
+        q8.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    gx = gx.reshape(*lead, q8.shape[0]).astype(xproto.dtype)
+    return gx, None, None
+
+
+_int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 
 def qembed(w: Union[jax.Array, QuantizedArray], ids: jax.Array, dtype) -> jax.Array:

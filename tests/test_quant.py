@@ -133,3 +133,75 @@ def test_quantized_memory_halved(fp32_and_q8):
 
     # fp32 baseline -> int8 is ~4x; vs the bf16 deployment dtype it is ~2x.
     assert nbytes(qparams) < 0.30 * nbytes(params)
+
+
+# --- int8x int8 MXU compute path (W8A8, cfg.int8_matmul) --------------------
+
+
+def test_qmatmul_int8_exact_for_int8_scaled_inputs():
+    """Rows that are already exact int8 grids survive activation quantization
+    bit-exactly, so the int8 path must equal the dequantized dense product."""
+    rng = np.random.default_rng(1)
+    xq = rng.integers(-127, 128, size=(8, 32)).astype(np.float32)
+    xq[:, 0] = 127  # pin each row's absmax so sx = 127*step/127 = step exactly
+    x = jnp.asarray(xq * 0.03125)  # power-of-two row scale: exact in f32
+    w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    q = quantize_weight(w)
+    got = np.asarray(qmatmul(x, q, int8=True))
+    want = np.asarray(x.astype(jnp.float32) @ dequantize_weight(q))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_qmatmul_int8_close_for_general_inputs():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q = quantize_weight(w)
+    got = np.asarray(qmatmul(x, q, int8=True))
+    want = np.asarray(x @ w)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel  # W8A8 rounding noise only
+
+
+def test_qmatmul_int8_zero_row_safe():
+    x = jnp.zeros((4, 8), jnp.float32)
+    q = quantize_weight(jnp.ones((8, 4), jnp.float32))
+    assert np.asarray(qmatmul(x, q, int8=True)).sum() == 0.0
+
+
+def test_qmatmul_int8_gradient_straight_through():
+    """Backward = g @ W_dequant.T (ignores activation rounding) — exact for
+    inputs on the int8 grid, and finite/nonzero in general."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    q = quantize_weight(w)
+
+    g = jax.grad(lambda x: qmatmul(x, q, int8=True).sum())(x)
+    want = jnp.ones((4, 8)) @ dequantize_weight(q).T
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_matmul_forward_close_and_grad_flows(fp32_and_q8):
+    """Full subject forward with cfg.int8_matmul: close to fp32 and
+    attribution-style input grads flow."""
+    import dataclasses
+
+    params, qparams = fp32_and_q8
+    cfg8 = dataclasses.replace(CFG, int8_matmul=True)
+    ids = jnp.asarray(np.arange(1, 9)[None, :])
+    ref = llama_forward(params, CFG, ids, capture=("layers.1",))
+    got = llama_forward(qparams, cfg8, ids, capture=("layers.1",))
+    a, b = np.asarray(ref["logits"]).ravel(), np.asarray(got["logits"]).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
+
+    def metric(delta):
+        out = llama_forward(
+            qparams, cfg8, ids, interventions={"layers.0": lambda h: h + delta}
+        )
+        return out["logits"][0, -1, 7]
+
+    g = jax.grad(metric)(jnp.zeros((1, 8, CFG.hidden_size)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
