@@ -32,7 +32,10 @@ def load_artifacts(args: RunConfig):
         from .launch.utils import load_subject_model
 
         model, _, tokenizer = load_subject_model(
-            args.model, dtype=jnp.bfloat16, load_in_8bit=args.load_in_8bit
+            args.model,
+            dtype=jnp.bfloat16,
+            load_in_8bit=args.load_in_8bit,
+            int8_matmul=args.int8_matmul,
         )
 
     if args.dataset.endswith(".bin"):
