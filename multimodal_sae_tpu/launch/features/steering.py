@@ -53,6 +53,17 @@ def parse_argument():
         default="bfloat16",
         help="Subject model dtype",
     )
+    parser.add_argument(
+        "--load-in-8bit",
+        action="store_true",
+        help="Int8-quantize the frozen subject (halves HBM; models/quant.py)",
+    )
+    parser.add_argument(
+        "--int8-matmul",
+        action="store_true",
+        help="Native int8 MXU matmuls for the quantized subject (W8A8, "
+        "~2x bf16 rate; implies --load-in-8bit)",
+    )
     return parser.parse_args()
 
 
@@ -63,7 +74,10 @@ def main():
     import jax.numpy as jnp
 
     model, processor, tokenizer = load_subject_model(
-        args.model, dtype=getattr(jnp, args.dtype)
+        args.model,
+        dtype=getattr(jnp, args.dtype),
+        load_in_8bit=args.load_in_8bit,
+        int8_matmul=args.int8_matmul,
     )
     if processor is None:  # text-only subject model
         processor = tokenizer
