@@ -272,6 +272,162 @@ def full_depth_bench():
     )
 
 
+def attribution_bench():
+    """`bench.py --attribution`: attribution-patching throughput at the
+    flagship config — full-depth 32-layer int8 8B subject (+ tied LM head,
+    needed for the logit-diff metric) + 131k SAE spliced at layers.24,
+    vmapped feature batches (features/patching/attribution.py).  The
+    reference runs one fwd+fwd+bwd python-loop iteration per feature on a
+    quantized GPU model (reference attribution.py:116-189, SURVEY.md §3.5
+    hot loop #4); here the clean forward is hoisted and the corrupted
+    fwd+bwd rides vmap.  Reports features attributed/sec/chip."""
+    import dataclasses
+
+    from multimodal_sae_tpu.features.patching.utils import (
+        get_logit_diff,
+        spliced_forward_with_delta,
+    )
+    from multimodal_sae_tpu.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+    )
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+    from multimodal_sae_tpu.sae.model import Sae
+
+    lcfg = LlamaConfig(
+        vocab_size=128256,
+        hidden_size=D_IN,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        tie_word_embeddings=True,
+        int8_matmul=True,
+    )
+    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
+
+    @jax.jit
+    def init_quant_layer(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        return quantize_llama_params(p)["layers"][0]
+
+    @jax.jit
+    def init_quant_rest(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        q = quantize_llama_params(p)
+        return {k: v for k, v in q.items() if k != "layers"}
+
+    _log("initializing 32-layer int8 subject on device...")
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
+    layers = [init_quant_layer(keys[i]) for i in range(lcfg.num_hidden_layers)]
+    rest = init_quant_rest(keys[-1])
+    lparams = {**rest, "layers": layers}
+    cfg = SaeConfig(num_latents=LATENTS, k=K)
+    sae = Sae(
+        D_IN,
+        cfg,
+        dtype=jnp.bfloat16,
+        params=jax.device_put(
+            init_params(jax.random.PRNGKey(1), D_IN, cfg, dtype=DTYPE)
+        ),
+    )
+    _log(f"  init done in {time.perf_counter() - t0:.1f}s")
+
+    hook = "layers.24"
+    sae_dict = {hook: sae}
+    B, S = 1, SEQ
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, lcfg.vocab_size)
+    answer_ids = jnp.array([[11, 22]], dtype=jnp.int32)
+
+    class _Adapter:
+        """model.forward protocol for spliced_forward_with_delta; params are
+        threaded through jit as arguments (closing over them bakes ~9.7 GB of
+        constants into the lowering — a tunnel stall on this platform)."""
+
+        def __init__(self, lp):
+            self.lp = lp
+
+        def forward(self, batch, capture=(), interventions=None):
+            return llama_forward(
+                self.lp,
+                lcfg,
+                batch["input_ids"],
+                capture=capture,
+                interventions=interventions,
+            )
+
+    batch = {"input_ids": ids}
+    F = 8  # vmapped feature batch
+    zeros = {hook: jnp.zeros((B, S, D_IN), jnp.float32)}
+
+    def make_sae(sp):
+        return {hook: Sae(D_IN, cfg, params=sp)}
+
+    def clean_forward(lp, sp):
+        _, cap = spliced_forward_with_delta(
+            _Adapter(lp), batch, make_sae(sp), zeros
+        )
+        return jax.lax.stop_gradient(cap[hook])
+
+    def one_feature(lp, sp, clean, feature_idx):
+        def corrupted_metric(deltas, feature_idx):
+            logits, cap = spliced_forward_with_delta(
+                _Adapter(lp), batch, make_sae(sp), deltas, off_feature=feature_idx
+            )
+            return get_logit_diff(logits, answer_ids), cap[hook]
+
+        (_, corrupt), grads = jax.value_and_grad(
+            corrupted_metric, has_aux=True
+        )(zeros, feature_idx)
+        return jnp.sum(
+            (clean - corrupt) * grads[hook], axis=-1
+        )  # (B, S) saliency
+
+    @jax.jit
+    def loop(lp, sp, feats):
+        clean = clean_forward(lp, sp)
+        vstep = jax.vmap(partial_one_feature(lp, sp, clean))
+
+        def body(_, carry):
+            feats, acc = carry
+            sal = vstep(feats)
+            s = jnp.sum(sal).astype(jnp.float32)
+            feats = (feats + 1 + (s.astype(jnp.int32) & 1)) % LATENTS
+            return (feats, acc + s)
+
+        return jax.lax.fori_loop(
+            0, 5, body, (feats, jnp.zeros((), jnp.float32))
+        )[1]
+
+    def partial_one_feature(lp, sp, clean):
+        def f(feature_idx):
+            return one_feature(lp, sp, clean, feature_idx)
+
+        return f
+
+    feats = jnp.arange(F, dtype=jnp.int32)
+    t0 = time.perf_counter()
+    float(loop(lparams, sae.params, feats))
+    _log(f"  attribution compile+warm {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    float(loop(lparams, sae.params, feats))
+    dt = (time.perf_counter() - t0) / 5
+    print(
+        json.dumps(
+            {
+                "metric": "attribution_features_per_sec",
+                "value": round(F / dt, 2),
+                "unit": "features/s/chip (32-layer int8-MXU 8B subject + 131k SAE "
+                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}; "
+                f"{dt / F * 1e3:.1f} ms/feature)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def train_step_bench():
     """`bench.py --train`: SAE training grad step at flagship shape, with and
     without the AuxK dead-latent loss (reference sae.py:207-227).  Tracks
@@ -348,7 +504,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--full-depth" in sys.argv:
+    if "--attribution" in sys.argv:
+        attribution_bench()
+    elif "--full-depth" in sys.argv:
         full_depth_bench()
     elif "--full" in sys.argv:
         full_pipeline_bench()

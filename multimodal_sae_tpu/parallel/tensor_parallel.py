@@ -48,6 +48,18 @@ def shard_llama_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
     specs = llama_param_specs(axis)
 
     def put(x, spec):
+        if isinstance(x, dict) and "q8" in x:
+            # int8-quantized weight (models/quant.py): the q8 matrix shards
+            # like the dense weight; the per-output-channel scale follows the
+            # output dim — sharded for column-parallel, replicated for
+            # row-parallel (where outputs are full-size partial sums).
+            # scale (..., out): drop the input dim of the matrix spec, keep
+            # any leading (stacked-layer) dims.
+            scale_spec = P(*spec[:-2], spec[-1]) if len(spec) >= 2 else P()
+            return {
+                "q8": jax.device_put(x["q8"], NamedSharding(mesh, spec)),
+                "scale": jax.device_put(x["scale"], NamedSharding(mesh, scale_spec)),
+            }
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     layers = params["layers"]

@@ -67,3 +67,45 @@ def test_local_shard_bounds_cover():
     assert spans[0][0] == 0 and spans[-1][1] == n
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert b == c
+
+
+def test_tensor_parallel_quantized_int8_matches_single_device():
+    """int8-quantized subject over the TP mesh (q8 shards like the dense
+    weight, per-channel scales follow the output dim) with native int8
+    matmuls matches the single-device quantized forward."""
+    import dataclasses
+
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+
+    assert jax.device_count() >= 8
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        rope_theta=10000.0,
+        int8_matmul=True,
+    )
+    params = quantize_llama_params(
+        init_llama_params(jax.random.PRNGKey(0), cfg)
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, size=(2, 6)))
+
+    ref = llama_forward(params, cfg, ids)["logits"]
+
+    mesh = get_mesh(("model",), devices=jax.devices()[:8])
+    tp_params = shard_llama_params(params, mesh, axis="model")
+    out = jax.jit(lambda p, i: llama_forward(p, cfg, i)["logits"])(tp_params, ids)
+    # int8 accumulators are integer-exact, but ±1-ulp bf16 reduce-order
+    # wiggle at shard boundaries can flip a borderline round(x/sx) by one
+    # int8 step — amplified to a full activation-grid unit (sx ≈ absmax/127).
+    # Compare at grid-step granularity: tiny relative Frobenius error.
+    a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.02, rel
+    q = tp_params["layers"][0]["q_proj"]
+    assert q["q8"].dtype == jnp.int8
+    assert len(q["q8"].sharding.device_set) == 8
+    assert len(q["scale"].sharding.device_set) == 8
