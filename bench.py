@@ -428,6 +428,111 @@ def attribution_bench():
     )
 
 
+def steering_bench():
+    """`bench.py --steering`: steered-generation throughput at the flagship
+    config — full-depth 32-layer int8 8B subject + 131k SAE clamp intervention
+    at layers.24, jitted prefill + while-loop decode (models/llama.py
+    greedy_generate).  The reference runs ONE full autoregressive HF generate
+    per feature, 5k+ sequential generations at scale (reference
+    launch/features/steering.py:71-78); here F features share the prompt and
+    ride the batch axis (features/steering.py clamp_features_max_batched).
+    Reports steered generations/s/chip; vs_baseline = the measured batching
+    speedup (F=8 batched vs 8x the F=1 path)."""
+    import dataclasses
+
+    from multimodal_sae_tpu.features.steering import clamp_features_max_batched
+    from multimodal_sae_tpu.models.llama import (
+        LlamaConfig,
+        greedy_generate,
+        init_llama_params,
+    )
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+    from multimodal_sae_tpu.sae.model import Sae
+
+    lcfg = LlamaConfig(
+        vocab_size=128256,
+        hidden_size=D_IN,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        tie_word_embeddings=True,
+        int8_matmul=True,
+    )
+    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
+
+    @jax.jit
+    def init_quant_layer(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        return quantize_llama_params(p)["layers"][0]
+
+    @jax.jit
+    def init_quant_rest(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        q = quantize_llama_params(p)
+        return {k: v for k, v in q.items() if k != "layers"}
+
+    _log("initializing 32-layer int8 subject on device...")
+    keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
+    layers = [init_quant_layer(keys[i]) for i in range(lcfg.num_hidden_layers)]
+    lparams = {**init_quant_rest(keys[-1]), "layers": layers}
+    cfg = SaeConfig(num_latents=LATENTS, k=K)
+    sae = Sae(
+        D_IN,
+        cfg,
+        dtype=jnp.bfloat16,
+        params=jax.device_put(
+            init_params(jax.random.PRNGKey(1), D_IN, cfg, dtype=DTYPE)
+        ),
+    )
+
+    hook = "layers.24"
+    S, NEW = 32, 32
+    ids1 = jax.random.randint(jax.random.PRNGKey(2), (1, S), 0, lcfg.vocab_size)
+
+    import numpy as _np
+
+    def gen(n_rows, features, iters=1):
+        ids = jnp.broadcast_to(ids1, (n_rows, S))
+        iv = {hook: clamp_features_max_batched(sae, features, k=50.0)}
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = greedy_generate(
+                lparams,
+                lcfg,
+                ids,
+                max_new_tokens=NEW,
+                interventions=iv,
+                intervene_prefill_only=True,
+            )
+            _np.asarray(out["sequences"] if isinstance(out, dict) else out)
+        return (time.perf_counter() - t0) / iters
+
+    F = 8
+    feats = list(range(F))
+    _log("compiling batched steered generate (F=8)...")
+    t0 = time.perf_counter()
+    gen(F, feats)
+    _log(f"  compile+warm {time.perf_counter() - t0:.1f}s; timing...")
+    dt_b = gen(F, feats, iters=3)
+    _log(f"  batched F=8: {dt_b * 1e3:.0f} ms/call; compiling F=1...")
+    gen(1, [0])
+    dt_1 = gen(1, [0], iters=3)
+    _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")
+    print(
+        json.dumps(
+            {
+                "metric": "steered_generations_per_sec",
+                "value": round(F / dt_b, 2),
+                "unit": "steered generations/s/chip (32-layer int8 8B subject + "
+                f"131k SAE clamp at layers.24, prompt {S} + {NEW} new tokens, "
+                f"feature-batch {F}; sequential path {1 / dt_1:.2f} gen/s)",
+                "vs_baseline": round((F * dt_1) / dt_b, 3),
+            }
+        )
+    )
+
+
 def train_step_bench():
     """`bench.py --train`: SAE training grad step at flagship shape, with and
     without the AuxK dead-latent loss (reference sae.py:207-227).  Tracks

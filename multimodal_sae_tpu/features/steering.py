@@ -14,27 +14,38 @@ from typing import Callable, Dict, List, Optional
 
 import jax
 
+from ..models.llama import Intervention
 from ..sae import Sae
 from ..sae.model import decode as sae_decode, pre_acts as sae_pre_acts, select_topk
 
 
-def clamp_features_max(sae: Sae, feature: int, k: float = 10) -> Callable:
+def _clamp_iv(args, h: jax.Array, k_top: int) -> jax.Array:
+    """Stable intervention body for `clamp_features_max` (see
+    models/llama.py `Intervention`): SAE params and the clamped feature ride
+    through jit as arguments, so repeated steering sweeps reuse one compiled
+    generate program instead of recompiling per feature."""
+    params, feature, clamp = args
+    latents = sae_pre_acts(params, h)
+    latents = latents.at[:, :, feature].set(clamp.astype(latents.dtype))
+    top_acts, top_indices = select_topk(latents, k_top)
+    out = sae_decode(params, top_acts, top_indices)
+    return out.astype(h.dtype)
+
+
+def clamp_features_max(sae: Sae, feature: int, k: float = 10) -> Intervention:
     """Intervention: clamp `feature`'s latent to `k`, re-select top-k, decode
-    (reference steering.py:102-128). Returns fn(hidden (B, S, d)) -> (B, S, d)."""
+    (reference steering.py:102-128). Returns a jit-cache-stable
+    `Intervention`; callers may also treat it as data for `llama_forward`."""
+    import jax.numpy as jnp
 
-    params, cfg = sae.params, sae.cfg
-
-    def intervention(h: jax.Array) -> jax.Array:
-        latents = sae_pre_acts(params, h)
-        latents = latents.at[:, :, feature].set(k)
-        top_acts, top_indices = select_topk(latents, cfg.k)
-        out = sae_decode(params, top_acts, top_indices)
-        return out.astype(h.dtype)
-
-    return intervention
+    return Intervention(
+        _clamp_iv,
+        (sae.params, jnp.asarray(feature, jnp.int32), jnp.asarray(k, jnp.float32)),
+        (sae.cfg.k,),
+    )
 
 
-def clamp_features_max_batched(sae: Sae, features, k: float = 10) -> Callable:
+def clamp_features_max_batched(sae: Sae, features, k: float = 10) -> Intervention:
     """Batched steering intervention: row b of the hidden batch gets
     `features[b]` clamped to `k`.
 
@@ -47,18 +58,27 @@ def clamp_features_max_batched(sae: Sae, features, k: float = 10) -> Callable:
     `clamp_features_max` (the scatter touches only that row's latent)."""
     import jax.numpy as jnp
 
-    params, cfg = sae.params, sae.cfg
-    features = jnp.asarray(features, jnp.int32)  # (B,)
+    return Intervention(
+        _clamp_batched_iv,
+        (
+            sae.params,
+            jnp.asarray(features, jnp.int32),  # (B,)
+            jnp.asarray(k, jnp.float32),
+        ),
+        (sae.cfg.k,),
+    )
 
-    def intervention(h: jax.Array) -> jax.Array:
-        latents = sae_pre_acts(params, h)
-        rows = jnp.arange(latents.shape[0])
-        latents = latents.at[rows, :, features].set(k)
-        top_acts, top_indices = select_topk(latents, cfg.k)
-        out = sae_decode(params, top_acts, top_indices)
-        return out.astype(h.dtype)
 
-    return intervention
+def _clamp_batched_iv(args, h: jax.Array, k_top: int) -> jax.Array:
+    import jax.numpy as jnp
+
+    params, features, clamp = args
+    latents = sae_pre_acts(params, h)
+    rows = jnp.arange(latents.shape[0])
+    latents = latents.at[rows, :, features].set(clamp.astype(latents.dtype))
+    top_acts, top_indices = select_topk(latents, k_top)
+    out = sae_decode(params, top_acts, top_indices)
+    return out.astype(h.dtype)
 
 
 class SteeringController:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -282,6 +282,34 @@ def causal_mask(
 InterventionFn = Callable[[jax.Array], jax.Array]
 
 
+class Intervention(NamedTuple):
+    """A jit-cache-stable intervention: `fn(args, h, *static) -> h`.
+
+    `fn` must be a module-level (identity-stable) callable, `args` a pytree of
+    arrays that flows through jit boundaries as *arguments*, and `static` a
+    hashable tuple folded into `greedy_generate`'s executable-cache key.
+
+    Interventions may also be plain callables `h -> h` everywhere (the
+    original API); those still work, but a closure (a) bakes any captured
+    arrays into the compiled program as constants and (b) defeats
+    `greedy_generate`'s executable cache unless the very same object is
+    reused — the steering fleet's per-chunk closures recompiled the full
+    prefill+decode program every sweep before this existed."""
+
+    fn: Callable
+    args: Any = ()
+    static: tuple = ()
+
+    def __call__(self, h: jax.Array) -> jax.Array:
+        return self.fn(self.args, h, *self.static)
+
+
+def _iv_callable(v) -> InterventionFn:
+    if isinstance(v, Intervention):
+        return lambda h, _v=v: _v.fn(_v.args, h, *_v.static)
+    return v
+
+
 def llama_forward(
     params: dict,
     cfg: LlamaConfig,
@@ -301,6 +329,8 @@ def llama_forward(
     Returns a dict with optional keys: "logits", "hidden" (final, post-norm
     input), "captured" {hookpoint: (B, S, D)}, "cache" (updated KVCache).
     """
+    if interventions:
+        interventions = {k: _iv_callable(v) for k, v in interventions.items()}
     if inputs_embeds is None:
         inputs_embeds = qembed(
             params["embed_tokens"], input_ids, leaf_dtype(params["embed_tokens"])
@@ -597,11 +627,74 @@ def greedy_generate(
         full_mask = None
         prefill_pos = None
 
-    prefill_iv = interventions
-    decode_iv = None if intervene_prefill_only else interventions
+    iv_spec, iv_args = _split_interventions(interventions)
+    prefill_fn, decode_fn = _generate_fns(
+        cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only
+    )
+
+    cache, first = prefill_fn(
+        params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args
+    )
+    if max_new_tokens == 1:
+        new_tokens = first[:, None]
+    else:
+        new_tokens = decode_fn(params, cache, first, full_mask, lengths, iv_args)
+    return jnp.concatenate([input_ids, new_tokens.astype(input_ids.dtype)], axis=1)
+
+
+def _split_interventions(interventions):
+    """-> (hashable spec, {name: args pytree}).  `Intervention` values split
+    into an identity-stable (name, fn, static) key part and a traced-args
+    part; plain callables key by object identity (same-object reuse still
+    hits the executable cache; fresh closures retrace, as before the cache
+    existed)."""
+    if not interventions:
+        return None, {}
+    spec, args = [], {}
+    for name in sorted(interventions):
+        v = interventions[name]
+        if isinstance(v, Intervention):
+            spec.append((name, v.fn, v.static))
+            args[name] = v.args
+        else:
+            spec.append((name, v))
+    return tuple(spec), args
+
+
+def _rebuild_interventions(spec, args):
+    if spec is None:
+        return None
+    out = {}
+    for entry in spec:
+        if len(entry) == 3:
+            name, fn, static = entry
+            out[name] = Intervention(fn, args.get(name, ()), static)
+        else:
+            name, fn = entry
+            out[name] = fn
+    return out
+
+
+_GENERATE_CACHE: Dict[tuple, tuple] = {}
+
+
+def _generate_fns(cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only):
+    """Jitted (prefill, decode_loop) pair, cached across `greedy_generate`
+    calls.  Without this cache the pair was rebuilt — and the full
+    prefill+decode program re-traced and re-compiled — on EVERY call, so the
+    steering fleet paid a 32-layer compile per feature chunk.  Arrays
+    (params, masks, intervention args) flow as jit *arguments*, so jit's own
+    shape-keyed retrace handles varying batch/prompt shapes under one cache
+    entry, and no weights are baked into the program as constants."""
+    key = (cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only)
+    fns = _GENERATE_CACHE.get(key)
+    if fns is not None:
+        return fns
+
+    decode_spec = None if intervene_prefill_only else iv_spec
 
     @jax.jit
-    def prefill(params, cache, input_ids, inputs_embeds):
+    def prefill(params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args):
         out = llama_forward(
             params,
             cfg,
@@ -611,13 +704,15 @@ def greedy_generate(
             position_ids=prefill_pos,
             cache=cache,
             capture=(),
-            interventions=prefill_iv,
+            interventions=_rebuild_interventions(iv_spec, iv_args),
         )
         next_tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
         return out["cache"], next_tok
 
     @jax.jit
-    def decode_loop(params, cache, first_tok):
+    def decode_loop(params, cache, first_tok, full_mask, lengths, iv_args):
+        B = first_tok.shape[0]
+        decode_iv = _rebuild_interventions(decode_spec, iv_args)
         tokens0 = jnp.zeros((B, max_new_tokens), dtype=jnp.int32)
         tokens0 = tokens0.at[:, 0].set(first_tok.astype(jnp.int32))
         done0 = (
@@ -657,9 +752,7 @@ def greedy_generate(
         )
         return tokens
 
-    cache, first = prefill(params, cache, input_ids, inputs_embeds)
-    if max_new_tokens == 1:
-        new_tokens = first[:, None]
-    else:
-        new_tokens = decode_loop(params, cache, first)
-    return jnp.concatenate([input_ids, new_tokens.astype(input_ids.dtype)], axis=1)
+    if len(_GENERATE_CACHE) >= 64:
+        _GENERATE_CACHE.pop(next(iter(_GENERATE_CACHE)))
+    _GENERATE_CACHE[key] = (prefill, decode_loop)
+    return prefill, decode_loop

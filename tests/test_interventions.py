@@ -267,3 +267,23 @@ def test_attribution_matches_torch_reference(llama, sae):
     )
     ref = _torch_reference_attribution(llama, sae, ids, answer_ids, feature)
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-6)
+
+
+def test_generate_executable_cache_reused_across_chunks(llama, sae):
+    """Fresh steering chunks (new Intervention objects with new feature
+    arrays) must reuse ONE cached prefill+decode executable — the steering
+    fleet recompiled the whole generate program per chunk without this
+    (models/llama.py _generate_fns)."""
+    import jax.numpy as jnp
+
+    from multimodal_sae_tpu.models import llama as llama_mod
+    from multimodal_sae_tpu.features.steering import clamp_features_max_batched
+
+    llama_mod._GENERATE_CACHE.clear()
+    ids = jnp.ones((2, 4), jnp.int32)
+    for i in range(3):
+        iv = {"layers.0": clamp_features_max_batched(sae, [i, i + 1], k=5.0)}
+        llama_mod.greedy_generate(
+            llama.params, llama.cfg, ids, max_new_tokens=2, interventions=iv
+        )
+    assert len(llama_mod._GENERATE_CACHE) == 1
