@@ -445,6 +445,7 @@ def steering_bench():
         LlamaConfig,
         greedy_generate,
         init_llama_params,
+        stack_layer_params,
     )
     from multimodal_sae_tpu.models.quant import quantize_llama_params
     from multimodal_sae_tpu.sae.model import Sae
@@ -474,8 +475,11 @@ def steering_bench():
 
     _log("initializing 32-layer int8 subject on device...")
     keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
-    layers = [init_quant_layer(keys[i]) for i in range(lcfg.num_hidden_layers)]
-    lparams = {**init_quant_rest(keys[-1]), "layers": layers}
+    # Init the STACKED layer tree directly (vmap over layer keys): building a
+    # per-layer list then stacking holds both copies live (~14 GB) and OOMs
+    # the 16 GB chip once the SAE lands.
+    stacked = jax.jit(jax.vmap(init_quant_layer))(keys[: lcfg.num_hidden_layers])
+    lparams = {**init_quant_rest(keys[-1]), "layers": stacked}
     cfg = SaeConfig(num_latents=LATENTS, k=K)
     sae = Sae(
         D_IN,
@@ -609,7 +613,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--attribution" in sys.argv:
+    if "--steering" in sys.argv:
+        steering_bench()
+    elif "--attribution" in sys.argv:
         attribution_bench()
     elif "--full-depth" in sys.argv:
         full_depth_bench()

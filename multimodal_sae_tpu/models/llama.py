@@ -184,7 +184,20 @@ def stack_layer_params(params: dict) -> dict:
     layers = params["layers"]
     if isinstance(layers, dict):
         return params
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    # Stack one parameter name at a time, dropping the per-layer references
+    # as we go: a whole-tree tree_map(stack) holds list + stacked copies live
+    # simultaneously (2x peak HBM — enough to OOM a 16 GB chip on an 8B
+    # subject). Callers that keep their own reference to the per-layer list
+    # still pay the 2x; pass an owned list for the frugal path.
+    layers = [dict(l) for l in layers]
+    stacked: dict = {}
+    for name in list(layers[0].keys()):
+        vals = [l.pop(name) for l in layers]
+        if isinstance(vals[0], dict):  # int8-quantized {"q8", "scale"}
+            stacked[name] = {k: jnp.stack([v[k] for v in vals]) for k in vals[0]}
+        else:
+            stacked[name] = jnp.stack(vals)
+        del vals
     return {**params, "layers": stacked}
 
 
@@ -499,7 +512,12 @@ class LlamaModel:
     generation (see models/api.py)."""
 
     def __init__(self, params: dict, cfg: LlamaConfig):
-        self.params = params
+        # Stack per-layer params once: `greedy_generate` scans over depth, and
+        # stacking inside it would re-copy the whole model on EVERY call
+        # (~8.6 GB device traffic per steering sweep at 8B scale). The
+        # unrolled capture path slices layers back out inside jit, where the
+        # slices are trace-time views.
+        self.params = stack_layer_params(params)
         self.cfg = cfg
         self._capture_jit = {}
 

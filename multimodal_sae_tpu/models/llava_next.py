@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip_vit import ClipVisionConfig, clip_vision_forward
-from .llama import LlamaConfig, llama_forward, greedy_generate
+from .llama import LlamaConfig, greedy_generate, llama_forward, stack_layer_params
 from .quant import leaf_dtype, qembed
 
 OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -283,6 +283,10 @@ class LlavaNextModel:
     HOOK_PREFIX = "model."
 
     def __init__(self, params: dict, cfg: LlavaNextConfig):
+        # Stack the language model's per-layer params once (see LlamaModel:
+        # generate would otherwise restack ~GBs per call).
+        params = dict(params)
+        params["language_model"] = stack_layer_params(params["language_model"])
         self.params = params
         self.cfg = cfg
         self._jit_cache: Dict = {}
