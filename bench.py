@@ -428,6 +428,161 @@ def attribution_bench():
     )
 
 
+def llava_image_bench():
+    """`bench.py --image`: the REAL image-caching pipeline — full-size CLIP-L
+    vision tower + anyres packing + 32-layer int8 8B language model + 131k SAE
+    top-k — driven through the exact library path the cache_image CLI uses
+    (prepare_inputs → LlavaNextModel.capture → topk_latents_step).  A typical
+    640×480 photo picks the (672, 672) pinpoint: 5 crops through the tower and
+    ~2.3k packed image tokens through the subject, so honest images/s is
+    tokens/s ÷ ~2342, NOT ÷ ctx 64 (the reference's ctx_len is "meaningless
+    for images", reference README.md:45)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from multimodal_sae_tpu.models.clip_vit import ClipVisionConfig
+    from multimodal_sae_tpu.models.llama import LlamaConfig, init_llama_params
+    from multimodal_sae_tpu.models.llava_next import LlavaNextConfig, LlavaNextModel
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+    from multimodal_sae_tpu.sae.model import Sae
+
+    lcfg = LlamaConfig(
+        vocab_size=128257,  # +1 for the <image> placeholder id 128256
+        hidden_size=D_IN,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        tie_word_embeddings=True,
+        int8_matmul=True,
+    )
+    vcfg = ClipVisionConfig()  # CLIP-L/14 @ 336 — the llava-next tower
+    cfg = LlavaNextConfig(text_config=lcfg, vision_config=vcfg)
+    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
+
+    @jax.jit
+    def init_quant_layer(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        return quantize_llama_params(p)["layers"][0]
+
+    @jax.jit
+    def init_quant_rest(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        q = quantize_llama_params(p)
+        return {k: v for k, v in q.items() if k != "layers"}
+
+    def init_vision(key):
+        D, I, P = vcfg.hidden_size, vcfg.intermediate_size, vcfg.patch_size
+        ks = iter(jax.random.split(key, 8 + 16 * vcfg.num_hidden_layers))
+
+        def mat(shape, scale=0.02):
+            return (
+                jax.random.normal(next(ks), shape, jnp.float32) * scale
+            ).astype(jnp.bfloat16)
+
+        def zeros(shape):
+            return jnp.zeros(shape, jnp.bfloat16)
+
+        layers = []
+        for _ in range(vcfg.num_hidden_layers):
+            layers.append(
+                {
+                    "q_proj": mat((D, D)), "q_bias": zeros((D,)),
+                    "k_proj": mat((D, D)), "k_bias": zeros((D,)),
+                    "v_proj": mat((D, D)), "v_bias": zeros((D,)),
+                    "out_proj": mat((D, D)), "out_bias": zeros((D,)),
+                    "ln1": jnp.ones((D,), jnp.bfloat16), "ln1_bias": zeros((D,)),
+                    "ln2": jnp.ones((D,), jnp.bfloat16), "ln2_bias": zeros((D,)),
+                    "fc1": mat((D, I)), "fc1_bias": zeros((I,)),
+                    "fc2": mat((I, D)), "fc2_bias": zeros((D,)),
+                }
+            )
+        return {
+            "patch_embedding": mat((3 * P * P, D)),
+            "class_embedding": mat((D,)),
+            "position_embedding": mat((vcfg.num_patches + 1, D)),
+            "pre_layrnorm": jnp.ones((D,), jnp.bfloat16),
+            "pre_layrnorm_bias": zeros((D,)),
+            "post_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "post_layernorm_bias": zeros((D,)),
+            "layers": layers,
+        }
+
+    _log("initializing llava-next (CLIP-L tower + 32-layer int8 LM) on device...")
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 3)
+    stacked = jax.jit(jax.vmap(init_quant_layer))(keys[: lcfg.num_hidden_layers])
+    lm = {**init_quant_rest(keys[-1]), "layers": stacked}
+    params = {
+        "language_model": lm,
+        "vision_tower": init_vision(keys[-2]),
+        "projector": {
+            "linear_1": (jax.random.normal(keys[-3], (1024, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
+            "linear_1_bias": jnp.zeros((D_IN,), jnp.bfloat16),
+            "linear_2": (jax.random.normal(keys[-3], (D_IN, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
+            "linear_2_bias": jnp.zeros((D_IN,), jnp.bfloat16),
+        },
+        "image_newline": jnp.zeros((D_IN,), jnp.bfloat16),
+    }
+    model = LlavaNextModel(params, cfg)
+    sae_cfg = SaeConfig(num_latents=LATENTS, k=K)
+    sae_params = jax.device_put(
+        init_params(jax.random.PRNGKey(1), D_IN, sae_cfg, dtype=DTYPE)
+    )
+    _log(f"  init done in {time.perf_counter() - t0:.1f}s")
+
+    hook = "model.layers.24"  # LlavaNextModel.HOOK_PREFIX convention
+    rng = __import__("numpy").random.default_rng(0)
+    n_images = 4
+    img = Image.fromarray(rng.integers(0, 255, size=(480, 640, 3), dtype="uint8"))
+    prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
+    topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
+
+    import numpy as _np
+
+    # Host prep + pixel upload staged once: PIL preprocessing is host CPU
+    # (overlappable with device work in the real pipeline) and this platform
+    # moves host->device at ~17 MB/s through a tunnel — 27 MB of pixels would
+    # read as 1.6 s/batch of fake device time. Distinct device arrays per
+    # image keep the vision tower running once per image (no memo reuse).
+    t0 = time.perf_counter()
+    prepared = model.prepare_inputs(
+        images=[img] * n_images, prompt_ids=[prompt] * n_images
+    )
+    host_prep = time.perf_counter() - t0
+    prepared["pixel_values"] = [jax.device_put(jnp.asarray(pv)) for pv in prepared["pixel_values"]]
+    _log(f"  host prep (PIL preprocess, {n_images} images): {host_prep:.3f}s")
+
+    def run_batch():
+        cap = model.capture(prepared, [hook])
+        vals, idx = topk(sae_params, cap[hook][:, 1:])  # BOS drop, cache.py:402-409
+        _np.asarray(vals)
+        return prepared["input_ids"].shape[1]
+
+    _log("compile+warm...")
+    t0 = time.perf_counter()
+    seq = run_batch()
+    _log(f"  compile+warm {time.perf_counter() - t0:.1f}s (seq len {seq}); timing...")
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_batch()
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "cache_image_real_images_per_sec",
+                "value": round(n_images / dt, 2),
+                "unit": "images/s/chip (REAL anyres pipeline: CLIP-L tower x5 crops + "
+                f"{seq}-token packed seq through 32-layer int8 8B + 131k SAE; "
+                f"{n_images * seq / dt:.0f} tok/s)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def steering_bench():
     """`bench.py --steering`: steered-generation throughput at the flagship
     config — full-depth 32-layer int8 8B subject + 131k SAE clamp intervention
@@ -613,7 +768,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--steering" in sys.argv:
+    if "--image" in sys.argv:
+        llava_image_bench()
+    elif "--steering" in sys.argv:
         steering_bench()
     elif "--attribution" in sys.argv:
         attribution_bench()

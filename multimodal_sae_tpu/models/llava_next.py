@@ -268,6 +268,25 @@ def project_image_features(params: dict, cfg: LlavaNextConfig, pixel_values: jax
     return x @ p["linear_2"] + p["linear_2_bias"]
 
 
+def _iv_cache_key(interventions) -> tuple:
+    """Hashable jit-cache key part for an interventions dict: `Intervention`
+    values key on (name, fn, static) — their arrays ride through jit as
+    arguments; plain callables key on object identity (reusing the same
+    closure hits the cache; its captured arrays are baked into that program)."""
+    if not interventions:
+        return ()
+    from .llama import Intervention
+
+    out = []
+    for name in sorted(interventions):
+        v = interventions[name]
+        if isinstance(v, Intervention):
+            out.append((name, v.fn, v.static))
+        else:
+            out.append((name, id(v)))
+    return tuple(out)
+
+
 class LlavaNextModel:
     """ActivationSource + full forward/generate for LLaVA-NeXT.
 
@@ -347,47 +366,84 @@ class LlavaNextModel:
             "image_sizes": sizes,
         }
 
+    def _project_jit(self, pv_arr):
+        """Vision tower + projector, jitted per crop-count (n_patches has a
+        handful of values under the anyres pinpoints, so this compiles O(1)
+        times)."""
+        pkey = ("proj", pv_arr.shape, str(pv_arr.dtype))
+        pfn = self._jit_cache.get(pkey)
+        if pfn is None:
+            cfg_ = self.cfg
+
+            @jax.jit
+            def pfn(vp, pv):
+                return project_image_features(vp, cfg_, pv)
+
+            self._jit_cache[pkey] = pfn
+        return pfn(
+            {
+                "vision_tower": self.params["vision_tower"],
+                "projector": self.params["projector"],
+            },
+            pv_arr,
+        )
+
     def _embed_multimodal(self, batch: dict):
         """Text embeddings with image features scattered over <image> token
-        positions (HF get_placeholder_mask + masked_scatter semantics)."""
+        positions (HF get_placeholder_mask + masked_scatter semantics).
+
+        Device work is three jitted dispatches per batch — the towers (one per
+        distinct crop-count), the packs, and ONE embed+scatter over flat
+        (row, col) index arrays — instead of per-row eager ops: on a
+        high-latency dispatch path every eager op costs a round trip."""
         lm = self.params["language_model"]
         ids = np.asarray(batch["input_ids"])
-        embeds = qembed(
-            lm["embed_tokens"], jnp.asarray(ids), leaf_dtype(lm["embed_tokens"])
-        )
         if "pixel_values" not in batch or batch["pixel_values"] is None:
-            return embeds
+            return qembed(
+                lm["embed_tokens"], jnp.asarray(ids), leaf_dtype(lm["embed_tokens"])
+            )
         tok = self.cfg.image_token_index
         feat_memo = {}  # id(pv) -> packed feats: replicated rows (batched
         # steering tiles one prompt) run the vision tower once, not per row
+        rows, cols, feats_list = [], [], []
         for b, (pv, size) in enumerate(zip(batch["pixel_values"], batch["image_sizes"])):
             memo_key = (id(pv), tuple(size))
-            if memo_key in feat_memo:
-                feats = feat_memo[memo_key]
-                positions = np.nonzero(ids[b] == tok)[0]
-                assert len(positions) == feats.shape[0]
-                embeds = embeds.at[b, jnp.asarray(positions)].set(
-                    feats.astype(embeds.dtype)
+            feats = feat_memo.get(memo_key)
+            if feats is None:
+                n_patches = image_size_to_num_patches(
+                    size, self.cfg.image_grid_pinpoints, self.cfg.vision_config.image_size
                 )
-                continue
-            n_patches = image_size_to_num_patches(
-                size, self.cfg.image_grid_pinpoints, self.cfg.vision_config.image_size
-            )
-            projected = project_image_features(
-                self.params, self.cfg, jnp.asarray(pv[:n_patches])
-            )
-            feats = pack_image_features(
-                projected, self.params["image_newline"], self.cfg, size
-            )
-            feat_memo[memo_key] = feats
+                projected = self._project_jit(jnp.asarray(pv[:n_patches]))
+                feats = pack_image_features(
+                    projected, self.params["image_newline"], self.cfg, size
+                )
+                feat_memo[memo_key] = feats
             positions = np.nonzero(ids[b] == tok)[0]
             assert len(positions) == feats.shape[0], (
                 f"image token count {len(positions)} != packed features {feats.shape[0]}"
             )
-            embeds = embeds.at[b, jnp.asarray(positions)].set(
-                feats.astype(embeds.dtype)
-            )
-        return embeds
+            rows.append(np.full(len(positions), b, np.int32))
+            cols.append(positions.astype(np.int32))
+            feats_list.append(feats)
+
+        flat_feats = jnp.concatenate(feats_list, axis=0)
+        akey = ("assemble", ids.shape, flat_feats.shape, str(flat_feats.dtype))
+        afn = self._jit_cache.get(akey)
+        if afn is None:
+
+            @jax.jit
+            def afn(embed_tokens, ids, flat_feats, rows, cols):
+                embeds = qembed(embed_tokens, ids, leaf_dtype(embed_tokens))
+                return embeds.at[rows, cols].set(flat_feats.astype(embeds.dtype))
+
+            self._jit_cache[akey] = afn
+        return afn(
+            lm["embed_tokens"],
+            jnp.asarray(ids),
+            flat_feats,
+            jnp.asarray(np.concatenate(rows)),
+            jnp.asarray(np.concatenate(cols)),
+        )
 
     def forward(
         self,
@@ -396,22 +452,79 @@ class LlavaNextModel:
         interventions=None,
         return_logits: bool = True,
     ):
+        """Full forward with the language model under ONE jitted program.
+
+        Anyres packing makes the sequence length vary per image — the reason
+        a naive jit would recompile per image (SURVEY.md §7 hard part #1).
+        The inputs are right-padded (attention-masked) to a 128-token bucket,
+        so the jit cache sees O(max_len/128) distinct shapes instead of one
+        per image; outputs are sliced back to the true length.  Without this
+        the 32-layer subject ran op-by-op eager on the flagship
+        cache_image path."""
         embeds = self._embed_multimodal(batch)
         amask = batch.get("attention_mask")
+        B, S = embeds.shape[:2]
+        cap = tuple(self._strip(c) for c in capture)
         iv = (
             {self._strip(k): v for k, v in interventions.items()}
             if interventions
             else None
         )
-        out = llama_forward(
-            self.params["language_model"],
-            self.cfg.text_config,
-            inputs_embeds=embeds,
-            attention_mask=jnp.asarray(amask) if amask is not None else None,
-            capture=tuple(self._strip(c) for c in capture),
-            interventions=iv,
-            return_logits=return_logits,
+
+        # Interventions (SAE splice deltas, steering clamps) are shaped to the
+        # true sequence; those callers reuse one prompt shape, so they skip
+        # the bucket-padding and jit on their exact shape instead.
+        pad = (-S) % 128 if not iv else 0
+        amask_np = (
+            np.asarray(amask).astype(np.int32)
+            if amask is not None
+            else np.ones((B, S), np.int32)
         )
+        if pad:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+            amask_np = np.concatenate(
+                [amask_np, np.zeros((B, pad), np.int32)], axis=1
+            )
+
+        key = ("fwd", cap, bool(return_logits), _iv_cache_key(iv))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            text_cfg = self.cfg.text_config
+            iv_fixed = iv  # legacy closures: captured in the program
+
+            @jax.jit
+            def fn(lm_params, embeds, amask, iv_args):
+                from .llama import _rebuild_interventions, _split_interventions
+
+                spec, _ = _split_interventions(iv_fixed)
+                return llama_forward(
+                    lm_params,
+                    text_cfg,
+                    inputs_embeds=embeds,
+                    attention_mask=amask,
+                    capture=cap,
+                    interventions=_rebuild_interventions(spec, iv_args),
+                    return_logits=return_logits,
+                )
+
+            self._jit_cache[key] = fn
+        from .llama import _split_interventions
+
+        _, iv_args = _split_interventions(iv)
+        out = dict(
+            fn(
+                self.params["language_model"],
+                embeds,
+                jnp.asarray(amask_np),
+                iv_args,
+            )
+        )
+        if pad:
+            out["captured"] = {k: v[:, :S] for k, v in out["captured"].items()}
+            if "logits" in out:
+                out["logits"] = out["logits"][:, :S]
+            if "hidden" in out:
+                out["hidden"] = out["hidden"][:, :S]
         out["captured"] = {
             f"{self.HOOK_PREFIX}{k}": v for k, v in out["captured"].items()
         }

@@ -154,7 +154,15 @@ def _torch_reference_attribution(llama, sae, ids, answer_ids, feature):
         mask = t.where(
             t.arange(S)[None, :] <= t.arange(S)[:, None], 0.0, -t.inf
         ).double()
-        for i, lp in enumerate(params["layers"]):
+        from multimodal_sae_tpu.models.llama import _layer_slice
+
+        n_layers = (
+            len(params["layers"])
+            if isinstance(params["layers"], list)
+            else next(iter(params["layers"].values())).shape[0]
+        )
+        for i in range(n_layers):
+            lp = _layer_slice(params["layers"], i)
             W = {k: t.tensor(np.asarray(v), dtype=t.float64) for k, v in lp.items()}
             res = h
             x = rms(h, W["input_layernorm"])
