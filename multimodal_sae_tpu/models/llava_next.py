@@ -366,36 +366,47 @@ class LlavaNextModel:
             "image_sizes": sizes,
         }
 
-    def _project_jit(self, pv_arr):
-        """Vision tower + projector, jitted per crop-count (n_patches has a
-        handful of values under the anyres pinpoints, so this compiles O(1)
-        times)."""
-        pkey = ("proj", pv_arr.shape, str(pv_arr.dtype))
-        pfn = self._jit_cache.get(pkey)
-        if pfn is None:
+    def _project_pack_group_jit(self, pv_stacked, size, n_tokens):
+        """ONE jitted dispatch for a group of same-geometry images: vision
+        tower + projector + anyres pack, vmapped over the group."""
+        key = ("projpack", pv_stacked.shape, tuple(size), str(pv_stacked.dtype))
+        fn = self._jit_cache.get(key)
+        if fn is None:
             cfg_ = self.cfg
+            size_ = (int(size[0]), int(size[1]))
 
             @jax.jit
-            def pfn(vp, pv):
-                return project_image_features(vp, cfg_, pv)
+            def fn(vp, newline, pv):
+                def one(p):
+                    return pack_image_features(
+                        project_image_features(vp, cfg_, p), newline, cfg_, size_
+                    )
 
-            self._jit_cache[pkey] = pfn
-        return pfn(
+                return jax.vmap(one)(pv)
+
+            self._jit_cache[key] = fn
+        out = fn(
             {
                 "vision_tower": self.params["vision_tower"],
                 "projector": self.params["projector"],
             },
-            pv_arr,
+            self.params["image_newline"],
+            pv_stacked,
         )
+        assert out.shape[1] == n_tokens, (out.shape, n_tokens)
+        return out
 
     def _embed_multimodal(self, batch: dict):
         """Text embeddings with image features scattered over <image> token
         positions (HF get_placeholder_mask + masked_scatter semantics).
 
-        Device work is three jitted dispatches per batch — the towers (one per
-        distinct crop-count), the packs, and ONE embed+scatter over flat
-        (row, col) index arrays — instead of per-row eager ops: on a
-        high-latency dispatch path every eager op costs a round trip."""
+        Device work per batch is a handful of jitted dispatches — one
+        tower+pack call per distinct image *geometry* (vmapped over the
+        group), then ONE embed+scatter whose feature gather rides flat index
+        arrays — never per-row eager ops: on a high-latency dispatch path
+        every eager op costs a round trip, and replicated rows (batched
+        steering tiles one prompt) reference the same computed features
+        through the index array instead of re-running the tower."""
         lm = self.params["language_model"]
         ids = np.asarray(batch["input_ids"])
         if "pixel_values" not in batch or batch["pixel_values"] is None:
@@ -403,38 +414,78 @@ class LlavaNextModel:
                 lm["embed_tokens"], jnp.asarray(ids), leaf_dtype(lm["embed_tokens"])
             )
         tok = self.cfg.image_token_index
-        feat_memo = {}  # id(pv) -> packed feats: replicated rows (batched
-        # steering tiles one prompt) run the vision tower once, not per row
-        rows, cols, feats_list = [], [], []
-        for b, (pv, size) in enumerate(zip(batch["pixel_values"], batch["image_sizes"])):
-            memo_key = (id(pv), tuple(size))
-            feats = feat_memo.get(memo_key)
-            if feats is None:
-                n_patches = image_size_to_num_patches(
-                    size, self.cfg.image_grid_pinpoints, self.cfg.vision_config.image_size
-                )
-                projected = self._project_jit(jnp.asarray(pv[:n_patches]))
-                feats = pack_image_features(
-                    projected, self.params["image_newline"], self.cfg, size
-                )
-                feat_memo[memo_key] = feats
-            positions = np.nonzero(ids[b] == tok)[0]
-            assert len(positions) == feats.shape[0], (
-                f"image token count {len(positions)} != packed features {feats.shape[0]}"
-            )
-            rows.append(np.full(len(positions), b, np.int32))
-            cols.append(positions.astype(np.int32))
-            feats_list.append(feats)
+        vis_size = self.cfg.vision_config.image_size
 
-        flat_feats = jnp.concatenate(feats_list, axis=0)
-        akey = ("assemble", ids.shape, flat_feats.shape, str(flat_feats.dtype))
+        # Pass 1 (host): dedupe images, group distinct ones by geometry.
+        distinct = {}  # memo_key -> (group_key, index_in_group, n_tokens)
+        groups = {}  # group_key -> list of (memo_key, pv, n_patches)
+        for pv, size in zip(batch["pixel_values"], batch["image_sizes"]):
+            memo_key = (id(pv), tuple(size))
+            if memo_key in distinct:
+                continue
+            n_patches = image_size_to_num_patches(
+                size, self.cfg.image_grid_pinpoints, vis_size
+            )
+            n_tokens = get_number_of_features(int(size[0]), int(size[1]), self.cfg)
+            gkey = (n_patches, tuple(size))
+            members = groups.setdefault(gkey, [])
+            distinct[memo_key] = (gkey, len(members), n_tokens)
+            members.append((memo_key, pv, n_patches))
+
+        # Pass 2 (device): one tower+pack dispatch per geometry group.
+        group_feats = {}
+        offsets = {}  # memo_key -> row offset into flat_feats
+        flat_parts = []
+        offset = 0
+        for gkey, members in groups.items():
+            n_patches = members[0][2]
+            stacked = jnp.stack(
+                [jnp.asarray(pv)[:n_patches] for (_, pv, _) in members]
+            )
+            n_tokens = distinct[members[0][0]][2]
+            out = self._project_pack_group_jit(stacked, gkey[1], n_tokens)
+            group_feats[gkey] = out
+            for i, (mk, _, _) in enumerate(members):
+                offsets[mk] = offset + i * n_tokens
+            flat_parts.append(out.reshape(-1, out.shape[-1]))
+            offset += out.shape[0] * n_tokens
+        flat_feats = (
+            flat_parts[0]
+            if len(flat_parts) == 1
+            else jnp.concatenate(flat_parts, axis=0)
+        )
+
+        # Pass 3 (host): flat (row, col, feature-row) index arrays.
+        rows, cols, fidx = [], [], []
+        for b, (pv, size) in enumerate(
+            zip(batch["pixel_values"], batch["image_sizes"])
+        ):
+            memo_key = (id(pv), tuple(size))
+            n_tokens = distinct[memo_key][2]
+            positions = np.nonzero(ids[b] == tok)[0]
+            assert len(positions) == n_tokens, (
+                f"image token count {len(positions)} != packed features {n_tokens}"
+            )
+            rows.append(np.full(n_tokens, b, np.int32))
+            cols.append(positions.astype(np.int32))
+            fidx.append(offsets[memo_key] + np.arange(n_tokens, dtype=np.int32))
+
+        akey = (
+            "assemble",
+            ids.shape,
+            flat_feats.shape,
+            str(flat_feats.dtype),
+            sum(len(r) for r in rows),
+        )
         afn = self._jit_cache.get(akey)
         if afn is None:
 
             @jax.jit
-            def afn(embed_tokens, ids, flat_feats, rows, cols):
+            def afn(embed_tokens, ids, flat_feats, rows, cols, fidx):
                 embeds = qembed(embed_tokens, ids, leaf_dtype(embed_tokens))
-                return embeds.at[rows, cols].set(flat_feats.astype(embeds.dtype))
+                return embeds.at[rows, cols].set(
+                    flat_feats[fidx].astype(embeds.dtype)
+                )
 
             self._jit_cache[akey] = afn
         return afn(
@@ -443,6 +494,7 @@ class LlavaNextModel:
             flat_feats,
             jnp.asarray(np.concatenate(rows)),
             jnp.asarray(np.concatenate(cols)),
+            jnp.asarray(np.concatenate(fidx)),
         )
 
     def forward(
