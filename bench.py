@@ -456,6 +456,8 @@ def llava_image_bench():
         num_key_value_heads=8,
         tie_word_embeddings=True,
         int8_matmul=True,
+        flash_attention=True,  # fused attention: eager materializes ~3 GB of
+        # f32 scores per layer at the anyres seq len
     )
     vcfg = ClipVisionConfig()  # CLIP-L/14 @ 336 — the llava-next tower
     cfg = LlavaNextConfig(text_config=lcfg, vision_config=vcfg)

@@ -262,6 +262,12 @@ class CacheConfig:
     quantization changes numerics, so the bit-stable cache guarantee only
     holds within the same flag setting."""
 
+    flash_attention: bool = False
+    """Fused flash attention for the subject forward (models/llama.py):
+    eager attention materializes ~3 GB of f32 scores per layer at anyres
+    sequence lengths. Opt-in: softmax reduction order differs from HF eager
+    at the bf16 level, so the fp32 bit-parity guarantee keeps eager."""
+
     split: str = "train"
     """Dataset split to use."""
 

@@ -24,7 +24,9 @@ def main(cfg: CacheConfig):
 
     logger.info(f"Load Model : {cfg.model}")
     model, _, tokenizer = load_subject_model(
-        cfg.model, load_in_8bit=cfg.load_in_8bit, int8_matmul=cfg.int8_matmul
+        cfg.model, load_in_8bit=cfg.load_in_8bit,
+        int8_matmul=cfg.int8_matmul,
+        flash_attention=cfg.flash_attention,
     )
 
     logger.info(f"Load Dataset : {cfg.dataset}")

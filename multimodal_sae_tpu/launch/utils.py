@@ -18,6 +18,7 @@ def load_subject_model(
     dtype=jnp.bfloat16,
     load_in_8bit: bool = False,
     int8_matmul: bool = False,
+    flash_attention: bool = False,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
@@ -52,10 +53,15 @@ def load_subject_model(
             params["language_model"] = quantize_llama_params(
                 params["language_model"]
             )
-        if int8_matmul:
+        if int8_matmul or flash_attention:
             cfg = dataclasses.replace(
                 cfg,
-                text_config=dataclasses.replace(cfg.text_config, int8_matmul=True),
+                text_config=dataclasses.replace(
+                    cfg.text_config,
+                    int8_matmul=int8_matmul or cfg.text_config.int8_matmul,
+                    flash_attention=flash_attention
+                    or cfg.text_config.flash_attention,
+                ),
             )
         model = LlavaNextModel(params, cfg)
         processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
@@ -66,8 +72,12 @@ def load_subject_model(
         params, cfg = load_llama(model_name_or_path, dtype=dtype)
         if load_in_8bit or int8_matmul:
             params = quantize_llama_params(params)
-        if int8_matmul:
-            cfg = dataclasses.replace(cfg, int8_matmul=True)
+        if int8_matmul or flash_attention:
+            cfg = dataclasses.replace(
+                cfg,
+                int8_matmul=int8_matmul or cfg.int8_matmul,
+                flash_attention=flash_attention or cfg.flash_attention,
+            )
         model = LlamaModel(params, cfg)
         processor = None
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)

@@ -56,6 +56,16 @@ class LlamaConfig:
     int8=True) — 2x the bf16 MXU rate. Opt-in: W8A8 changes numerics vs the
     weight-only dequant path. Ignored for unquantized weights."""
 
+    flash_attention: bool = False
+    """Use the fused Pallas flash-attention kernel for no-KV-cache forwards
+    (caching/training/attribution prefill). Eager attention materializes the
+    (B, H, S, S) f32 score tensor per layer — ~3 GB/layer at S=2432 — which
+    dominates long-sequence anyres forwards; the fused kernel never leaves
+    VMEM. Opt-in: softmax reduction order differs from HF eager (bf16-level
+    numerics), so the fp32 bit-parity cache path keeps eager. On non-TPU
+    backends the pure-jnp `mha_reference` (same math as the kernel) runs
+    instead, so tests exercise the exact wiring."""
+
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
@@ -225,6 +235,35 @@ def attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=q.dtype)
 
 
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_mask: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    """Causal flash attention, (B, H, S, hd) — fused Pallas kernel on TPU,
+    `mha_reference` (identical math, pure jnp) elsewhere.  `pad_mask` (B, S)
+    marks real tokens; pad *keys* are excluded everywhere via kv segment ids
+    (pad queries still attend to real keys, matching the eager additive-mask
+    path, so their outputs stay finite and get sliced off downstream)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    if pad_mask is not None:
+        q_seg = jnp.ones(q.shape[0:1] + q.shape[2:3], jnp.int32)
+        kv_seg = pad_mask.astype(jnp.int32)
+        segment_ids = _fa.SegmentIds(q=q_seg, kv=kv_seg)
+    else:
+        segment_ids = None
+    if jax.default_backend() == "tpu":
+        return _fa.flash_attention(
+            q, k, v, segment_ids=segment_ids, causal=True, sm_scale=scale
+        )
+    return _fa.mha_reference(
+        q, k, v, None, segment_ids=segment_ids, causal=True, sm_scale=scale
+    )
+
+
 def decoder_layer(
     layer_params: Dict[str, jax.Array],
     cfg: LlamaConfig,
@@ -234,6 +273,7 @@ def decoder_layer(
     mask: Optional[jax.Array],
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_offset: Optional[jax.Array] = None,
+    pad_mask: Optional[jax.Array] = None,
 ):
     """One decoder layer; returns (h_out, (k_full, v_full)) where k/v_full are
     the cache tensors to store when kv-caching."""
@@ -264,7 +304,10 @@ def decoder_layer(
 
     k_att = _repeat_kv(k_att, H // kvH)
     v_att = _repeat_kv(v_att, H // kvH)
-    attn = attention(q, k_att, v_att, mask, scale=hd**-0.5)
+    if cfg.flash_attention and kv is None and S > 1:
+        attn = flash_attention(q, k_att, v_att, pad_mask, scale=hd**-0.5)
+    else:
+        attn = attention(q, k_att, v_att, mask, scale=hd**-0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
     h = residual + qmatmul(attn, layer_params["o_proj"], int8=i8)
 
@@ -381,8 +424,18 @@ def llama_forward(
                 )
             amask = amask * pad
         mask = causal_mask(S, S_k, h.dtype, amask, offset=offset)
+        pad_mask = None
+    elif cfg.flash_attention and S > 1:
+        # Flash path: causality and pad-key exclusion happen inside the
+        # kernel via segment ids — the (B, 1, S, S) additive mask is never
+        # built (95 MB at S=2432 before the per-layer score tensors it feeds).
+        mask = None
+        pad_mask = (
+            jnp.asarray(attention_mask) if attention_mask is not None else None
+        )
     else:
         mask = causal_mask(S, S, h.dtype, attention_mask)
+        pad_mask = None
 
     layers = params["layers"]
     stacked = isinstance(layers, dict)
@@ -402,7 +455,15 @@ def llama_forward(
             lp, kc, vc, idx = xs
             kv = (kc, vc) if cache is not None else None
             h, (k_full, v_full) = decoder_layer(
-                lp, cfg, h, cos, sin, mask, kv=kv, cache_offset=cache_offset
+                lp,
+                cfg,
+                h,
+                cos,
+                sin,
+                mask,
+                kv=kv,
+                cache_offset=cache_offset,
+                pad_mask=pad_mask,
             )
             for i_target, fn in iv_by_idx.items():
                 h = jax.lax.cond(idx == i_target, fn, lambda x: x, h)
@@ -435,6 +496,7 @@ def llama_forward(
                 mask,
                 kv=kv,
                 cache_offset=offset if cache is not None else None,
+                pad_mask=pad_mask,
             )
             if interventions and name in interventions:
                 h = interventions[name](h)

@@ -247,3 +247,40 @@ def test_activation_source_protocol(tiny):
     )
     assert set(caps) == {"layers.0", "layers.2"}
     assert caps["layers.0"].shape == (1, 3, 64)
+
+
+def test_flash_attention_matches_eager():
+    """cfg.flash_attention routes no-cache forwards through the fused kernel
+    (mha_reference off-TPU — same math as the Pallas kernel), matching eager
+    attention within bf16-level tolerance, including pad-key exclusion."""
+    import dataclasses
+
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    from multimodal_sae_tpu.models.llama import init_llama_params
+
+    fcfg = dataclasses.replace(cfg, flash_attention=True)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 128, size=(2, 16)))
+    amask = np.ones((2, 16), np.int32)
+    amask[1, 12:] = 0  # right-padded row: pad keys must be excluded
+
+    ref = llama_forward(params, cfg, ids, attention_mask=jnp.asarray(amask),
+                        capture=("layers.1",))
+    got = llama_forward(params, fcfg, ids, attention_mask=jnp.asarray(amask),
+                        capture=("layers.1",))
+    # Compare only real-token positions (pad outputs are garbage-but-finite
+    # in both paths, with different garbage).
+    for key in ("logits",):
+        a = np.asarray(ref[key], np.float32)
+        b = np.asarray(got[key], np.float32)
+        np.testing.assert_allclose(a[0], b[0], rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(a[1, :12], b[1, :12], rtol=2e-3, atol=2e-3)
+    assert np.isfinite(np.asarray(got["captured"]["layers.1"])).all()
