@@ -36,6 +36,7 @@ def load_artifacts(args: RunConfig):
             dtype=jnp.bfloat16,
             load_in_8bit=args.load_in_8bit,
             int8_matmul=args.int8_matmul,
+            flash_attention=args.flash_attention,
         )
 
     if args.dataset.endswith(".bin"):

@@ -151,6 +151,11 @@ class RunConfig(TrainConfig):
     (W8A8; implies load_in_8bit) — ~2x faster subject forward; SAE math is
     unaffected (it trains on the captured hiddens in full precision)."""
 
+    flash_attention: bool = False
+    """Fused flash attention for the frozen-subject forward — removes the
+    per-layer (B, H, S, S) f32 score materialization that dominates at
+    ctx_len ~2k (models/llama.py LlamaConfig.flash_attention)."""
+
     max_examples: Optional[int] = None
     """Maximum number of examples to use for training."""
 
