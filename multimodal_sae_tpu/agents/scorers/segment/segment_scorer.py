@@ -199,9 +199,13 @@ class SegmentScorer:
         self.segment_fn = partial(hf_batched_segment, sam, sam_processor, self.device)
 
     # ---- staged pipeline -----------------------------------------------------
-    def _collect(self) -> tuple:
-        """Stage 1: drain the loader into a flat work list; emit sentinel
-        scores for unexplainable features."""
+    def _collect_chunks(self, max_items: int = 256):
+        """Stage 1: drain the loader into bounded work chunks (flushed only at
+        record boundaries so a feature's examples stay together); emit
+        sentinel scores for unexplainable features.  Bounding the chunk keeps
+        host RAM O(max_items) decoded RGB images instead of materializing the
+        whole run's work list (thousands of features x 5 examples of full
+        images would be multi-GB)."""
         loader = self.dataset.load(
             constructor=partial(
                 self._constructor,
@@ -225,7 +229,11 @@ class SegmentScorer:
                 for i, example in enumerate(record.examples):
                     image = example.image.resize(example.mask.size).convert("RGB")
                     work.append(_WorkItem(feature, i, image, example.mask, label))
-        return ordered, sentinels, work
+            if len(work) >= max_items:
+                yield ordered, sentinels, work
+                work, ordered, sentinels = [], [], {}
+        if ordered or work:
+            yield ordered, sentinels, work
 
     def _detect_stage(self, work: List[_WorkItem]):
         """Stage 2: one batched detection pass; batch failures degrade to
@@ -329,13 +337,15 @@ class SegmentScorer:
     def __call__(self) -> Any:
         if self.detect_fn is None or self.segment_fn is None:
             self.load_model()
-        ordered, sentinels, work = self._collect()
-        logger.info(
-            f"Scoring {len(dict.fromkeys(ordered))} features / {len(work)} examples"
-        )
-        self._detect_stage(work)
-        self._segment_stage(work)
-        self.scores = self._score_stage(ordered, sentinels, work)
+        self.scores = []
+        n_features = n_examples = 0
+        for ordered, sentinels, work in self._collect_chunks():
+            n_features += len(dict.fromkeys(ordered))
+            n_examples += len(work)
+            self._detect_stage(work)
+            self._segment_stage(work)
+            self.scores.extend(self._score_stage(ordered, sentinels, work))
+        logger.info(f"Scored {n_features} features / {n_examples} examples")
         return self.scores
 
 

@@ -127,19 +127,31 @@ class StreamingSplitWriter:
         self._thread.start()
 
     # ---- producer side -----------------------------------------------------
+    def _put(self, item):
+        """Bounded put that keeps watching for a dead worker: if the writer
+        thread errored (disk full, ...) the queue stops draining and a plain
+        blocking put would hang the whole caching run forever instead of
+        surfacing the exception."""
+        while True:
+            if self._error:
+                raise self._error[0]
+            try:
+                self._queue.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
     def submit(self, module_path: str, locs: np.ndarray, acts: np.ndarray):
         """Enqueue a COO chunk (row-major within the chunk) for partitioning
         and appending.  Chunks must arrive in stream order per module."""
-        if self._error:
-            raise self._error[0]
         if len(acts):
-            self._queue.put((module_path, locs, acts))
+            self._put((module_path, locs, acts))
 
     def close(self) -> Dict[str, int]:
         """Drain the queue, finalize every shard header (creating empty
         shards for splits a module never touched, like the buffered path),
         and return per-module entry counts."""
-        self._queue.put(None)
+        self._put(None)
         self._thread.join()
         if self._error:
             raise self._error[0]

@@ -269,22 +269,20 @@ def project_image_features(params: dict, cfg: LlavaNextConfig, pixel_values: jax
 
 
 def _iv_cache_key(interventions) -> tuple:
-    """Hashable jit-cache key part for an interventions dict: `Intervention`
-    values key on (name, fn, static) — their arrays ride through jit as
-    arguments; plain callables key on object identity (reusing the same
-    closure hits the cache; its captured arrays are baked into that program)."""
+    """Hashable jit-cache key part for an interventions dict — the static
+    half of `models/llama.py _split_interventions` (one source of truth for
+    the Intervention cache-key contract), with plain callables keyed by
+    object identity: reusing the same closure hits the cache; its captured
+    arrays are baked into that program. The cached jit closure keeps the
+    callable alive, so id() cannot be recycled while the entry exists."""
     if not interventions:
         return ()
-    from .llama import Intervention
+    from .llama import _split_interventions
 
-    out = []
-    for name in sorted(interventions):
-        v = interventions[name]
-        if isinstance(v, Intervention):
-            out.append((name, v.fn, v.static))
-        else:
-            out.append((name, id(v)))
-    return tuple(out)
+    spec, _ = _split_interventions(interventions)
+    return tuple(
+        entry if len(entry) == 3 else (entry[0], id(entry[1])) for entry in spec
+    )
 
 
 class LlavaNextModel:
@@ -409,7 +407,16 @@ class LlavaNextModel:
         through the index array instead of re-running the tower."""
         lm = self.params["language_model"]
         ids = np.asarray(batch["input_ids"])
-        if "pixel_values" not in batch or batch["pixel_values"] is None:
+        # Materialize ONE list of per-image pixel arrays up front: iterating
+        # a stacked numpy array (a collated batch / HF BatchFeature) yields
+        # fresh row-view objects on every pass, so the id()-keyed dedupe
+        # below would miss itself on re-iteration.
+        pv_rows = (
+            list(batch["pixel_values"])
+            if batch.get("pixel_values") is not None
+            else []
+        )
+        if not pv_rows:
             return qembed(
                 lm["embed_tokens"], jnp.asarray(ids), leaf_dtype(lm["embed_tokens"])
             )
@@ -417,9 +424,9 @@ class LlavaNextModel:
         vis_size = self.cfg.vision_config.image_size
 
         # Pass 1 (host): dedupe images, group distinct ones by geometry.
-        distinct = {}  # memo_key -> (group_key, index_in_group, n_tokens)
+        distinct = {}  # memo_key -> n_tokens
         groups = {}  # group_key -> list of (memo_key, pv, n_patches)
-        for pv, size in zip(batch["pixel_values"], batch["image_sizes"]):
+        for pv, size in zip(pv_rows, batch["image_sizes"]):
             memo_key = (id(pv), tuple(size))
             if memo_key in distinct:
                 continue
@@ -428,12 +435,10 @@ class LlavaNextModel:
             )
             n_tokens = get_number_of_features(int(size[0]), int(size[1]), self.cfg)
             gkey = (n_patches, tuple(size))
-            members = groups.setdefault(gkey, [])
-            distinct[memo_key] = (gkey, len(members), n_tokens)
-            members.append((memo_key, pv, n_patches))
+            distinct[memo_key] = n_tokens
+            groups.setdefault(gkey, []).append((memo_key, pv, n_patches))
 
         # Pass 2 (device): one tower+pack dispatch per geometry group.
-        group_feats = {}
         offsets = {}  # memo_key -> row offset into flat_feats
         flat_parts = []
         offset = 0
@@ -442,9 +447,8 @@ class LlavaNextModel:
             stacked = jnp.stack(
                 [jnp.asarray(pv)[:n_patches] for (_, pv, _) in members]
             )
-            n_tokens = distinct[members[0][0]][2]
+            n_tokens = distinct[members[0][0]]
             out = self._project_pack_group_jit(stacked, gkey[1], n_tokens)
-            group_feats[gkey] = out
             for i, (mk, _, _) in enumerate(members):
                 offsets[mk] = offset + i * n_tokens
             flat_parts.append(out.reshape(-1, out.shape[-1]))
@@ -457,11 +461,9 @@ class LlavaNextModel:
 
         # Pass 3 (host): flat (row, col, feature-row) index arrays.
         rows, cols, fidx = [], [], []
-        for b, (pv, size) in enumerate(
-            zip(batch["pixel_values"], batch["image_sizes"])
-        ):
+        for b, (pv, size) in enumerate(zip(pv_rows, batch["image_sizes"])):
             memo_key = (id(pv), tuple(size))
-            n_tokens = distinct[memo_key][2]
+            n_tokens = distinct[memo_key]
             positions = np.nonzero(ids[b] == tok)[0]
             assert len(positions) == n_tokens, (
                 f"image token count {len(positions)} != packed features {n_tokens}"

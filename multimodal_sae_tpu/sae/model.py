@@ -162,12 +162,18 @@ def forward(
     if fast:
         y, dense, sel_mask = topk_mask_decode(pre, W_dec, cfg.k)
         sae_out = y + b_dec
-        # Fired = selected by the top-k threshold, not `dense > 0`: a latent
-        # whose top-k activation is exactly 0 (row with < k positive
-        # pre-activations) still counts as fired, matching the reference's
-        # scatter of did_fire from latent_indices regardless of value
-        # (reference train/sae/sae/trainer.py:334-339).
-        fired = jnp.any(sel_mask, axis=tuple(range(sel_mask.ndim - 1)))
+        # Fired = selected AND positive. `sel_mask` alone (pre >= kth) is
+        # wrong when any row has fewer than k positive pre-activations: its
+        # k-th value is 0 and the >= 0 threshold marks ALL post-ReLU latents
+        # of that row as fired, wiping the dead-feature bookkeeping (and with
+        # it the AuxK loss). The reference scatters did_fire from its k
+        # arbitrary tie-broken indices (reference trainer.py:334-339), whose
+        # zero-valued picks are noise; counting only positive selections is
+        # the deliberate, deterministic difference.
+        fired = jnp.any(
+            jnp.logical_and(sel_mask, pre > 0),
+            axis=tuple(range(sel_mask.ndim - 1)),
+        )
         if return_topk:
             # Parity with the reference output type; skipped by default on the
             # train path since `fired` covers the dead-feature bookkeeping.
@@ -219,7 +225,12 @@ def forward(
         # also makes the trainer's did_fire track the 4k selection.
         sae_out = sae_out4
         if fired is not None:
-            fired = jnp.any(sel4, axis=tuple(range(sel4.ndim - 1)))
+            # Same positive-and-selected rule as above (4k selection makes a
+            # zero k-th value — and the all-True mask hazard — more likely).
+            fired = jnp.any(
+                jnp.logical_and(sel4, pre > 0),
+                axis=tuple(range(sel4.ndim - 1)),
+            )
         if top_acts is not None:
             top_acts, top_indices = select_topk(
                 jax.lax.stop_gradient(pre), 4 * cfg.k

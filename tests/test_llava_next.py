@@ -175,3 +175,31 @@ def test_num_patches():
         Image.new("RGB", (70, 50)), cfg
     )
     assert pv.shape[0] == n
+
+
+def test_capture_accepts_stacked_pixel_values(tiny, images):
+    """pixel_values as ONE stacked numpy array (collated batches / HF
+    BatchFeature) must work: re-iterating a stacked array yields fresh row
+    views, which the id()-keyed image dedupe must not trip over."""
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    img = images[0]
+    prepared = model.prepare_inputs(
+        images=[img, img], prompt_ids=[[1, IMG_TOKEN, 2]] * 2
+    )
+    hook = model.hookpoint_names()[-1]
+    ref = model.capture(prepared, [hook])[hook]
+
+    stacked = dict(prepared)
+    stacked["pixel_values"] = np.stack(
+        [np.asarray(pv) for pv in prepared["pixel_values"]]
+    )
+    got = model.capture(stacked, [hook])[hook]
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    # Text-only batch that still carries an empty pixel_values list.
+    empty = {"input_ids": np.array([[1, 2, 3]]), "pixel_values": []}
+    out = model.capture(empty, [hook])[hook]
+    assert out.shape[1] == 3

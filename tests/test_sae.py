@@ -224,3 +224,25 @@ def test_load_many(tmp_path):
         Sae(8, cfg, key=jax.random.PRNGKey(i)).save_to_disk(tmp_path / f"layers.{i}")
     saes = Sae.load_many(str(tmp_path), local=True)
     assert list(saes.keys()) == ["layers.0", "layers.2", "layers.10"]  # natsorted
+
+
+def test_fired_not_all_true_when_row_has_few_positive_acts():
+    """A row with fewer than k positive pre-activations has kth == 0; the
+    selection mask (pre >= 0) covers every post-ReLU latent of that row, but
+    `fired` must still only mark positive selections — an all-True fired
+    wipes the dead-feature counters and silently disables AuxK."""
+    import jax.numpy as jnp
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.sae.model import forward, init_params
+
+    cfg = SaeConfig(num_latents=64, k=8)
+    params = init_params(jax.random.PRNGKey(0), 16, cfg)
+    # Row 0: plenty of positive latents. Row 1: x == b_dec makes sae_in zero,
+    # so every pre-activation is relu(b_enc) == 0 and its k-th value is 0.
+    x = jnp.stack([jnp.ones((16,)), params["b_dec"]])
+    out = forward(params, x, cfg, fast=True)
+    fired = np.asarray(out.fired)
+    assert 0 < fired.sum() < cfg.num_latents, fired.sum()
+    # Only selected positives count: at most ~k from row 0 (+ ties).
+    assert fired.sum() <= 2 * cfg.k, fired.sum()

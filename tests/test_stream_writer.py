@@ -121,3 +121,27 @@ def test_streamed_empty_module_splits(tmp_path):
     assert high["locations"].shape == (0, 3)
     fc.concate_safetensors(N_SPLITS, str(tmp_path))
     assert len(os.listdir(tmp_path / "layers.0")) == N_SPLITS
+
+
+def test_writer_thread_death_surfaces_instead_of_hanging(tmp_path):
+    """A dead worker (e.g. disk full) must raise on the producer side even
+    when the bounded queue is full — not hang submit()/close() forever."""
+    import numpy as np
+
+    from multimodal_sae_tpu.features.stream_writer import StreamingSplitWriter
+
+    w = StreamingSplitWriter(str(tmp_path), [(0, 31), (32, 63)], rank=0)
+
+    def boom(*a, **k):
+        raise OSError("No space left on device")
+
+    w._append_chunk = boom  # simulate the failure inside the worker
+    locs = np.zeros((8, 3), np.int64)
+    acts = np.ones((8,), np.float32)
+    import pytest
+
+    with pytest.raises(OSError):
+        for _ in range(64):  # enough to fill the maxsize-4 queue
+            w.submit("layers.0", locs, acts)
+    with pytest.raises(OSError):
+        w.close()
