@@ -320,6 +320,11 @@ class AttributionConfig:
     load_in_8bit). Backward uses a straight-through dequantized-weight
     matmul, so attribution gradients still flow to the spliced hiddens."""
 
+    flash_attention: bool = False
+    """Fused flash attention for the subject forward/backward — multimodal
+    probing prompts run at anyres lengths (~2.3k tokens), where eager
+    attention's per-layer f32 score tensors dominate."""
+
     load_in_8bit: bool = False
     """Int8-quantize the subject model (the TPU analogue of the reference's
     fp8-Quanto backward model, reference utils.py:91-103) — halves subject

@@ -39,6 +39,7 @@ def main(cfg: AttributionConfig):
         dtype=jnp.bfloat16,
         load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
+        flash_attention=cfg.flash_attention,
     )
     attribution = Attribution(
         model,

@@ -255,12 +255,16 @@ def flash_attention(
         segment_ids = _fa.SegmentIds(q=q_seg, kv=kv_seg)
     else:
         segment_ids = None
+    # Fold the softmax scale into q (identical math): the reference impl's
+    # backward rejects sm_scale != 1, and pre-scaling keeps both paths
+    # differentiable — attribution backprops THROUGH the splice's attention.
+    q = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
     if jax.default_backend() == "tpu":
         return _fa.flash_attention(
-            q, k, v, segment_ids=segment_ids, causal=True, sm_scale=scale
+            q, k, v, segment_ids=segment_ids, causal=True, sm_scale=1.0
         )
     return _fa.mha_reference(
-        q, k, v, None, segment_ids=segment_ids, causal=True, sm_scale=scale
+        q, k, v, None, segment_ids=segment_ids, causal=True, sm_scale=1.0
     )
 
 

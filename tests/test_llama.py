@@ -284,3 +284,17 @@ def test_flash_attention_matches_eager():
         np.testing.assert_allclose(a[0], b[0], rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(a[1, :12], b[1, :12], rtol=2e-3, atol=2e-3)
     assert np.isfinite(np.asarray(got["captured"]["layers.1"])).all()
+
+    # Attribution-style gradients flow THROUGH flash attention (sm_scale is
+    # folded into q because the reference backward rejects sm_scale != 1).
+    def metric(c, delta):
+        out = llama_forward(
+            params, c, ids, interventions={"layers.0": lambda h: h + delta}
+        )
+        return out["logits"][0, -1, 5]
+
+    z = jnp.zeros((2, 16, 64))
+    g = jax.grad(lambda d: metric(fcfg, d))(z)
+    ge = jax.grad(lambda d: metric(cfg, d))(z)
+    rel = float(jnp.linalg.norm(g - ge) / jnp.linalg.norm(ge))
+    assert np.isfinite(np.asarray(g)).all() and rel < 1e-3, rel
