@@ -295,6 +295,10 @@ def attribution_bench():
     from multimodal_sae_tpu.models.quant import quantize_llama_params
     from multimodal_sae_tpu.sae.model import Sae
 
+    # `--long` measures the REAL multimodal-probing shape: anyres prompts are
+    # ~2.3k tokens (flash attention on; smaller vmap width fits the tape for
+    # the 8 above-splice layers on a 16 GB chip).
+    long = "--long" in sys.argv
     lcfg = LlamaConfig(
         vocab_size=128256,
         hidden_size=D_IN,
@@ -304,6 +308,7 @@ def attribution_bench():
         num_key_value_heads=8,
         tie_word_embeddings=True,
         int8_matmul=True,
+        flash_attention=long,
     )
     one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
 
@@ -337,7 +342,7 @@ def attribution_bench():
 
     hook = "layers.24"
     sae_dict = {hook: sae}
-    B, S = 1, SEQ
+    B, S = 1, (2432 if long else SEQ)
     ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, lcfg.vocab_size)
     answer_ids = jnp.array([[11, 22]], dtype=jnp.int32)
 
@@ -359,7 +364,7 @@ def attribution_bench():
             )
 
     batch = {"input_ids": ids}
-    F = 8  # vmapped feature batch
+    F = 2 if long else 8  # vmapped feature batch
     zeros = {hook: jnp.zeros((B, S, D_IN), jnp.float32)}
 
     def make_sae(sp):
@@ -420,7 +425,8 @@ def attribution_bench():
                 "metric": "attribution_features_per_sec",
                 "value": round(F / dt, 2),
                 "unit": "features/s/chip (32-layer int8-MXU 8B subject + 131k SAE "
-                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}; "
+                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}"
+                f"{', flash attention' if long else ''}; "
                 f"{dt / F * 1e3:.1f} ms/feature)",
                 "vs_baseline": 0.0,
             }
