@@ -295,9 +295,14 @@ def attribution_bench():
     from multimodal_sae_tpu.models.quant import quantize_llama_params
     from multimodal_sae_tpu.sae.model import Sae
 
-    # `--long` measures the REAL multimodal-probing shape: anyres prompts are
-    # ~2.3k tokens (flash attention on; smaller vmap width fits the tape for
-    # the 8 above-splice layers on a 16 GB chip).
+    # `--long` (EXPERIMENTAL, not recorded in BASELINE.md): the REAL
+    # multimodal-probing shape — anyres prompts are ~2.3k tokens. Status:
+    # eager attention's saved probs need 21.3 GB (OOM on 16 GB); layer remat
+    # (cfg.remat) shrinks the tape but XLA's backward schedule still peaks
+    # 17-22 GB at this depth/length; grad-of-flash fits but its program
+    # compiles >23 min on this platform (measured 125 s at 2 layers/S=512).
+    # The production recipe for real multimodal attribution on 16 GB chips
+    # is remat+flash with an ahead-of-time compile cache.
     long = "--long" in sys.argv
     lcfg = LlamaConfig(
         vocab_size=128256,
@@ -308,7 +313,7 @@ def attribution_bench():
         num_key_value_heads=8,
         tie_word_embeddings=True,
         int8_matmul=True,
-        flash_attention=long,
+        remat=long,
     )
     one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
 
@@ -364,7 +369,7 @@ def attribution_bench():
             )
 
     batch = {"input_ids": ids}
-    F = 2 if long else 8  # vmapped feature batch
+    F = 1 if long else 8  # vmapped feature batch (long: the per-layer remat-recompute scores transient bounds it)
     zeros = {hook: jnp.zeros((B, S, D_IN), jnp.float32)}
 
     def make_sae(sp):
@@ -425,8 +430,7 @@ def attribution_bench():
                 "metric": "attribution_features_per_sec",
                 "value": round(F / dt, 2),
                 "unit": "features/s/chip (32-layer int8-MXU 8B subject + 131k SAE "
-                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}"
-                f"{', flash attention' if long else ''}; "
+                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}; "
                 f"{dt / F * 1e3:.1f} ms/feature)",
                 "vs_baseline": 0.0,
             }
