@@ -296,13 +296,13 @@ def attribution_bench():
     from multimodal_sae_tpu.sae.model import Sae
 
     # `--long` (EXPERIMENTAL, not recorded in BASELINE.md): the REAL
-    # multimodal-probing shape — anyres prompts are ~2.3k tokens. Status:
-    # eager attention's saved probs need 21.3 GB (OOM on 16 GB); layer remat
-    # (cfg.remat) shrinks the tape but XLA's backward schedule still peaks
-    # 17-22 GB at this depth/length; grad-of-flash fits but its program
-    # compiles >23 min on this platform (measured 125 s at 2 layers/S=512).
-    # The production recipe for real multimodal attribution on 16 GB chips
-    # is remat+flash with an ahead-of-time compile cache.
+    # multimodal-probing shape — anyres prompts are ~2.3k tokens, and the
+    # production recipe for it on 16 GB chips is remat + flash attention
+    # (wired here). Measured constraints: eager attention's saved probs need
+    # 21.3 GB (OOM); remat-only still peaks 17-22 GB under XLA's backward
+    # schedule; remat+flash fits but the grad-of-flash program compiles for
+    # a long time at this depth/length on this platform (125 s at 2
+    # layers/S=512) — budget ~30+ min for the first (uncached) run.
     long = "--long" in sys.argv
     lcfg = LlamaConfig(
         vocab_size=128256,
@@ -314,6 +314,7 @@ def attribution_bench():
         tie_word_embeddings=True,
         int8_matmul=True,
         remat=long,
+        flash_attention=long,
     )
     one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
 

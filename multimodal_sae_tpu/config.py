@@ -325,6 +325,11 @@ class AttributionConfig:
     probing prompts run at anyres lengths (~2.3k tokens), where eager
     attention's per-layer f32 score tensors dominate."""
 
+    remat: bool = False
+    """Rematerialize decoder layers in the backward pass (jax.checkpoint):
+    required for long-prompt attribution on 16 GB chips, where the eager
+    attention tape alone exceeds HBM (models/llama.py LlamaConfig.remat)."""
+
     load_in_8bit: bool = False
     """Int8-quantize the subject model (the TPU analogue of the reference's
     fp8-Quanto backward model, reference utils.py:91-103) — halves subject

@@ -40,6 +40,7 @@ def main(cfg: AttributionConfig):
         load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
+        remat=cfg.remat,
     )
     attribution = Attribution(
         model,

@@ -19,6 +19,7 @@ def load_subject_model(
     load_in_8bit: bool = False,
     int8_matmul: bool = False,
     flash_attention: bool = False,
+    remat: bool = False,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
@@ -40,6 +41,17 @@ def load_subject_model(
 
     from transformers import AutoTokenizer
 
+    def _merge_flags(text_cfg):
+        """OR the runtime flags into the LlamaConfig (idempotent replace —
+        one merge shared by the LLaVA and plain-LLaMA branches so a new flag
+        can't be threaded through one and forgotten in the other)."""
+        return dataclasses.replace(
+            text_cfg,
+            int8_matmul=int8_matmul or text_cfg.int8_matmul,
+            flash_attention=flash_attention or text_cfg.flash_attention,
+            remat=remat or text_cfg.remat,
+        )
+
     from ..models.quant import quantize_llama_params
 
     if "llava" in model_name_or_path:
@@ -53,16 +65,9 @@ def load_subject_model(
             params["language_model"] = quantize_llama_params(
                 params["language_model"]
             )
-        if int8_matmul or flash_attention:
-            cfg = dataclasses.replace(
-                cfg,
-                text_config=dataclasses.replace(
-                    cfg.text_config,
-                    int8_matmul=int8_matmul or cfg.text_config.int8_matmul,
-                    flash_attention=flash_attention
-                    or cfg.text_config.flash_attention,
-                ),
-            )
+        cfg = dataclasses.replace(
+            cfg, text_config=_merge_flags(cfg.text_config)
+        )
         model = LlavaNextModel(params, cfg)
         processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
     else:
@@ -72,12 +77,7 @@ def load_subject_model(
         params, cfg = load_llama(model_name_or_path, dtype=dtype)
         if load_in_8bit or int8_matmul:
             params = quantize_llama_params(params)
-        if int8_matmul or flash_attention:
-            cfg = dataclasses.replace(
-                cfg,
-                int8_matmul=int8_matmul or cfg.int8_matmul,
-                flash_attention=flash_attention or cfg.flash_attention,
-            )
+        cfg = _merge_flags(cfg)
         model = LlamaModel(params, cfg)
         processor = None
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)

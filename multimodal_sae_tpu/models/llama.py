@@ -265,7 +265,7 @@ def flash_attention(
     # Fold the softmax scale into q (identical math): the reference impl's
     # backward rejects sm_scale != 1, and pre-scaling keeps both paths
     # differentiable — attribution backprops THROUGH the splice's attention.
-    q = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    q = q * jnp.asarray(scale, q.dtype)
     if jax.default_backend() == "tpu":
         return _fa.flash_attention(
             q, k, v, segment_ids=segment_ids, causal=True, sm_scale=1.0

@@ -298,3 +298,27 @@ def test_flash_attention_matches_eager():
     ge = jax.grad(lambda d: metric(cfg, d))(z)
     rel = float(jnp.linalg.norm(g - ge) / jnp.linalg.norm(ge))
     assert np.isfinite(np.asarray(g)).all() and rel < 1e-3, rel
+
+    # And through the segment-ids (pad mask) backward — what right-padded
+    # multimodal attribution batches hit.
+    def metric_m(c, delta):
+        out = llama_forward(
+            params,
+            c,
+            ids,
+            attention_mask=jnp.asarray(amask),
+            interventions={"layers.0": lambda h: h + delta},
+        )
+        # Sum a real-token logit from BOTH rows (position 11 is row 1's last
+        # real token) so both rows carry gradient.
+        return out["logits"][:, 11, 5].sum()
+
+    gm = jax.grad(lambda d: metric_m(fcfg, d))(z)
+    gme = jax.grad(lambda d: metric_m(cfg, d))(z)
+    # Row 1's pad-position grads differ by construction; compare row 0 (no
+    # pads) and the real tokens of row 1.
+    a, b = np.asarray(gm, np.float32), np.asarray(gme, np.float32)
+    assert np.isfinite(a).all()
+    rel0 = np.linalg.norm(a[0] - b[0]) / np.linalg.norm(b[0])
+    rel1 = np.linalg.norm(a[1, :12] - b[1, :12]) / np.linalg.norm(b[1, :12])
+    assert rel0 < 1e-3 and rel1 < 1e-3, (rel0, rel1)
