@@ -295,14 +295,12 @@ def attribution_bench():
     from multimodal_sae_tpu.models.quant import quantize_llama_params
     from multimodal_sae_tpu.sae.model import Sae
 
-    # `--long` (EXPERIMENTAL, not recorded in BASELINE.md): the REAL
-    # multimodal-probing shape — anyres prompts are ~2.3k tokens, and the
-    # production recipe for it on 16 GB chips is remat + flash attention
-    # (wired here). Measured constraints: eager attention's saved probs need
-    # 21.3 GB (OOM); remat-only still peaks 17-22 GB under XLA's backward
-    # schedule; remat+flash fits but the grad-of-flash program compiles for
-    # a long time at this depth/length on this platform (125 s at 2
-    # layers/S=512) — budget ~30+ min for the first (uncached) run.
+    # `--long`: the REAL multimodal-probing shape — anyres prompts are
+    # ~2.3k tokens. Fitting its backward on a 16 GB chip takes all three of:
+    # remat (eager attention's saved probs alone need 21.3 GB), flash
+    # attention (remat-only still peaks 17-22 GB under XLA's backward
+    # schedule), and last-position-only logits (the full (S, 128k) f32
+    # logits + their backward are ~4 GB — see _Adapter.forward).
     long = "--long" in sys.argv
     lcfg = LlamaConfig(
         vocab_size=128256,
@@ -355,22 +353,36 @@ def attribution_bench():
     class _Adapter:
         """model.forward protocol for spliced_forward_with_delta; params are
         threaded through jit as arguments (closing over them bakes ~9.7 GB of
-        constants into the lowering — a tunnel stall on this platform)."""
+        constants into the lowering — a tunnel stall on this platform).
+
+        Logits are computed for the LAST position only: the logit-diff metric
+        never reads the rest, and the full (S, 128k) f32 logits plus their
+        backward are ~4 GB of tape at the anyres shape — the difference
+        between fitting and OOMing the 16 GB chip in --long mode."""
 
         def __init__(self, lp):
             self.lp = lp
 
         def forward(self, batch, capture=(), interventions=None):
-            return llama_forward(
+            out = llama_forward(
                 self.lp,
                 lcfg,
                 batch["input_ids"],
                 capture=capture,
                 interventions=interventions,
+                return_logits=False,
+                return_hidden=True,
             )
+            h_last = out["hidden"][:, -1:]
+            emb = self.lp["embed_tokens"]  # tied head, int8 table
+            out["logits"] = jnp.dot(
+                (h_last.astype(jnp.float32) * emb["scale"]).astype(h_last.dtype),
+                emb["q8"].T.astype(h_last.dtype),
+            )
+            return out
 
     batch = {"input_ids": ids}
-    F = 1 if long else 8  # vmapped feature batch (long: the per-layer remat-recompute scores transient bounds it)
+    F = 1 if long else 8  # vmapped feature batch (long: the F=2 backward tape OOMs by 3.4 GB)
     zeros = {hook: jnp.zeros((B, S, D_IN), jnp.float32)}
 
     def make_sae(sp):
