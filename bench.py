@@ -566,7 +566,7 @@ def llava_image_bench():
 
     hook = "model.layers.24"  # LlavaNextModel.HOOK_PREFIX convention
     rng = __import__("numpy").random.default_rng(0)
-    n_images = 4
+    n_images = 4  # 8 OOMs: flash buffers + 8x2432-token activations + 10 GB weights
     img = Image.fromarray(rng.integers(0, 255, size=(480, 640, 3), dtype="uint8"))
     prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
     topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
