@@ -109,3 +109,31 @@ def test_tensor_parallel_quantized_int8_matches_single_device():
     assert q["q8"].dtype == jnp.int8
     assert len(q["q8"].sharding.device_set) == 8
     assert len(q["scale"].sharding.device_set) == 8
+
+
+def test_tensor_parallel_flash_attention_matches_single_device():
+    """Flash attention (pure-jnp reference math off-TPU) composes with the
+    ('model',) TP sharding — GSPMD partitions the attention by heads."""
+    import dataclasses
+
+    assert jax.device_count() >= 8
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        rope_theta=10000.0,
+        flash_attention=True,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, size=(2, 16)))
+    ref = llama_forward(params, cfg, ids)["logits"]
+    mesh = get_mesh(("model",), devices=jax.devices()[:8])
+    tp = shard_llama_params(params, mesh, axis="model")
+    out = jax.jit(lambda p, i: llama_forward(p, cfg, i)["logits"])(tp, ids)
+    rel = float(
+        jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+    )
+    assert rel < 1e-4, rel
