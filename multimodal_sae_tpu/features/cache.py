@@ -276,9 +276,13 @@ class FeatureCache:
             k: v for k, v in self.submodule_dict.items() if k in filters
         }
 
-    def process_batch(self, batch: dict, batch_number: int, skip_bos: bool = False):
-        """One cache step: capture hiddens, encode each hookpoint, accumulate."""
+    def _device_step(self, batch: dict, skip_bos: bool):
+        """Dispatch one batch's device work (capture + per-hookpoint top-k)
+        WITHOUT materializing results — JAX's async dispatch returns device
+        arrays immediately, so the caller can overlap the previous batch's
+        host-side extraction with this batch's device execution."""
         hiddens = self.capture_fn(batch)
+        out = {}
         for module_path, h in hiddens.items():
             if module_path not in self.submodule_dict:
                 continue
@@ -286,7 +290,12 @@ class FeatureCache:
                 # Image path drops the leading BOS token (reference cache.py:402-409).
                 h = h[:, 1:, :]
             sae = self.submodule_dict[module_path]
-            vals, idx = self._topk_fns[module_path](sae.params, h)
+            out[module_path] = self._topk_fns[module_path](sae.params, h)
+        return out
+
+    def _host_step(self, dev_out: dict, batch_number: int):
+        """Materialize one batch's (vals, idx) and extract COO triples."""
+        for module_path, (vals, idx) in dev_out.items():
             vals = np.asarray(vals, dtype=self.activation_dtype)
             idx = np.asarray(idx)
             self.cache.add_topk(vals, idx, batch_number, module_path)
@@ -304,6 +313,10 @@ class FeatureCache:
                     )
                     self._stream_marks[module_path] = arena.n
 
+    def process_batch(self, batch: dict, batch_number: int, skip_bos: bool = False):
+        """One cache step: capture hiddens, encode each hookpoint, accumulate."""
+        self._host_step(self._device_step(batch, skip_bos), batch_number)
+
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
         {"input_ids": ...} rows or prepared batches) and fill the cache
@@ -316,9 +329,18 @@ class FeatureCache:
             iterator = tqdm(iterator, desc="Caching features", disable=not progress)
         except ImportError:
             pass
+        # One-batch pipeline: dispatch batch N's device work, then extract
+        # batch N-1 while N executes (the host-side COO extraction and the
+        # subject forward otherwise strictly serialize).
+        pending = None
         for batch_number, batch in enumerate(iterator):
-            self.process_batch(batch, batch_number, skip_bos=skip_bos)
+            dev = self._device_step(batch, skip_bos)
+            if pending is not None:
+                self._host_step(*pending)
+            pending = (dev, batch_number)
             total += n_tokens
+        if pending is not None:
+            self._host_step(*pending)
         self.cache.save()
 
     # ---- persistence (format identical to the reference) -------------------
