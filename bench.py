@@ -263,9 +263,11 @@ def full_depth_bench():
             {
                 "metric": "cache_image_pipeline_tokens_per_sec",
                 "value": round(tokens / dt, 1),
-                "unit": "tokens/s/chip (32-layer int8 8B subject + 131k SAE, ctx 64; "
-                f"~{tokens / dt / seq:.1f} images/s; bf16-compute "
-                f"{tokens / dt_bf16:.0f} tok/s, int8-MXU {tokens / dt_int8:.0f} tok/s)",
+                "unit": "tokens/s/chip (32-layer int8 8B subject + 131k SAE, "
+                "ctx-64 text path; bf16-compute "
+                f"{tokens / dt_bf16:.0f} tok/s, int8-MXU {tokens / dt_int8:.0f} "
+                "tok/s; for honest images/s see --image: real anyres images "
+                "are ~2.3k tokens each)",
                 "vs_baseline": round(dt_bf16 / dt_int8, 3),
             }
         )
