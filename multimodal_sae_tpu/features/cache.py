@@ -474,9 +474,17 @@ class FeatureImageCache(FeatureCache):
 
 def _batched(items, batch_size: int):
     """Fixed-size batches, dropping the final ragged one (reference
-    DataLoader(drop_last=True), cache.py:159-161). Dict-of-arrays datasets
-    pass through pre-batched iterables unchanged."""
-    if hasattr(items, "__getitem__") and not isinstance(items, dict):
+    DataLoader(drop_last=True), cache.py:159-161). Iterables of pre-built
+    batches pass through unchanged; a bare dict is rejected rather than
+    silently iterated key-by-key."""
+    if isinstance(items, dict):
+        raise TypeError(
+            "_batched got a plain dict — iterating it would yield keys, not "
+            "batches. Pass a row dataset (supports __getitem__) or an "
+            "iterable of prepared batch dicts (e.g. wrap one batch as "
+            "[batch])."
+        )
+    if hasattr(items, "__getitem__"):
         n = len(items) // batch_size
         for i in range(n):
             chunk = [items[j] for j in range(i * batch_size, (i + 1) * batch_size)]

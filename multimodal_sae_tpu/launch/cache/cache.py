@@ -13,28 +13,24 @@ from ...config import CacheConfig
 from ...features import FeatureCache
 from ...interp_utils import load_filter, load_saes
 from ...logger import logger
-from ...parallel import shard_dataset_contiguous
+from ...parallel import barrier, initialize_distributed, shard_dataset_contiguous
 from ...train.data import chunk_and_tokenize
 from ...utils.cli import parse_dataclass
-from ..utils import load_subject_model, shard_info
+from ..utils import load_any_dataset, load_subject_or_synthetic, shard_info
 
 
 def main(cfg: CacheConfig):
+    initialize_distributed()
     rank, world = shard_info()
 
     logger.info(f"Load Model : {cfg.model}")
-    model, _, tokenizer = load_subject_model(
-        cfg.model, load_in_8bit=cfg.load_in_8bit,
-        int8_matmul=cfg.int8_matmul,
-        flash_attention=cfg.flash_attention,
-    )
+    model, _, tokenizer = load_subject_or_synthetic(cfg)
 
     logger.info(f"Load Dataset : {cfg.dataset}")
-    from datasets import load_dataset
-
-    dataset = load_dataset(cfg.dataset, split=cfg.split, trust_remote_code=True)
+    dataset = load_any_dataset(cfg.dataset, cfg.split)
 
     if "input_ids" not in dataset.column_names:
+        assert tokenizer is not None, "synthetic model needs a tokenized dataset"
         dataset = chunk_and_tokenize(dataset, tokenizer, max_seq_len=cfg.ctx_len)
 
     filters = load_filter(cfg.filters_path) if cfg.filters_path is not None else None
@@ -64,8 +60,15 @@ def main(cfg: CacheConfig):
     cache.run(cfg.ctx_len, dataset)
 
     cache.save_splits(n_splits=cfg.n_splits, save_dir=cfg.save_dir, rank=rank)
+    # Every rank's Rank{r}_* shards must exist before the rank-0 merge scans
+    # the directory, or late ranks' rows are silently dropped (the reference
+    # barriers here too, reference features/cache.py:230).
+    barrier("cache_save_splits")
     if rank == 0:
         cache.concate_safetensors(n_splits=cfg.n_splits, save_dir=cfg.save_dir)
+    # Hold non-zero ranks until the merge lands: exiting early tears down the
+    # coordinator under rank 0, and downstream steps must see merged files.
+    barrier("cache_merge_done")
 
 
 if __name__ == "__main__":

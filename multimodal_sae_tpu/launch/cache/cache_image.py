@@ -12,12 +12,13 @@ from ...config import CacheConfig
 from ...features import FeatureImageCache
 from ...interp_utils import load_filter, load_saes
 from ...logger import logger
-from ...parallel import shard_dataset_contiguous
+from ...parallel import barrier, initialize_distributed, shard_dataset_contiguous
 from ...utils.cli import parse_dataclass
-from ..utils import load_subject_model, shard_info
+from ..utils import load_any_dataset, load_subject_model, shard_info
 
 
 def main(cfg: CacheConfig):
+    initialize_distributed()
     rank, world = shard_info()
 
     logger.info(f"Load Model : {cfg.model}")
@@ -28,9 +29,7 @@ def main(cfg: CacheConfig):
     )
 
     logger.info(f"Load Dataset : {cfg.dataset}")
-    from datasets import load_dataset
-
-    dataset = load_dataset(cfg.dataset, split=cfg.split, trust_remote_code=True)
+    dataset = load_any_dataset(cfg.dataset, cfg.split)
 
     filters = load_filter(cfg.filters_path) if cfg.filters_path is not None else None
 
@@ -64,8 +63,12 @@ def main(cfg: CacheConfig):
     cache.run(cfg.ctx_len, dataset)
 
     cache.save_splits(n_splits=cfg.n_splits, save_dir=cfg.save_dir, rank=rank)
+    # All ranks' shards must land before the rank-0 merge scans the directory
+    # (reference features/cache.py:230 barriers here).
+    barrier("cache_save_splits")
     if rank == 0:
         cache.concate_safetensors(n_splits=cfg.n_splits, save_dir=cfg.save_dir)
+    barrier("cache_merge_done")
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
 """Large-scale steering CLI (reference launch/features/steering.py:53-113):
 every filtered feature gets a clamped generation; feature lists are split
-across processes (replacing the reference's DDP tensor_split +
-gather_object); process 0's file carries the merged json in single-host runs.
+across processes (the reference's DDP tensor_split) and per-rank result
+dicts are gathered so process 0 writes ONE merged `{module}.json`
+(reference gather_object + rank-0 save, launch steering.py:92-106).
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ import numpy as np
 
 from ...features.steering import SteeringController
 from ...interp_utils import load_filter, load_saes
+from ...parallel import gather_objects, initialize_distributed
 from ..utils import load_subject_model, shard_info
 
 
@@ -48,6 +50,16 @@ def parse_argument():
     )
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument(
+        "--sampling",
+        choices=["auto", "greedy", "sample"],
+        default="auto",
+        help="auto: honor the checkpoint's generation_config.json (HF "
+        "generate semantics, reference features/steering.py:72-75); "
+        "greedy: force argmax decoding; sample: force sampling with the "
+        "config's (or default) temperature/top_p.",
+    )
+    parser.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed")
+    parser.add_argument(
         "--dtype",
         choices=["bfloat16", "float32", "float16"],
         default="bfloat16",
@@ -69,6 +81,7 @@ def parse_argument():
 
 def main():
     args = parse_argument()
+    initialize_distributed()
     rank, world = shard_info()
 
     import jax.numpy as jnp
@@ -84,6 +97,13 @@ def main():
     filters = load_filter(args.filters)
     sae_dict = load_saes(args.sae_path, filters)
 
+    gen_cfg = dict(getattr(model, "generation_config", None) or {})
+    if args.sampling == "greedy":
+        gen_cfg["do_sample"] = False
+    elif args.sampling == "sample":
+        gen_cfg["do_sample"] = True
+    gen_cfg["seed"] = args.seed
+
     for module_name, sae in sae_dict.items():
         feature_idx = np.array_split(filters[module_name], world)[rank].tolist()
         controller = SteeringController(
@@ -97,15 +117,23 @@ def main():
             k=args.clamp_value,
             max_new_tokens=args.max_new_tokens,
             feature_batch_size=args.feature_batch_size,
+            generation_config=gen_cfg,
         )
         result_dict = controller.run()
 
+        # One merged json per module on rank 0 (reference gather_object,
+        # launch steering.py:92-106) — feature keys are disjoint across the
+        # array_split shards, so a dict union reassembles the full fleet.
+        gathered = gather_objects(result_dict)
+        if gathered is None:
+            continue
+        merged = {}
+        for part in gathered:
+            merged.update(part)
         os.makedirs(args.save_dir, exist_ok=True)
-        fname = (
-            f"{module_name}.json" if world == 1 else f"{module_name}.rank{rank}.json"
-        )
+        fname = f"{module_name}.json"
         with open(os.path.join(args.save_dir, fname), "w", encoding="utf-8") as f:
-            json.dump(result_dict, f, indent=4, ensure_ascii=False)
+            json.dump(merged, f, indent=4, ensure_ascii=False)
 
 
 if __name__ == "__main__":

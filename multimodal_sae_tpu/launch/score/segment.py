@@ -1,8 +1,9 @@
 """IoU segment-scoring CLI (reference launch/score/segment.py:97-172):
 label-refine explanations (or use a refine cache), ground with
-detector+SAM, score IoU vs activation masks, save the merged score json.
-Feature sharding across processes replaces the reference's DDP
-all_gather_object (host-side merge is per-process files in multi-host runs).
+detector+SAM, score IoU vs activation masks.  The scorer self-shards the
+feature list by process; per-rank score lists are all-gathered and rank 0
+writes ONE merged json (reference all_gather_object + rank-0 save,
+launch/score/segment.py:156-172).
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ import os
 from ...agents.scorers import LabelRefiner, RandomSegmentScorer, SegmentScorer
 from ...clients import SRT
 from ...interp_utils import load_filter
+from ...parallel import gather_objects, initialize_distributed
 from ..utils import shard_info
 
 
@@ -44,6 +46,7 @@ def parse_args():
 
 def main():
     args = parse_args()
+    initialize_distributed()
     rank, world = shard_info()
 
     filters = (
@@ -94,16 +97,18 @@ def main():
             scorer._init_loader(tokens, processor)
             scores.extend(scorer())
 
+    # Rank-ordered all-gather of the per-rank score lists; rank 0 writes the
+    # single merged file downstream analysis reads (reference
+    # launch/score/segment.py:156-172).
+    gathered = gather_objects(scores)
+    if gathered is None:
+        return
+    merged = [item for part in gathered for item in part]
     save_dir = os.path.dirname(args.save_score_path)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    out_path = (
-        args.save_score_path
-        if world == 1
-        else f"{args.save_score_path}.rank{rank}"
-    )
-    with open(out_path, "w") as f:
-        json.dump(scores, f, indent=4)
+    with open(args.save_score_path, "w") as f:
+        json.dump(merged, f, indent=4)
 
 
 if __name__ == "__main__":

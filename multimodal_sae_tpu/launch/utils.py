@@ -81,7 +81,62 @@ def load_subject_model(
         model = LlamaModel(params, cfg)
         processor = None
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+    model.generation_config = _load_generation_config(model_name_or_path)
     return model, processor, tokenizer
+
+
+def _load_generation_config(model_name_or_path: str) -> dict:
+    """Sampling knobs from the checkpoint's generation_config.json (the
+    reference inherits these through HF `generate`, reference
+    features/steering.py:72-75). Missing file -> {} (greedy)."""
+    import json
+    import os
+
+    path = os.path.join(model_name_or_path, "generation_config.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    return {
+        k: raw[k]
+        for k in ("do_sample", "temperature", "top_p")
+        if raw.get(k) is not None
+    }
+
+
+def load_any_dataset(name_or_path: str, split: str = "train"):
+    """HF hub dataset, or a local `Dataset.save_to_disk` directory (the
+    reference always pulls from the hub; this environment has no egress, so
+    launch CLIs accept on-disk datasets too)."""
+    import os
+
+    from datasets import Dataset, load_dataset
+
+    if os.path.isdir(name_or_path) and os.path.exists(
+        os.path.join(name_or_path, "state.json")
+    ):
+        return Dataset.load_from_disk(name_or_path)
+    return load_dataset(name_or_path, split=split, trust_remote_code=True)
+
+
+def load_subject_or_synthetic(cfg):
+    """`synthetic://dM,L,V` builds the deterministic test model (same scheme
+    as the train CLI, __main__.py); anything else is a real checkpoint via
+    load_subject_model.  Returns (model, processor, tokenizer)."""
+    if cfg.model.startswith("synthetic://"):
+        from ..models import SyntheticActivationSource
+
+        spec = cfg.model[len("synthetic://"):]
+        d_model, n_layers, vocab = (
+            (int(x) for x in spec.split(",")) if spec else (64, 4, 128)
+        )
+        return SyntheticActivationSource(d_model, n_layers, vocab), None, None
+    return load_subject_model(
+        cfg.model,
+        load_in_8bit=cfg.load_in_8bit,
+        int8_matmul=cfg.int8_matmul,
+        flash_attention=cfg.flash_attention,
+    )
 
 
 def parse_feature_experiment(argv=None):

@@ -639,9 +639,15 @@ class LlamaModel:
         interventions: Optional[Dict[str, InterventionFn]] = None,
         intervene_prefill_only: bool = True,
         eos_token_id: Optional[int] = None,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        prng_key=None,
     ):
-        """Greedy generation with a jitted decode loop (the reference calls HF
-        `generate`, reference features/steering.py:72-75).
+        """Greedy (default) or sampled generation with a jitted decode loop
+        (the reference calls HF `generate`, which honors the checkpoint's
+        generation_config sampling, reference features/steering.py:72-75;
+        sampling knobs here mirror HF's temperature + nucleus warpers).
 
         `intervene_prefill_only` mirrors the reference steering hook's
         "skip decode-phase len-1 sequences" condition
@@ -662,6 +668,10 @@ class LlamaModel:
             intervene_prefill_only=intervene_prefill_only,
             eos_token_id=eos_token_id,
             attention_mask=attention_mask,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            prng_key=prng_key,
         )
 
 
@@ -675,9 +685,23 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     inputs_embeds: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: Optional[float] = None,
+    prng_key: Optional[jax.Array] = None,
 ):
-    """Greedy decode: jitted prefill + `lax.while_loop` decode with a static
-    KV cache.
+    """Greedy (default) or sampled decode: jitted prefill + `lax.while_loop`
+    decode with a static KV cache.
+
+    `do_sample=True` enables temperature + nucleus sampling with HF
+    `generate(do_sample=True)` warper semantics (the reference inherits the
+    subject's generation_config through HF generate, reference
+    features/steering.py:72-75): logits are divided by `temperature`, the
+    smallest set of tokens whose cumulative probability reaches `top_p` is
+    kept (at least one token survives), and the next token is drawn
+    categorically.  `temperature`/`top_p` flow as traced scalars, so sweeps
+    share one compiled program; the PRNG key threads through the decode loop
+    (one split per step).  Greedy stays bit-identical to before.
 
     `attention_mask` supports batched *left-padded* prompts (HF's decoder-only
     generation convention, and what the collator emits — reference
@@ -724,18 +748,73 @@ def greedy_generate(
         prefill_pos = None
 
     iv_spec, iv_args = _split_interventions(interventions)
+    has_top_p = do_sample and top_p is not None and top_p < 1.0
     prefill_fn, decode_fn = _generate_fns(
-        cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only
+        cfg,
+        max_new_tokens,
+        eos_token_id,
+        iv_spec,
+        intervene_prefill_only,
+        do_sample=do_sample,
+        has_top_p=has_top_p,
     )
+    if do_sample:
+        key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
+        sample_args = (
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p if has_top_p else 1.0, jnp.float32),
+            key,
+        )
+    else:
+        # Static placeholders keep the greedy program's signature stable.
+        sample_args = (
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+            jax.random.PRNGKey(0),
+        )
 
     cache, first = prefill_fn(
-        params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args
+        params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args,
+        sample_args,
     )
     if max_new_tokens == 1:
         new_tokens = first[:, None]
     else:
-        new_tokens = decode_fn(params, cache, first, full_mask, lengths, iv_args)
+        new_tokens = decode_fn(
+            params, cache, first, full_mask, lengths, iv_args, sample_args
+        )
     return jnp.concatenate([input_ids, new_tokens.astype(input_ids.dtype)], axis=1)
+
+
+def top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus filtering with HF `TopPLogitsWarper` semantics: keep the
+    smallest descending-probability prefix whose cumulative mass reaches
+    `top_p` (exclusive-cumulative < top_p), always keeping the top token;
+    everything else goes to -inf.  Implemented as a threshold gather so no
+    inverse-permutation scatter is needed."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep = exclusive < top_p  # position 0 always kept (exclusive cum = 0)
+    kcount = jnp.maximum(keep.sum(axis=-1), 1)
+    thresh = jnp.take_along_axis(sorted_logits, (kcount - 1)[..., None], axis=-1)
+    return jnp.where(logits >= thresh, logits, -jnp.inf)
+
+
+def _make_next_token_fn(do_sample: bool, has_top_p: bool):
+    """(logits (B, V), sample_args) -> next token ids (B,).  Sampling runs in
+    fp32 (HF warps in fp32 regardless of model dtype)."""
+
+    def next_token(logits, sample_args):
+        if not do_sample:
+            return jnp.argmax(logits, axis=-1)
+        temperature, top_p, key = sample_args
+        logits = logits.astype(jnp.float32) / temperature
+        if has_top_p:
+            logits = top_p_filter(logits, top_p)
+        return jax.random.categorical(key, logits, axis=-1)
+
+    return next_token
 
 
 def _split_interventions(interventions):
@@ -774,23 +853,44 @@ def _rebuild_interventions(spec, args):
 _GENERATE_CACHE: Dict[tuple, tuple] = {}
 
 
-def _generate_fns(cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only):
+def _generate_fns(
+    cfg,
+    max_new_tokens,
+    eos_token_id,
+    iv_spec,
+    intervene_prefill_only,
+    do_sample=False,
+    has_top_p=False,
+):
     """Jitted (prefill, decode_loop) pair, cached across `greedy_generate`
     calls.  Without this cache the pair was rebuilt — and the full
     prefill+decode program re-traced and re-compiled — on EVERY call, so the
     steering fleet paid a 32-layer compile per feature chunk.  Arrays
-    (params, masks, intervention args) flow as jit *arguments*, so jit's own
-    shape-keyed retrace handles varying batch/prompt shapes under one cache
-    entry, and no weights are baked into the program as constants."""
-    key = (cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_only)
+    (params, masks, intervention args, temperature/top_p/PRNG key) flow as
+    jit *arguments*, so jit's own shape-keyed retrace handles varying
+    batch/prompt shapes under one cache entry, and no weights are baked into
+    the program as constants."""
+    key = (
+        cfg,
+        max_new_tokens,
+        eos_token_id,
+        iv_spec,
+        intervene_prefill_only,
+        do_sample,
+        has_top_p,
+    )
     fns = _GENERATE_CACHE.get(key)
     if fns is not None:
         return fns
 
     decode_spec = None if intervene_prefill_only else iv_spec
+    next_token = _make_next_token_fn(do_sample, has_top_p)
 
     @jax.jit
-    def prefill(params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args):
+    def prefill(
+        params, cache, input_ids, inputs_embeds, full_mask, prefill_pos, iv_args,
+        sample_args,
+    ):
         out = llama_forward(
             params,
             cfg,
@@ -802,13 +902,19 @@ def _generate_fns(cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_
             capture=(),
             interventions=_rebuild_interventions(iv_spec, iv_args),
         )
-        next_tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
+        temperature, top_p, key = sample_args
+        # Step-0 subkey; decode steps fold in their own step index below.
+        next_tok = next_token(
+            out["logits"][:, -1, :],
+            (temperature, top_p, jax.random.fold_in(key, 0)),
+        )
         return out["cache"], next_tok
 
     @jax.jit
-    def decode_loop(params, cache, first_tok, full_mask, lengths, iv_args):
+    def decode_loop(params, cache, first_tok, full_mask, lengths, iv_args, sample_args):
         B = first_tok.shape[0]
         decode_iv = _rebuild_interventions(decode_spec, iv_args)
+        temperature, top_p, base_key = sample_args
         tokens0 = jnp.zeros((B, max_new_tokens), dtype=jnp.int32)
         tokens0 = tokens0.at[:, 0].set(first_tok.astype(jnp.int32))
         done0 = (
@@ -836,7 +942,10 @@ def _generate_fns(cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_
                 cache=cache,
                 interventions=decode_iv,
             )
-            nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = next_token(
+                out["logits"][:, -1, :],
+                (temperature, top_p, jax.random.fold_in(base_key, i)),
+            ).astype(jnp.int32)
             if eos_token_id is not None:
                 nxt = jnp.where(done, eos_token_id, nxt)
                 done = jnp.logical_or(done, nxt == eos_token_id)
@@ -849,6 +958,17 @@ def _generate_fns(cfg, max_new_tokens, eos_token_id, iv_spec, intervene_prefill_
         return tokens
 
     if len(_GENERATE_CACHE) >= 64:
-        _GENERATE_CACHE.pop(next(iter(_GENERATE_CACHE)))
+        evicted = next(iter(_GENERATE_CACHE))
+        _GENERATE_CACHE.pop(evicted)
+        # A fleet mixing many (shape, max_new_tokens) pairs can thrash this
+        # LRU silently — each miss is a full 32-layer recompile, so say so.
+        from ..logger import logger
+
+        logger.warning(
+            "generate executable cache full (64): evicting "
+            f"max_new_tokens={evicted[1]} entry; recurring evictions mean "
+            "the workload mixes too many generate configurations "
+            "(consider bucketing max_new_tokens)"
+        )
     _GENERATE_CACHE[key] = (prefill, decode_loop)
     return prefill, decode_loop

@@ -615,6 +615,10 @@ class LlavaNextModel:
         interventions=None,
         intervene_prefill_only: bool = True,
         eos_token_id: Optional[int] = None,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        prng_key=None,
     ):
         embeds = self._embed_multimodal(batch)
         iv = (
@@ -633,6 +637,10 @@ class LlavaNextModel:
             eos_token_id=eos_token_id,
             inputs_embeds=embeds,
             attention_mask=batch.get("attention_mask"),
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            prng_key=prng_key,
         )
 
 

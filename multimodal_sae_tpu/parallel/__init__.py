@@ -7,6 +7,7 @@ from .mesh import (
     shard_dataset_contiguous,
 )
 from .distributed import initialize_distributed, process_count, process_index
+from .collectives import all_gather_objects, barrier, gather_objects
 from .tensor_parallel import llama_param_specs, shard_llama_params
 
 __all__ = [
@@ -19,6 +20,9 @@ __all__ = [
     "initialize_distributed",
     "process_count",
     "process_index",
+    "all_gather_objects",
+    "barrier",
+    "gather_objects",
     "llama_param_specs",
     "shard_llama_params",
 ]

@@ -1,0 +1,85 @@
+"""Host-level collectives for the launch layer.
+
+The reference ends every multi-rank flow in a torch.distributed collective:
+`dist.barrier()` before the rank-0 cache merge (reference
+sae_auto_interp/features/cache.py:230, launch/cache/cache.py:79-97),
+`all_gather_object` -> rank-0 single-file save for attribution (reference
+launch/features/attribution_patching.py:50-60), `gather_object` -> rank-0
+json for steering (reference launch/features/steering.py:92-106), and
+`all_gather_object` for segment scores (reference launch/score/segment.py:156-172).
+
+The TPU-native equivalents ride the same compiled-collective machinery as the
+compute path: `multihost_utils.sync_global_devices` for barriers and a
+pickle -> uint8 -> `process_allgather` two-phase exchange for arbitrary
+Python objects (JAX has no object gather; lengths are gathered first, then
+byte payloads padded to the max).  Every entry point is a no-op passthrough
+in single-process runs, so world=1 CLIs pay nothing.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, List, Optional
+
+
+def world_size() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (reference
+    `dist.barrier()`, e.g. reference features/cache.py:230).
+
+    `name` must be identical across processes for the same sync point —
+    mismatched names indicate divergent control flow and deadlock loudly
+    rather than silently pairing the wrong barriers."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather one picklable object per process; every process receives the
+    full rank-ordered list (reference `dist.all_gather_object`,
+    e.g. reference launch/features/attribution_patching.py:50-60).
+
+    Two-phase: gather byte lengths, pad payloads to the max, gather payloads.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.array([payload.size], dtype=np.int64)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), dtype=np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[r, : int(lengths[r])].tobytes())
+        for r in range(gathered.shape[0])
+    ]
+
+
+def gather_objects(obj: Any, root: int = 0) -> Optional[List[Any]]:
+    """Gather objects to `root`; returns the rank-ordered list there and
+    None elsewhere (reference `dist.gather_object`, launch steering.py:92-106).
+
+    JAX collectives are symmetric, so this is an all-gather with non-root
+    results discarded — same traffic, simpler failure modes."""
+    import jax
+
+    objs = all_gather_objects(obj)
+    return objs if jax.process_index() == root else None

@@ -26,17 +26,32 @@ def initialize_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
+    # Probe the distributed client WITHOUT touching the backend:
+    # jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize() refuses to run.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return True  # already initialized
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
     has_env = (
         coordinator_address is not None
-        or "COORDINATOR_ADDRESS" in os.environ
         or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
         or "TPU_WORKER_HOSTNAMES" in os.environ
     )
     if not has_env:
         return False
     try:
+        if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+            # Cross-process collectives on the CPU backend need gloo (TPU
+            # meshes ride ICI/DCN natively); must be set pre-backend-init.
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

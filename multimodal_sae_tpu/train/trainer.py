@@ -169,6 +169,44 @@ class SaeTrainer:
         self._b_dec_initialized = False  # set on resume / after step 0
 
         self._build_jitted_fns()
+        self._ensure_global_state()
+
+    def _mesh_is_multiprocess(self, mesh) -> bool:
+        return any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flatten()
+        )
+
+    def _ensure_global_state(self):
+        """Multi-process DP: promote per-process SAE/optimizer state to
+        fully-replicated global arrays over the mesh (the reference's DDP
+        parameter replication, reference trainer.py:334-345).  Single-process
+        runs are untouched — jit commits local arrays lazily as before."""
+        if not self._mesh_is_multiprocess(self.mesh):
+            return
+        for name, sae in self.saes.items():
+            repl = replicated_sharding(self._mesh_for(name))
+            globalize = lambda x: jax.device_put(jax.device_get(x), repl)
+            sae.params = jax.tree_util.tree_map(globalize, sae.params)
+            self.opt_states[name] = jax.tree_util.tree_map(
+                globalize, self.opt_states[name]
+            )
+            self.grad_accs[name] = jax.tree_util.tree_map(
+                globalize, self.grad_accs[name]
+            )
+
+    def _globalize_hiddens(self, name: str, hiddens):
+        """Assemble each process's local (rows, d) hiddens into one global
+        batch-sharded array over the hookpoint's mesh — the single-controller
+        replacement for DDP's per-rank private batches: XLA sees one global
+        (world*rows, d) operand and inserts the gradient all-reduces DDP did
+        by hand (reference trainer.py:334-345)."""
+        mesh = self._mesh_for(name)
+        if not self._mesh_is_multiprocess(mesh):
+            return hiddens
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh), np.asarray(jax.device_get(hiddens))
+        )
 
     # ------------------------------------------------------------------ setup
     def local_hookpoints(self):
@@ -429,11 +467,14 @@ class SaeTrainer:
             pad = (-hiddens.shape[0]) % ndev
             if pad:
                 hiddens = jnp.concatenate([hiddens, hiddens[:pad]], axis=0)
+            hiddens = self._globalize_hiddens(name, hiddens)
 
             if self.global_step == 0 and not self._b_dec_initialized:
                 sae.params = self._jitted("b_dec_init", name)(sae.params, hiddens)
 
-            dead_mask = jnp.asarray(
+            # Plain numpy (not committed-to-device jnp): multi-process jit
+            # device_puts host arrays onto the replicated sharding itself.
+            dead_mask = (
                 self.num_tokens_since_fired[name] > cfg.dead_feature_threshold
             )
             params, grad_acc, fired, metrics = self._jitted("accumulate", name)(
@@ -477,7 +518,14 @@ class SaeTrainer:
         as safetensors/json."""
         from safetensors.numpy import save_file
 
+        from ..parallel import barrier
+
         path = self.cfg.run_name or "sae-ckpts"
+        if jax.process_index() != 0:
+            # Params are fully replicated; rank 0 writes, everyone syncs
+            # (reference rank0-gated save + barrier, trainer.py:540-569).
+            barrier("trainer_save")
+            return
         rank0_print("Saving checkpoint")
         os.makedirs(path, exist_ok=True)
 
@@ -498,6 +546,7 @@ class SaeTrainer:
             )
         with open(f"{path}/config.json", "w") as f:
             json.dump(asdict(self.cfg), f)
+        barrier("trainer_save")
 
     def load_state(self, path: str):
         """Resume (reference trainer.py:161-186): restores step counters,
@@ -526,6 +575,7 @@ class SaeTrainer:
                 flat, self.opt_states[name]
             )
         self._b_dec_initialized = True
+        self._ensure_global_state()  # loaded arrays are process-local
 
 
 from contextlib import contextmanager
