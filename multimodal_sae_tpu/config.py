@@ -294,6 +294,14 @@ class CacheConfig:
     filters_path: Optional[str] = None
     """Json file mapping hookpoint -> list of feature indices to keep."""
 
+    tp: int = 0
+    """Tensor-parallel degree for the subject model: megatron column/row
+    sharding over the first `tp` local devices on a ('model',) mesh
+    (parallel/tensor_parallel.py). 0/1 = no sharding. The in-framework
+    equivalent of the reference's sglang --tensor-parallel-size
+    (reference clients/sglang.py:33-34); required posture for an 8B bf16
+    subject on 16 GB v5e chips."""
+
 
 @dataclass
 class AttributionConfig:
@@ -334,3 +342,6 @@ class AttributionConfig:
     """Int8-quantize the subject model (the TPU analogue of the reference's
     fp8-Quanto backward model, reference utils.py:91-103) — halves subject
     HBM so 8B-scale attribution backward fits one 16 GB chip."""
+
+    tp: int = 0
+    """Tensor-parallel degree for the subject model (see CacheConfig.tp)."""

@@ -40,6 +40,13 @@ def main(cfg: CacheConfig):
     logger.info(f"Load many sae from : {cfg.sae_path}")
     submodule_dict = load_saes(cfg.sae_path, filters=filters)
     logger.info(f"Select {submodule_dict.keys()}")
+    if getattr(model, "mesh", None) is not None:
+        # TP subject: SAE params must live (replicated) on the same mesh —
+        # jit rejects operands on different device sets.
+        from ...parallel import replicate_on_mesh
+
+        for sae in submodule_dict.values():
+            sae.params = replicate_on_mesh(sae.params, model.mesh)
 
     hookpoints = list(submodule_dict.keys())
 

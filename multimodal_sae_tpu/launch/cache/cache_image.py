@@ -26,6 +26,7 @@ def main(cfg: CacheConfig):
         cfg.model, load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
+        tp=cfg.tp,
     )
 
     logger.info(f"Load Dataset : {cfg.dataset}")
@@ -38,6 +39,11 @@ def main(cfg: CacheConfig):
     logger.info(f"Load many sae from : {cfg.sae_path}")
     submodule_dict = load_saes(cfg.sae_path, filters=filters)
     logger.info(f"Select {submodule_dict.keys()}")
+    if getattr(model, "mesh", None) is not None:
+        from ...parallel import replicate_on_mesh
+
+        for sae in submodule_dict.values():
+            sae.params = replicate_on_mesh(sae.params, model.mesh)
 
     hookpoints = list(submodule_dict.keys())
     image_token = model.cfg.image_token_index

@@ -68,6 +68,7 @@ def main(cfg: AttributionConfig):
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
         remat=cfg.remat,
+        tp=cfg.tp,
     )
     attribution = Attribution(
         model,
@@ -76,6 +77,11 @@ def main(cfg: AttributionConfig):
         data_path=cfg.data_path,
         selected_sae=cfg.selected_sae,
     )
+    if getattr(model, "mesh", None) is not None:
+        from ...parallel import replicate_on_mesh
+
+        for sae in attribution.sae_dict.values():
+            sae.params = replicate_on_mesh(sae.params, model.mesh)
 
     saes = list(attribution.sae_dict.values())
     k = saes[0].cfg.num_latents_for(saes[0].d_in)

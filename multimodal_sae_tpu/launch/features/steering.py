@@ -76,6 +76,13 @@ def parse_argument():
         help="Native int8 MXU matmuls for the quantized subject (W8A8, "
         "~2x bf16 rate; implies --load-in-8bit)",
     )
+    parser.add_argument(
+        "--tp",
+        type=int,
+        default=0,
+        help="Tensor-parallel degree for the subject model: megatron "
+        "sharding over the first N local devices (parallel/tensor_parallel.py)",
+    )
     return parser.parse_args()
 
 
@@ -91,11 +98,17 @@ def main():
         dtype=getattr(jnp, args.dtype),
         load_in_8bit=args.load_in_8bit,
         int8_matmul=args.int8_matmul,
+        tp=args.tp,
     )
     if processor is None:  # text-only subject model
         processor = tokenizer
     filters = load_filter(args.filters)
     sae_dict = load_saes(args.sae_path, filters)
+    if getattr(model, "mesh", None) is not None:
+        from ...parallel import replicate_on_mesh
+
+        for sae in sae_dict.values():
+            sae.params = replicate_on_mesh(sae.params, model.mesh)
 
     gen_cfg = dict(getattr(model, "generation_config", None) or {})
     if args.sampling == "greedy":

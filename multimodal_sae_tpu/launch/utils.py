@@ -20,6 +20,7 @@ def load_subject_model(
     int8_matmul: bool = False,
     flash_attention: bool = False,
     remat: bool = False,
+    tp: int = 0,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
@@ -34,6 +35,12 @@ def load_subject_model(
     matmuls as native int8xint8 MXU ops with dynamic per-token activation
     quantization — ~2x the bf16 matmul rate for the frozen-subject forward
     (W8A8 numerics; see models/quant.py qmatmul).
+
+    `tp > 1` places the subject tensor-parallel over the first `tp` local
+    devices (megatron column/row sharding on a `('model',)` mesh,
+    parallel/tensor_parallel.py) — the sharding an 8B bf16 subject needs on
+    16 GB v5e chips.  The model gains a `.mesh` attribute; co-resident SAEs
+    must be replicated onto it (`parallel.replicate_on_mesh`).
 
     `model_name_or_path` must be a local HF checkpoint directory (this
     environment has no network egress; pre-download checkpoints)."""
@@ -80,6 +87,10 @@ def load_subject_model(
         cfg = _merge_flags(cfg)
         model = LlamaModel(params, cfg)
         processor = None
+    if tp and tp > 1:
+        from ..parallel import shard_subject_model
+
+        model, _ = shard_subject_model(model, tp)
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
     model.generation_config = _load_generation_config(model_name_or_path)
     return model, processor, tokenizer
@@ -136,6 +147,7 @@ def load_subject_or_synthetic(cfg):
         load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
+        tp=getattr(cfg, "tp", 0),
     )
 
 

@@ -8,7 +8,12 @@ from .mesh import (
 )
 from .distributed import initialize_distributed, process_count, process_index
 from .collectives import all_gather_objects, barrier, gather_objects
-from .tensor_parallel import llama_param_specs, shard_llama_params
+from .tensor_parallel import (
+    llama_param_specs,
+    replicate_on_mesh,
+    shard_llama_params,
+    shard_subject_model,
+)
 
 __all__ = [
     "get_mesh",
@@ -24,5 +29,7 @@ __all__ = [
     "barrier",
     "gather_objects",
     "llama_param_specs",
+    "replicate_on_mesh",
     "shard_llama_params",
+    "shard_subject_model",
 ]

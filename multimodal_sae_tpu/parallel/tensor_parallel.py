@@ -80,3 +80,47 @@ def shard_llama_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
     if "lm_head" in params:
         out["lm_head"] = put(params["lm_head"], P(None, axis))
     return out
+
+
+def replicate_on_mesh(tree, mesh: Mesh):
+    """Place every leaf fully replicated on `mesh` — for components that ride
+    along with a TP subject without being sharded themselves (vision tower,
+    projector, SAE params): jit rejects inputs living on different device
+    sets, so everything the TP forward touches must live on the TP mesh."""
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.device_put(x, repl) if hasattr(x, "shape") else x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_subject_model(model, tp: int, axis: str = "model"):
+    """Wire `--tp N` from a launch CLI: build a ('model',) mesh over the
+    first `tp` local devices and place the subject tensor-parallel —
+    megatron-sharded LLaMA weights, replicated vision tower/projector for
+    LLaVA.  Any jitted forward over the returned model runs TP with no code
+    changes (pjit placement-only design; the reference delegated its only TP
+    to sglang's --tensor-parallel-size, reference clients/sglang.py:33-34).
+
+    Returns (model, mesh)."""
+    from .mesh import get_mesh
+
+    devices = jax.devices()
+    if tp > len(devices):
+        raise ValueError(f"--tp {tp} > available devices ({len(devices)})")
+    mesh = get_mesh((axis,), devices=devices[:tp])
+    params = model.params
+    if "language_model" in params:  # LLaVA-NeXT
+        params = dict(params)
+        params["language_model"] = shard_llama_params(
+            params["language_model"], mesh, axis
+        )
+        for key in ("vision_tower", "projector", "image_newline"):
+            if key in params:
+                params[key] = replicate_on_mesh(params[key], mesh)
+        model.params = params
+    else:
+        model.params = shard_llama_params(params, mesh, axis)
+    model.mesh = mesh
+    return model, mesh

@@ -98,6 +98,111 @@ def test_cache_flow_with_local_model(llama_dir, tmp_path):
     assert len(feats) > 0
 
 
+@pytest.fixture(scope="module")
+def llama_dir_with_tokenizer(llama_dir):
+    """The tiny checkpoint plus fabricated tokenizer files, so the full
+    `load_subject_model` path (AutoTokenizer included) runs offline."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(128)}, unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="0").save_pretrained(
+        llama_dir
+    )
+    return llama_dir
+
+
+def test_cache_cli_tensor_parallel(llama_dir_with_tokenizer, tmp_path):
+    """`launch.cache.cache --tp 2` end-to-end on the virtual-device platform:
+    the subject runs megatron-sharded over a ('model',) mesh and the cache
+    output matches the unsharded run (VERDICT r2 item 2)."""
+    from datasets import Dataset
+    from safetensors.numpy import load_file
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+    from multimodal_sae_tpu.sae import Sae
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    rng = np.random.default_rng(0)
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    def run(tp, out):
+        cache_cli.main(
+            CacheConfig(
+                model=llama_dir_with_tokenizer,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=2,
+                ctx_len=8,
+                n_splits=2,
+                tp=tp,
+            )
+        )
+        merged = {}
+        for f in sorted((tmp_path / out / "layers.1").iterdir()):
+            assert not f.name.startswith("Rank")
+            merged[f.name] = load_file(str(f))
+        return merged
+
+    tp_out = run(2, "cache_tp")
+    ref_out = run(0, "cache_ref")
+    assert set(tp_out) == set(ref_out) and len(tp_out) == 2
+
+    # The CLI runs the subject at bf16; sharded-matmul reduction order can
+    # flip near-tied top-k boundary selections, so compare as sparse maps:
+    # the overwhelming majority of (row, seq, feature) triples must agree,
+    # with close activations (exact fp32 TP parity is test_parallel.py's job).
+    def as_map(out):
+        m = {}
+        for data in out.values():
+            for loc, act in zip(data["locations"], data["activations"]):
+                m[tuple(loc)] = act
+        return m
+
+    tp_map, ref_map = as_map(tp_out), as_map(ref_out)
+    shared = set(tp_map) & set(ref_map)
+    assert len(shared) >= 0.97 * max(len(tp_map), len(ref_map))
+    a = np.array([tp_map[k] for k in shared])
+    b = np.array([ref_map[k] for k in shared])
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+    # Both ranks' dataset rows present (rows 0..7, one process => offset 0).
+    assert {loc[0] for loc in ref_map} == set(range(8))
+
+
+def test_load_subject_model_tp_flag(llama_dir_with_tokenizer):
+    """--tp places megatron shardings on the stacked layer params."""
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    model, _, tok = load_subject_model(
+        llama_dir_with_tokenizer, dtype=jnp.float32, tp=2
+    )
+    assert model.mesh is not None and model.mesh.shape == {"model": 2}
+    q = model.params["layers"]["q_proj"]  # stacked (L, in, out)
+    spec = q.sharding.spec
+    assert tuple(spec) == (None, None, "model"), spec
+    o = model.params["layers"]["o_proj"]
+    assert tuple(o.sharding.spec) == (None, "model", None)
+
+    out = model.generate(
+        {"input_ids": np.array([[1, 5, 9, 42]])}, max_new_tokens=3
+    )
+    assert np.asarray(out).shape == (1, 7)
+
+
 def test_attribution_feature_batch_matches_loop(llama_dir, tmp_path):
     """feature_batch>1 (vmapped) must reproduce the per-feature loop."""
     from multimodal_sae_tpu.config import SaeConfig
