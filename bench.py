@@ -332,9 +332,14 @@ def attribution_bench():
     _log("initializing 32-layer int8 subject on device...")
     t0 = time.perf_counter()
     keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
-    layers = [init_quant_layer(keys[i]) for i in range(lcfg.num_hidden_layers)]
+    # Init the STACKED layer tree directly (vmap over layer keys): a
+    # per-layer list that LlamaModel then stacks holds both copies live
+    # (~17 GB) and OOMs the 16 GB chip once the SAE lands.
+    stacked_layers = jax.jit(jax.vmap(init_quant_layer))(
+        keys[: lcfg.num_hidden_layers]
+    )
     rest = init_quant_rest(keys[-1])
-    lparams = {**rest, "layers": layers}
+    lparams = {**rest, "layers": stacked_layers}
     cfg = SaeConfig(num_latents=LATENTS, k=K)
     sae = Sae(
         D_IN,
@@ -347,106 +352,88 @@ def attribution_bench():
     _log(f"  init done in {time.perf_counter() - t0:.1f}s")
 
     hook = "layers.24"
-    sae_dict = {hook: sae}
     B, S = 1, (2432 if long else SEQ)
     ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, lcfg.vocab_size)
     answer_ids = jnp.array([[11, 22]], dtype=jnp.int32)
 
-    class _Adapter:
-        """model.forward protocol for spliced_forward_with_delta; params are
-        threaded through jit as arguments (closing over them bakes ~9.7 GB of
-        constants into the lowering — a tunnel stall on this platform).
+    # Drive the REAL library path: the prefix/suffix fast attribution
+    # (features/patching/attribution.py build_fast_attribution) on a
+    # LlamaModel shell.  The prefix (layers 0..24 + the 131k pre-activation
+    # matmul + top-(k+1) pool) runs once; per feature only the 7 layers above
+    # the splice run fwd+bwd, vmapped `F` wide — which is why feature
+    # batching now fits at the real ~2.4k-token shape (VERDICT r2 item 4).
+    from functools import partial as _partial
 
-        Logits are computed for the LAST position only: the logit-diff metric
-        never reads the rest, and the full (S, 128k) f32 logits plus their
-        backward are ~4 GB of tape at the anyres shape — the difference
-        between fitting and OOMing the 16 GB chip in --long mode."""
+    from multimodal_sae_tpu.features.patching.attribution import (
+        build_fast_attribution,
+    )
+    from multimodal_sae_tpu.models.llama import LlamaModel
 
-        def __init__(self, lp):
-            self.lp = lp
-
-        def forward(self, batch, capture=(), interventions=None):
-            out = llama_forward(
-                self.lp,
-                lcfg,
-                batch["input_ids"],
-                capture=capture,
-                interventions=interventions,
-                return_logits=False,
-                return_hidden=True,
-            )
-            h_last = out["hidden"][:, -1:]
-            emb = self.lp["embed_tokens"]  # tied head, int8 table
-            out["logits"] = jnp.dot(
-                (h_last.astype(jnp.float32) * emb["scale"]).astype(h_last.dtype),
-                emb["q8"].T.astype(h_last.dtype),
-            )
-            return out
-
+    model = LlamaModel(lparams, lcfg)
     batch = {"input_ids": ids}
-    F = 1 if long else 8  # vmapped feature batch (long: the F=2 backward tape OOMs by 3.4 GB)
-    zeros = {hook: jnp.zeros((B, S, D_IN), jnp.float32)}
+    metric = _partial(get_logit_diff, answer_token_indices=answer_ids)
 
-    def make_sae(sp):
-        return {hook: Sae(D_IN, cfg, params=sp)}
-
-    def clean_forward(lp, sp):
-        _, cap = spliced_forward_with_delta(
-            _Adapter(lp), batch, make_sae(sp), zeros
-        )
-        return jax.lax.stop_gradient(cap[hook])
-
-    def one_feature(lp, sp, clean, feature_idx):
-        def corrupted_metric(deltas, feature_idx):
-            logits, cap = spliced_forward_with_delta(
-                _Adapter(lp), batch, make_sae(sp), deltas, off_feature=feature_idx
-            )
-            return get_logit_diff(logits, answer_ids), cap[hook]
-
-        (_, corrupt), grads = jax.value_and_grad(
-            corrupted_metric, has_aux=True
-        )(zeros, feature_idx)
-        return jnp.sum(
-            (clean - corrupt) * grads[hook], axis=-1
-        )  # (B, S) saliency
-
-    @jax.jit
-    def loop(lp, sp, feats):
-        clean = clean_forward(lp, sp)
-        vstep = jax.vmap(partial_one_feature(lp, sp, clean))
-
-        def body(_, carry):
-            feats, acc = carry
-            sal = vstep(feats)
-            s = jnp.sum(sal).astype(jnp.float32)
-            feats = (feats + 1 + (s.astype(jnp.int32) & 1)) % LATENTS
-            return (feats, acc + s)
-
-        return jax.lax.fori_loop(
-            0, 5, body, (feats, jnp.zeros((), jnp.float32))
-        )[1]
-
-    def partial_one_feature(lp, sp, clean):
-        def f(feature_idx):
-            return one_feature(lp, sp, clean, feature_idx)
-
-        return f
-
-    feats = jnp.arange(F, dtype=jnp.int32)
+    _log("building prefix (capture + encode)...")
     t0 = time.perf_counter()
-    float(loop(lparams, sae.params, feats))
-    _log(f"  attribution compile+warm {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    float(loop(lparams, sae.params, feats))
-    dt = (time.perf_counter() - t0) / 5
+    prefix_args, chunk_step = build_fast_attribution(
+        model, hook, sae, batch, metric
+    )
+    jax.block_until_ready(prefix_args[0])
+    _log(f"  prefix in {time.perf_counter() - t0:.1f}s")
+
+    def timed_rate(F):
+        """Steady-state features/s at vmap width F: 5 chunk steps inside one
+        jitted fori_loop with a data dependency, one scalar readback."""
+
+        @jax.jit
+        def loop(mp, sp, wv, wi, clean, feats):
+            def body(_, carry):
+                feats, acc = carry
+                sal = chunk_step(mp, sp, wv, wi, clean, feats)
+                s = jnp.sum(sal).astype(jnp.float32)
+                feats = (feats + 1 + (s.astype(jnp.int32) & 1)) % LATENTS
+                return (feats, acc + s)
+
+            return jax.lax.fori_loop(
+                0, 5, body, (feats, jnp.zeros((), jnp.float32))
+            )[1]
+
+        feats = jnp.arange(F, dtype=jnp.int32)
+        t0 = time.perf_counter()
+        float(loop(model.params, sae.params, *prefix_args, feats))
+        _log(f"  F={F} compile+warm {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        float(loop(model.params, sae.params, *prefix_args, feats))
+        dt = (time.perf_counter() - t0) / 5
+        return F / dt, dt
+
+    # Sweep the vmap width; on OOM record the boundary (BASELINE.md).
+    sweep = [1, 2, 4, 8, 16] if long else [8, 16, 32]
+    best = (0.0, None, None)
+    for F in sweep:
+        try:
+            rate, dt = timed_rate(F)
+        except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED boundary
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                _log(f"  F={F}: OOM ({str(e)[:120]})")
+                break
+            raise
+        _log(f"  F={F}: {rate:.2f} features/s ({dt / F * 1e3:.2f} ms/feature)")
+        if rate > best[0]:
+            best = (rate, F, dt)
+
+    rate, F, dt = best
+    if F is None:
+        raise RuntimeError("every feature-batch width OOMed — see stderr log")
     print(
         json.dumps(
             {
                 "metric": "attribution_features_per_sec",
-                "value": round(F / dt, 2),
+                "value": round(rate, 2),
                 "unit": "features/s/chip (32-layer int8-MXU 8B subject + 131k SAE "
-                f"splice, fwd+bwd per feature, vmap batch {F}, B={B} S={S}; "
-                f"{dt / F * 1e3:.1f} ms/feature)",
+                "splice at layers.24, prefix/suffix split: per-feature fwd+bwd "
+                f"covers only the 7 above-splice layers, vmap batch {F}, "
+                f"B={B} S={S}; {dt / F * 1e3:.2f} ms/feature)",
                 "vs_baseline": 0.0,
             }
         )
@@ -573,6 +560,10 @@ def llava_image_bench():
     prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
     topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
 
+    if "--geometries" in sys.argv:
+        _anyres_geometry_sweep(model, sae_params, sae_cfg, hook, prompt, topk)
+        return
+
     import numpy as _np
 
     # Host prep + pixel upload staged once: PIL preprocessing is host CPU
@@ -615,6 +606,70 @@ def llava_image_bench():
                 "unit": "images/s/chip (REAL anyres pipeline: CLIP-L tower x5 crops + "
                 f"{seq}-token packed seq through 32-layer int8 8B + 131k SAE; "
                 f"{n_images * seq / dt:.0f} tok/s)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
+def _anyres_geometry_sweep(model, sae_params, sae_cfg, hook, prompt, topk):
+    """`bench.py --image --geometries` (VERDICT r2 item 7): anyres
+    jit-specializes per pinpoint geometry (distinct tile counts and packed
+    token counts), so a mixed real dataset pays a compile the single-geometry
+    bench never sees.  Measures, per pinpoint: the cold compile+warm cost of
+    a NEW geometry, then steady-state; then streams a warm mixed-geometry
+    batch sequence for an honest mixed-dataset images/s."""
+    from PIL import Image
+
+    from multimodal_sae_tpu.models.llava_next import select_best_resolution
+
+    rng = __import__("numpy").random.default_rng(0)
+    # One (w, h) per pinpoint; logged against what anyres actually selects.
+    sizes = [(640, 480), (640, 300), (320, 640), (224, 700), (1000, 280)]
+    batches, rows = [], []
+    for w, h in sizes:
+        img = Image.fromarray(rng.integers(0, 255, size=(h, w, 3), dtype="uint8"))
+        pin = select_best_resolution((h, w), model.cfg.image_grid_pinpoints)
+        prepared = model.prepare_inputs(images=[img], prompt_ids=[prompt])
+        prepared["pixel_values"] = [
+            jax.device_put(jnp.asarray(pv)) for pv in prepared["pixel_values"]
+        ]
+        batches.append(prepared)
+        rows.append({"size": (w, h), "pinpoint": tuple(pin),
+                     "seq": int(prepared["input_ids"].shape[1])})
+
+    def run(prepared):
+        cap = model.capture(prepared, [hook])
+        vals, idx = topk(sae_params, cap[hook][:, 1:])
+        float(jnp.sum(vals.astype(jnp.float32)) + jnp.sum(idx))
+
+    for row, prepared in zip(rows, batches):
+        t0 = time.perf_counter()
+        run(prepared)
+        row["compile_warm_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            run(prepared)
+        row["steady_s_per_image"] = round((time.perf_counter() - t0) / 3, 3)
+        _log(f"  {row}")
+
+    # Warm mixed-geometry stream: cycle all five, two rounds.
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(2):
+        for prepared in batches:
+            run(prepared)
+            n += 1
+    dt = (time.perf_counter() - t0) / n
+    compile_costs = [r["compile_warm_s"] for r in rows]
+    print(
+        json.dumps(
+            {
+                "metric": "anyres_mixed_geometry_images_per_sec",
+                "value": round(1.0 / dt, 2),
+                "unit": "images/s/chip, warm mixed 5-pinpoint stream (B=1; "
+                f"per-new-geometry compile+warm {min(compile_costs)}-"
+                f"{max(compile_costs)}s, details on stderr)",
                 "vs_baseline": 0.0,
             }
         )

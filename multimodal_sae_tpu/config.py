@@ -345,3 +345,10 @@ class AttributionConfig:
 
     tp: int = 0
     """Tensor-parallel degree for the subject model (see CacheConfig.tp)."""
+
+    feature_batch: int = 8
+    """Features attributed per compiled step (vmapped). With the
+    prefix/suffix split (features/patching/attribution.py) the per-feature
+    backward tape covers only the layers above the splice, so batching fits
+    even at real ~2.4k-token multimodal shapes on a 16 GB chip; see
+    BASELINE.md's attribution row for the measured scaling."""

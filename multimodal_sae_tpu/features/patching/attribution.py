@@ -31,7 +31,136 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...sae import Sae
+from ...sae.model import decode as sae_decode, pre_acts as sae_pre_acts, select_topk
 from .utils import get_logit_diff, spliced_forward_with_delta
+
+
+def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
+    """Build the prefix/suffix attribution step (see fast_attribution_maps).
+
+    Runs the prefix immediately (capture of the raw hook output + encode to
+    a top-(k+1) pool + the clean splice) and returns
+    `(prefix_args, chunk_step)` where `chunk_step(model_params, sae_params,
+    *prefix_args, feats)` yields the (F, B, S) saliency for a feature chunk.
+    Exposed separately so callers (bench.py) can time/compose the jitted
+    step without re-tracing per invocation."""
+    h_raw = model.capture(batch, [hook])[hook]  # (B, S, D) — the prefix
+    B, S, D = h_raw.shape
+    k = sae.cfg.k
+    width = sae.cfg.num_latents_for(sae.d_in)
+    k_wide = min(k + 1, width)
+
+    @jax.jit
+    def encode_prefix(sp, h):
+        """One-time: raw latents -> top-(k+1) pool + the clean splice."""
+        lat = sae_pre_acts(sp, h.reshape(-1, D))
+        wide_vals, wide_idx = select_topk(lat, k_wide)
+        clean_vals, clean_idx = select_topk(lat, k)
+        clean = (
+            sae_decode(sp, clean_vals, clean_idx).reshape(B, S, D).astype(h.dtype)
+        )
+        return wide_vals, wide_idx, clean
+
+    prefix_args = encode_prefix(sae.params, h_raw)
+    zeros = jnp.zeros((B, S, D), jnp.float32)
+
+    @jax.jit
+    def chunk_step(mp, sp, wv, wi, clean, feats):
+        def one(f):
+            def corrupted_metric(delta):
+                masked = jnp.where(wi == f, jnp.asarray(-1.0, wv.dtype), wv)
+                vals_k, pos = jax.lax.top_k(masked, k)
+                idx_k = jnp.take_along_axis(wi, pos, axis=1)
+                spliced = (
+                    sae_decode(sp, vals_k, idx_k)
+                    .reshape(B, S, D)
+                    .astype(clean.dtype)
+                )
+                x = spliced + delta.astype(spliced.dtype)
+                logits = model.forward_from_layer(x, hook, batch, params=mp)
+                return metric(logits), x
+
+            (_, corrupt), grad = jax.value_and_grad(
+                corrupted_metric, has_aux=True
+            )(zeros)
+            return jnp.sum((clean - corrupt) * grad, axis=-1)  # (B, S)
+
+        return jax.vmap(one)(feats)
+
+    return prefix_args, chunk_step
+
+
+def fast_attribution_maps(
+    model,
+    hook: str,
+    sae: Sae,
+    batch: dict,
+    metric,
+    indices,
+    feature_batch: int = 8,
+    progress: bool = True,
+):
+    """Prefix/suffix attribution: the TPU-first hot path for a single hooked
+    layer (the flagship config — one SAE at layers.24).
+
+    Everything *below* the splice point is feature-independent: layers
+    0..hook run ONCE (the prefix), as does the (B·S, width) pre-activation
+    matmul.  Per feature only the suffix runs — mask-and-reselect top-k from
+    a precomputed top-(k+1), sparse decode, then layers hook+1..L with
+    gradient w.r.t. a zero delta at the splice — vmapped `feature_batch`
+    wide.  vs the general path (full fwd+bwd per feature, reference
+    attribution.py:116-189) this cuts per-feature compute AND backward tape
+    to the above-splice fraction of the network, which is what makes
+    feature batching fit at real ~2.4k-token multimodal shapes on a 16 GB
+    chip (VERDICT r2 item 4).
+
+    Ablation equivalence: zeroing latent column f (reference
+    patching/utils.py:43-47) then taking top-k is reproduced exactly from
+    the raw top-(k+1): if f is among them, drop it and keep the best k of
+    the rest; otherwise the top-k is unchanged.  Post-ReLU latents are
+    >= 0, so a masked entry (set to -1) can never re-enter, and zero-valued
+    selections — where index choice is tie-broken arbitrarily in both
+    frameworks — contribute exactly 0 to the decode either way.
+
+    Returns {hook: [(B, S) saliency per feature]} like the general path.
+    """
+    import collections as _collections
+
+    indices = np.asarray(indices)
+    (wide_vals, wide_idx, clean), chunk_step = build_fast_attribution(
+        model, hook, sae, batch, metric
+    )
+    model_params = model.params
+
+    pbar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=len(indices), desc="Calculating attribution")
+        except ImportError:
+            pass
+
+    out = _collections.defaultdict(list)
+    for i in range(0, len(indices), feature_batch):
+        chunk = indices[i : i + feature_batch]
+        keep = len(chunk)
+        if keep < feature_batch:  # ragged tail: pad then trim
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], feature_batch - keep)]
+            )
+        sal = chunk_step(
+            model_params,
+            sae.params,
+            wide_vals,
+            wide_idx,
+            clean,
+            jnp.asarray(chunk, jnp.int32),
+        )
+        out[hook].extend(list(np.asarray(sal)[:keep]))
+        if pbar:
+            pbar.update(keep)
+    return dict(out)
 
 
 class Attribution:
@@ -103,6 +232,21 @@ class Attribution:
             first = saes[0]
             indices = np.arange(first.cfg.num_latents_for(first.d_in))
         indices = np.asarray(indices)
+
+        if len(self.sae_dict) == 1 and hasattr(self.model, "forward_from_layer"):
+            # Single splice point: the prefix/suffix fast path (per-feature
+            # work = only the layers above the hook; see
+            # fast_attribution_maps).
+            ((hook, sae),) = self.sae_dict.items()
+            return fast_attribution_maps(
+                self.model,
+                hook,
+                sae,
+                self.batch,
+                self.metric,
+                indices,
+                feature_batch=max(1, self.feature_batch),
+            )
 
         names = tuple(self.sae_dict.keys())
         zeros = {

@@ -76,6 +76,7 @@ def main(cfg: AttributionConfig):
         sae_path=cfg.sae_path,
         data_path=cfg.data_path,
         selected_sae=cfg.selected_sae,
+        feature_batch=cfg.feature_batch,
     )
     if getattr(model, "mesh", None) is not None:
         from ...parallel import replicate_on_mesh

@@ -390,12 +390,23 @@ def llama_forward(
     cache: Optional[KVCache] = None,
     return_logits: bool = True,
     return_hidden: bool = False,
+    start_layer: int = 0,
 ):
     """Full forward.
 
     Returns a dict with optional keys: "logits", "hidden" (final, post-norm
     input), "captured" {hookpoint: (B, S, D)}, "cache" (updated KVCache).
-    """
+
+    `start_layer > 0` resumes mid-stack: `inputs_embeds` is then the hidden
+    state ENTERING layer `start_layer` (i.e. the output of layer
+    `start_layer-1`), and only layers [start_layer, num_hidden_layers) run.
+    This is the suffix half of attribution patching's prefix/suffix split
+    (features/patching/attribution.py): everything below the SAE splice
+    point is feature-independent, so the per-feature fwd+bwd only needs the
+    layers above it."""
+    assert start_layer == 0 or (
+        cache is None and inputs_embeds is not None
+    ), "start_layer requires inputs_embeds and no KV cache"
     if interventions:
         interventions = {k: _iv_callable(v) for k, v in interventions.items()}
     if inputs_embeds is None:
@@ -486,21 +497,21 @@ def llama_forward(
             ys = (k_full, v_full) if cache is not None else None
             return h, ys
 
-        idxs = jnp.arange(cfg.num_hidden_layers)
+        idxs = jnp.arange(start_layer, cfg.num_hidden_layers)
+        if start_layer:
+            layers = jax.tree_util.tree_map(lambda x: x[start_layer:], layers)
         if cache is not None:
             h, (new_k, new_v) = jax.lax.scan(
                 body, h, (layers, cache.k, cache.v, idxs)
             )
         else:
-            zero_kv = (
-                jnp.zeros((cfg.num_hidden_layers, 0)),
-                jnp.zeros((cfg.num_hidden_layers, 0)),
-            )
+            n_run = cfg.num_hidden_layers - start_layer
+            zero_kv = (jnp.zeros((n_run, 0)), jnp.zeros((n_run, 0)))
             h, _ = jax.lax.scan(body, h, (layers, *zero_kv, idxs))
             new_k = new_v = None
     else:
         new_k_list, new_v_list = [], []
-        for i in range(cfg.num_hidden_layers):
+        for i in range(start_layer, cfg.num_hidden_layers):
             name = f"layers.{i}"
             kv = (cache.k[i], cache.v[i]) if cache is not None else None
             h, (k_full, v_full) = layer_fn(
@@ -531,22 +542,26 @@ def llama_forward(
     if return_hidden:
         out["hidden"] = h_final
     if return_logits:
-        lm_head = params.get("lm_head")
-        if lm_head is None:
-            emb = params["embed_tokens"]
-            if is_quantized(emb):
-                # Tied head with a quantized table: scale is per hidden dim
-                # (= the matmul's *input* dim after transpose), so fold it
-                # into the activations before the int8 matmul.
-                out["logits"] = jnp.dot(
-                    (h_final.astype(jnp.float32) * emb["scale"]).astype(h_final.dtype),
-                    emb["q8"].T.astype(h_final.dtype),
-                )
-            else:
-                out["logits"] = h_final @ emb.T
-        else:
-            out["logits"] = qmatmul(h_final, lm_head, int8=cfg.int8_matmul)
+        out["logits"] = lm_head_logits(params, cfg, h_final)
     return out
+
+
+def lm_head_logits(params: dict, cfg: LlamaConfig, h_final: jax.Array) -> jax.Array:
+    """Project post-norm hidden states to vocabulary logits, handling the
+    tied-embedding and quantized-table variants."""
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        emb = params["embed_tokens"]
+        if is_quantized(emb):
+            # Tied head with a quantized table: scale is per hidden dim
+            # (= the matmul's *input* dim after transpose), so fold it
+            # into the activations before the int8 matmul.
+            return jnp.dot(
+                (h_final.astype(jnp.float32) * emb["scale"]).astype(h_final.dtype),
+                emb["q8"].T.astype(h_final.dtype),
+            )
+        return h_final @ emb.T
+    return qmatmul(h_final, lm_head, int8=cfg.int8_matmul)
 
 
 def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
@@ -630,6 +645,35 @@ class LlamaModel:
         amask = batch.get("attention_mask")
         amask = jnp.asarray(amask) if amask is not None else jnp.ones_like(ids)
         return self._capture_jit[key](self.params, ids, amask)
+
+    def forward_from_layer(
+        self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
+        params: Optional[dict] = None,
+    ):
+        """Resume the forward from a hookpoint's captured output: `hidden` is
+        the (possibly spliced) output of `hookpoint` and only the layers
+        above it run.  Traceable — called inside the caller's jit (the
+        attribution suffix, features/patching/attribution.py); pass `params`
+        explicitly there so the weights ride jit arguments instead of being
+        baked into the lowering as constants.
+
+        `last_logit_only` projects just the final position to vocabulary —
+        the logit-diff metric never reads the rest, and the full (S, 128k)
+        f32 logits plus their backward are multi-GB at real prompt shapes."""
+        params = self.params if params is None else params
+        layer_idx = int(hookpoint.rsplit(".", 1)[-1])
+        out = llama_forward(
+            params,
+            self.cfg,
+            inputs_embeds=hidden,
+            attention_mask=batch.get("attention_mask"),
+            start_layer=layer_idx + 1,
+            return_logits=not last_logit_only,
+            return_hidden=last_logit_only,
+        )
+        if last_logit_only:
+            return lm_head_logits(params, self.cfg, out["hidden"][:, -1:])
+        return out["logits"]
 
     # ---- generation ------------------------------------------------------
     def generate(

@@ -590,6 +590,35 @@ class LlavaNextModel:
             "captured"
         ]
 
+    def forward_from_layer(
+        self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
+        params: Optional[dict] = None,
+    ):
+        """Resume the language-model forward from a hookpoint's output (the
+        suffix half of attribution's prefix/suffix split; traceable — the
+        vision tower and multimodal packing live entirely below any language
+        hookpoint, so the suffix is pure text-side layers).  `params`, when
+        given, replaces `self.params` so jitted callers can thread the
+        weights as arguments."""
+        from .llama import lm_head_logits, llama_forward
+
+        layer_idx = int(self._strip(hookpoint).rsplit(".", 1)[-1])
+        lm_params = (params or self.params)["language_model"]
+        text_cfg = self.cfg.text_config
+        amask = batch.get("attention_mask")
+        out = llama_forward(
+            lm_params,
+            text_cfg,
+            inputs_embeds=hidden,
+            attention_mask=jnp.asarray(amask) if amask is not None else None,
+            start_layer=layer_idx + 1,
+            return_logits=not last_logit_only,
+            return_hidden=last_logit_only,
+        )
+        if last_logit_only:
+            return lm_head_logits(lm_params, text_cfg, out["hidden"][:, -1:])
+        return out["logits"]
+
     def _maybe_prepare(self, batch: dict) -> dict:
         """Accept raw multimodal batches ({"input_ids" with un-expanded
         <image> placeholders, "image"/"images": PIL list}) — the shape the

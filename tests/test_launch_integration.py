@@ -270,3 +270,94 @@ def test_attribution_feature_batch_matches_loop(llama_dir, tmp_path):
     vmap_out = build(2).get_attribution(indices=[0, 3, 5])
     for a, b in zip(loop_out["layers.1"], vmap_out["layers.1"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_attribution_fast_path_matches_general(llama_dir, tmp_path):
+    """The prefix/suffix fast path (fast_attribution_maps, taken when the
+    model exposes forward_from_layer) must reproduce the general full-forward
+    path — including for features inside the clean top-k, where the ablation
+    actually changes the selection."""
+    import jax.numpy as jnp_
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.patching import Attribution
+    from multimodal_sae_tpu.models.hf_loader import load_llama
+    from multimodal_sae_tpu.models.llama import LlamaModel, llama_forward
+    from multimodal_sae_tpu.sae import Sae
+
+    params, cfg = load_llama(llama_dir, dtype=jnp.float32)
+    base = LlamaModel(params, cfg)
+
+    class General:
+        """forward-protocol adapter without forward_from_layer."""
+
+        def prepare_inputs(self, images=None, prompt_ids=None):
+            n = max(len(r) for r in prompt_ids)
+            ids = np.zeros((len(prompt_ids), n), dtype=np.int64)
+            for i, r in enumerate(prompt_ids):
+                ids[i, : len(r)] = r
+            return {"input_ids": ids}
+
+        def forward(self, batch, capture=(), interventions=None, return_logits=True):
+            return llama_forward(
+                base.params,
+                base.cfg,
+                jnp_.asarray(batch["input_ids"]),
+                capture=capture,
+                interventions=interventions,
+                return_logits=return_logits,
+            )
+
+    class Fast(General):
+        """Adds the fast-path surface (capture/params/forward_from_layer)."""
+
+        params = base.params
+
+        def capture(self, batch, hookpoints):
+            return base.capture(batch, hookpoints)
+
+        def forward_from_layer(self, hidden, hookpoint, batch, **kw):
+            return base.forward_from_layer(hidden, hookpoint, batch, **kw)
+
+    sae_dir = tmp_path / "saes"
+    sae = Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(1))
+    sae.save_to_disk(sae_dir / "layers.1")
+
+    from PIL import Image
+
+    img = tmp_path / "x.png"
+    Image.new("RGB", (8, 8)).save(img)
+    probing = [{"prompt": "abq", "answer": "c", "baseline": "d", "image": str(img)}]
+    (tmp_path / "p.json").write_text(json.dumps(probing))
+
+    class Tok:
+        def __call__(self, text, **kw):
+            return {"input_ids": [1] + [2 + ord(c) % 50 for c in text]}
+
+        def convert_tokens_to_ids(self, tok):
+            return 2 + ord(tok[0]) % 50
+
+    def build(model, feature_batch):
+        return Attribution(
+            model,
+            Tok(),
+            sae_path=str(sae_dir),
+            data_path=str(tmp_path / "p.json"),
+            selected_sae="layers.1",
+            feature_batch=feature_batch,
+        )
+
+    fast = build(Fast(), 2)
+    # Pick features guaranteed inside the clean top-k (ablation bites) plus
+    # ones outside it.
+    h = base.capture(fast.batch, ["layers.1"])["layers.1"]
+    enc = sae.encode(np.asarray(h).reshape(-1, 32))
+    in_topk = sorted({int(i) for i in np.asarray(enc.top_indices).ravel()})[:3]
+    outside = [f for f in range(64) if f not in in_topk][:2]
+    indices = in_topk + outside
+
+    general_out = build(General(), 2).get_attribution(indices=indices)
+    fast_out = fast.get_attribution(indices=indices)
+    assert len(fast_out["layers.1"]) == len(indices)
+    for a, b in zip(general_out["layers.1"], fast_out["layers.1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

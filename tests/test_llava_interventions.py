@@ -151,12 +151,18 @@ def test_batched_steering_matches_sequential_multimodal(llava, sae, tmp_path):
 
 
 def test_attribution_class_multimodal(llava, sae, tmp_path):
+    # Hook layer 0 of the 2-layer model: the suffix (layer 1's attention)
+    # mixes positions, so ablating a selected feature moves the last-token
+    # metric and the saliency is genuinely nonzero.  (Hooking the FINAL
+    # layer leaves no attention above the splice — saliency is then exactly
+    # zero at non-final positions, and the old >0 assertion only passed on
+    # float noise between the general path's two forwards.)
     rng = np.random.default_rng(1)
     img_path = tmp_path / "probe.png"
     Image.fromarray(rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)).save(img_path)
 
     sae_dir = tmp_path / "saes"
-    sae.save_to_disk(sae_dir / "model.layers.1")
+    sae.save_to_disk(sae_dir / "model.layers.0")
 
     probing = [
         {"prompt": "<image> is a", "answer": "cat", "baseline": "dog", "image": str(img_path)}
@@ -183,11 +189,18 @@ def test_attribution_class_multimodal(llava, sae, tmp_path):
         Tok(),
         sae_path=str(sae_dir),
         data_path=str(data_path),
-        selected_sae="model.layers.1",
+        selected_sae="model.layers.0",
     )
-    out = attribution.get_attribution(indices=[0, 5])
-    arr = out["model.layers.1"]
+    # Attribute a feature the SAE actually selects (ablation bites) plus an
+    # arbitrary one.
+    h = llava.capture(attribution.batch, ["model.layers.0"])["model.layers.0"]
+    enc = attribution.sae_dict["model.layers.0"].encode(
+        np.asarray(h).reshape(-1, D)
+    )
+    selected = int(np.asarray(enc.top_indices)[0, 0])
+    out = attribution.get_attribution(indices=[selected, 5])
+    arr = out["model.layers.0"]
     assert len(arr) == 2
     # (batch, seq) saliency per feature; a nonzero gradient signal exists.
     assert arr[0].shape[0] == 1
-    assert np.abs(arr[0]).sum() + np.abs(arr[1]).sum() > 0
+    assert np.abs(arr[0]).sum() > 0
