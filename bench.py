@@ -375,7 +375,7 @@ def attribution_bench():
 
     _log("building prefix (capture + encode)...")
     t0 = time.perf_counter()
-    prefix_args, chunk_step = build_fast_attribution(
+    prefix_args, suffix_tree, chunk_step = build_fast_attribution(
         model, hook, sae, batch, metric
     )
     jax.block_until_ready(prefix_args[0])
@@ -400,10 +400,10 @@ def attribution_bench():
 
         feats = jnp.arange(F, dtype=jnp.int32)
         t0 = time.perf_counter()
-        float(loop(model.params, sae.params, *prefix_args, feats))
+        float(loop(suffix_tree, sae.params, *prefix_args, feats))
         _log(f"  F={F} compile+warm {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        float(loop(model.params, sae.params, *prefix_args, feats))
+        float(loop(suffix_tree, sae.params, *prefix_args, feats))
         dt = (time.perf_counter() - t0) / 5
         return F / dt, dt
 

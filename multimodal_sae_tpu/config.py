@@ -346,9 +346,10 @@ class AttributionConfig:
     tp: int = 0
     """Tensor-parallel degree for the subject model (see CacheConfig.tp)."""
 
-    feature_batch: int = 8
-    """Features attributed per compiled step (vmapped). With the
-    prefix/suffix split (features/patching/attribution.py) the per-feature
-    backward tape covers only the layers above the splice, so batching fits
-    even at real ~2.4k-token multimodal shapes on a 16 GB chip; see
-    BASELINE.md's attribution row for the measured scaling."""
+    feature_batch: int = 0
+    """Features attributed per compiled step (vmapped).  0 = auto: 32 for
+    short prompts (S < 512; measured best at S=64 — 266 feat/s vs 204 at
+    F=8), 1 for long ones (at the real ~2.4k-token multimodal shape the F=2
+    backward tape exceeds a 16 GB chip even with the prefix/suffix split;
+    BASELINE.md attribution row).  Explicit values are honored, with an
+    automatic halve-and-retry on device OOM."""

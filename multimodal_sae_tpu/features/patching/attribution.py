@@ -40,10 +40,14 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
 
     Runs the prefix immediately (capture of the raw hook output + encode to
     a top-(k+1) pool + the clean splice) and returns
-    `(prefix_args, chunk_step)` where `chunk_step(model_params, sae_params,
-    *prefix_args, feats)` yields the (F, B, S) saliency for a feature chunk.
-    Exposed separately so callers (bench.py) can time/compose the jitted
-    step without re-tracing per invocation."""
+    `(prefix_args, suffix_tree, chunk_step)` where
+    `chunk_step(suffix_tree, sae_params, *prefix_args, feats)` yields the
+    (F, B, S) saliency for a feature chunk.  `suffix_tree` is
+    `model.suffix_params(hook)` — only the above-splice weights ride the jit
+    arguments (an in-program layers[start:] slice would materialize a
+    ~1.9 GB copy at 8B/hook-24, measured as exactly the F=2 OOM margin at
+    the 2.4k-token shape).  Exposed separately so callers (bench.py) can
+    time/compose the jitted step without re-tracing per invocation."""
     h_raw = model.capture(batch, [hook])[hook]  # (B, S, D) — the prefix
     B, S, D = h_raw.shape
     k = sae.cfg.k
@@ -63,6 +67,9 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
 
     prefix_args = encode_prefix(sae.params, h_raw)
     zeros = jnp.zeros((B, S, D), jnp.float32)
+    suffix_tree = (
+        model.suffix_params(hook) if hasattr(model, "suffix_params") else None
+    )
 
     @jax.jit
     def chunk_step(mp, sp, wv, wi, clean, feats):
@@ -77,7 +84,7 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
                     .astype(clean.dtype)
                 )
                 x = spliced + delta.astype(spliced.dtype)
-                logits = model.forward_from_layer(x, hook, batch, params=mp)
+                logits = model.forward_from_layer(x, hook, batch, suffix=mp)
                 return metric(logits), x
 
             (_, corrupt), grad = jax.value_and_grad(
@@ -87,7 +94,7 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
 
         return jax.vmap(one)(feats)
 
-    return prefix_args, chunk_step
+    return prefix_args, suffix_tree, chunk_step
 
 
 def fast_attribution_maps(
@@ -127,10 +134,9 @@ def fast_attribution_maps(
     import collections as _collections
 
     indices = np.asarray(indices)
-    (wide_vals, wide_idx, clean), chunk_step = build_fast_attribution(
-        model, hook, sae, batch, metric
+    (wide_vals, wide_idx, clean), suffix_tree, chunk_step = (
+        build_fast_attribution(model, hook, sae, batch, metric)
     )
-    model_params = model.params
 
     pbar = None
     if progress:
@@ -141,23 +147,46 @@ def fast_attribution_maps(
         except ImportError:
             pass
 
+    def run_chunk(chunk):
+        return np.asarray(
+            chunk_step(
+                suffix_tree,
+                sae.params,
+                wide_vals,
+                wide_idx,
+                clean,
+                jnp.asarray(chunk, jnp.int32),
+            )
+        )
+
     out = _collections.defaultdict(list)
-    for i in range(0, len(indices), feature_batch):
+    i = 0
+    while i < len(indices):
         chunk = indices[i : i + feature_batch]
         keep = len(chunk)
         if keep < feature_batch:  # ragged tail: pad then trim
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], feature_batch - keep)]
             )
-        sal = chunk_step(
-            model_params,
-            sae.params,
-            wide_vals,
-            wide_idx,
-            clean,
-            jnp.asarray(chunk, jnp.int32),
-        )
-        out[hook].extend(list(np.asarray(sal)[:keep]))
+        try:
+            sal = run_chunk(chunk)
+        except Exception as e:  # noqa: BLE001
+            # The vmapped backward tape scales with the feature batch; at
+            # real multimodal prompt shapes a 16 GB chip fits F=1 only
+            # (BASELINE.md attribution row).  Halve and retry instead of
+            # dying mid-sweep.
+            if "RESOURCE_EXHAUSTED" not in str(e) or feature_batch == 1:
+                raise
+            feature_batch = max(1, feature_batch // 2)
+            from ...logger import logger
+
+            logger.warning(
+                f"attribution feature batch OOMed; retrying with "
+                f"feature_batch={feature_batch}"
+            )
+            continue
+        out[hook].extend(list(sal[:keep]))
+        i += keep
         if pbar:
             pbar.update(keep)
     return dict(out)
@@ -175,8 +204,10 @@ class Attribution:
         sae_path: str,
         data_path: str,
         selected_sae: Optional[str] = None,
-        feature_batch: int = 1,
+        feature_batch: int = 0,
     ) -> None:
+        # feature_batch 0 = auto (fast path picks by prompt length); the
+        # general multi-hook path treats 0/1 as the per-feature loop.
         self.model = model
         self.tokenizer = tokenizer
         self.feature_batch = feature_batch
@@ -238,6 +269,14 @@ class Attribution:
             # work = only the layers above the hook; see
             # fast_attribution_maps).
             ((hook, sae),) = self.sae_dict.items()
+            fb = self.feature_batch
+            if not fb or fb < 1:
+                # Auto width (config feature_batch=0): measured at the 8B
+                # flagship — F=32 wins at S=64, while at the real ~2.4k-token
+                # multimodal shape even F=2's backward tape exceeds a 16 GB
+                # chip, and every OOM retry costs a full suffix compile
+                # (BASELINE.md attribution row).
+                fb = 32 if _seq_len(self.batch) < 512 else 1
             return fast_attribution_maps(
                 self.model,
                 hook,
@@ -245,7 +284,7 @@ class Attribution:
                 self.batch,
                 self.metric,
                 indices,
-                feature_batch=max(1, self.feature_batch),
+                feature_batch=fb,
             )
 
         names = tuple(self.sae_dict.keys())

@@ -646,33 +646,60 @@ class LlamaModel:
         amask = jnp.asarray(amask) if amask is not None else jnp.ones_like(ids)
         return self._capture_jit[key](self.params, ids, amask)
 
+    def suffix_params(self, hookpoint: str) -> dict:
+        """Host-side slice of the weights `forward_from_layer` needs (the
+        layers above `hookpoint`, plus final norm and LM head — unsliced
+        leaves alias the live buffers).  Thread THIS through jitted suffix
+        calls instead of the full tree: an in-program `layers[start:]` slice
+        materializes a per-program copy of the suffix weights (~1.9 GB at
+        8B/hook-24) that tips a 16 GB chip (measured: the F=2 long-shape
+        attribution OOMed by exactly that margin)."""
+        layer_idx = int(hookpoint.rsplit(".", 1)[-1])
+        out = {k: v for k, v in self.params.items() if k != "layers"}
+        layers = self.params["layers"]
+        if isinstance(layers, dict):  # stacked
+            out["layers"] = jax.tree_util.tree_map(
+                lambda x: x[layer_idx + 1 :], layers
+            )
+        else:
+            out["layers"] = layers[layer_idx + 1 :]
+        return out
+
     def forward_from_layer(
         self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
-        params: Optional[dict] = None,
+        suffix: Optional[dict] = None,
     ):
         """Resume the forward from a hookpoint's captured output: `hidden` is
         the (possibly spliced) output of `hookpoint` and only the layers
         above it run.  Traceable — called inside the caller's jit (the
-        attribution suffix, features/patching/attribution.py); pass `params`
-        explicitly there so the weights ride jit arguments instead of being
-        baked into the lowering as constants.
+        attribution suffix, features/patching/attribution.py); pass
+        `suffix=self.suffix_params(hookpoint)` there so only the above-splice
+        weights ride jit arguments (memory note on suffix_params).
 
         `last_logit_only` projects just the final position to vocabulary —
         the logit-diff metric never reads the rest, and the full (S, 128k)
         f32 logits plus their backward are multi-GB at real prompt shapes."""
-        params = self.params if params is None else params
         layer_idx = int(hookpoint.rsplit(".", 1)[-1])
+        if suffix is None:
+            params, start = self.params, layer_idx + 1
+            cfg = self.cfg
+        else:
+            params, start = suffix, 0
+            cfg = dataclasses.replace(
+                self.cfg,
+                num_hidden_layers=self.cfg.num_hidden_layers - layer_idx - 1,
+            )
         out = llama_forward(
             params,
-            self.cfg,
+            cfg,
             inputs_embeds=hidden,
             attention_mask=batch.get("attention_mask"),
-            start_layer=layer_idx + 1,
+            start_layer=start,
             return_logits=not last_logit_only,
             return_hidden=last_logit_only,
         )
         if last_logit_only:
-            return lm_head_logits(params, self.cfg, out["hidden"][:, -1:])
+            return lm_head_logits(params, cfg, out["hidden"][:, -1:])
         return out["logits"]
 
     # ---- generation ------------------------------------------------------

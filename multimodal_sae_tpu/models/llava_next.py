@@ -590,28 +590,53 @@ class LlavaNextModel:
             "captured"
         ]
 
+    def suffix_params(self, hookpoint: str) -> dict:
+        """Host-side slice of the language-model weights the suffix forward
+        needs (see LlamaModel.suffix_params for the memory rationale;
+        unsliced leaves alias the live buffers)."""
+        layer_idx = int(self._strip(hookpoint).rsplit(".", 1)[-1])
+        lm = self.params["language_model"]
+        out = {k: v for k, v in lm.items() if k != "layers"}
+        layers = lm["layers"]
+        if isinstance(layers, dict):  # stacked
+            out["layers"] = jax.tree_util.tree_map(
+                lambda x: x[layer_idx + 1 :], layers
+            )
+        else:
+            out["layers"] = layers[layer_idx + 1 :]
+        return out
+
     def forward_from_layer(
         self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
-        params: Optional[dict] = None,
+        suffix: Optional[dict] = None,
     ):
         """Resume the language-model forward from a hookpoint's output (the
         suffix half of attribution's prefix/suffix split; traceable — the
         vision tower and multimodal packing live entirely below any language
-        hookpoint, so the suffix is pure text-side layers).  `params`, when
-        given, replaces `self.params` so jitted callers can thread the
-        weights as arguments."""
+        hookpoint, so the suffix is pure text-side layers).  Pass
+        `suffix=self.suffix_params(hookpoint)` from jitted callers so only
+        the above-splice weights ride jit arguments."""
+        import dataclasses as _dc
+
         from .llama import lm_head_logits, llama_forward
 
         layer_idx = int(self._strip(hookpoint).rsplit(".", 1)[-1])
-        lm_params = (params or self.params)["language_model"]
         text_cfg = self.cfg.text_config
+        if suffix is None:
+            lm_params, start = self.params["language_model"], layer_idx + 1
+        else:
+            lm_params, start = suffix, 0
+            text_cfg = _dc.replace(
+                text_cfg,
+                num_hidden_layers=text_cfg.num_hidden_layers - layer_idx - 1,
+            )
         amask = batch.get("attention_mask")
         out = llama_forward(
             lm_params,
             text_cfg,
             inputs_embeds=hidden,
             attention_mask=jnp.asarray(amask) if amask is not None else None,
-            start_layer=layer_idx + 1,
+            start_layer=start,
             return_logits=not last_logit_only,
             return_hidden=last_logit_only,
         )

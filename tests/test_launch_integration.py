@@ -309,12 +309,16 @@ def test_attribution_fast_path_matches_general(llama_dir, tmp_path):
             )
 
     class Fast(General):
-        """Adds the fast-path surface (capture/params/forward_from_layer)."""
+        """Adds the fast-path surface (capture/suffix_params/
+        forward_from_layer)."""
 
         params = base.params
 
         def capture(self, batch, hookpoints):
             return base.capture(batch, hookpoints)
+
+        def suffix_params(self, hookpoint):
+            return base.suffix_params(hookpoint)
 
         def forward_from_layer(self, hidden, hookpoint, batch, **kw):
             return base.forward_from_layer(hidden, hookpoint, batch, **kw)

@@ -204,3 +204,16 @@ def test_attribution_class_multimodal(llava, sae, tmp_path):
     # (batch, seq) saliency per feature; a nonzero gradient signal exists.
     assert arr[0].shape[0] == 1
     assert np.abs(arr[0]).sum() > 0
+
+    # The fast prefix/suffix path (taken above) must match the general
+    # full-forward path on the REAL multimodal model — this exercises the
+    # bucket-padded capture + true-length suffix consistency, not just the
+    # text-model math (tests/test_launch_integration.py).
+    had = LlavaNextModel.forward_from_layer
+    del LlavaNextModel.forward_from_layer
+    try:
+        general = attribution.get_attribution(indices=[selected, 5])
+    finally:
+        LlavaNextModel.forward_from_layer = had
+    for a, b in zip(general["model.layers.0"], arr):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
