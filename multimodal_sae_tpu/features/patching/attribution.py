@@ -66,13 +66,17 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
         return wide_vals, wide_idx, clean
 
     prefix_args = encode_prefix(sae.params, h_raw)
-    zeros = jnp.zeros((B, S, D), jnp.float32)
     suffix_tree = (
         model.suffix_params(hook) if hasattr(model, "suffix_params") else None
     )
 
     @jax.jit
     def chunk_step(mp, sp, wv, wi, clean, feats):
+        # Created inside the trace: a closed-over concrete zeros array would
+        # be a real (B, S, D) device constant per program (~40 MB at real
+        # multimodal shapes); traced zeros fold to a broadcast.
+        zeros = jnp.zeros((B, S, D), jnp.float32)
+
         def one(f):
             def corrupted_metric(delta):
                 masked = jnp.where(wi == f, jnp.asarray(-1.0, wv.dtype), wv)

@@ -295,3 +295,44 @@ def test_generate_executable_cache_reused_across_chunks(llama, sae):
             llama.params, llama.cfg, ids, max_new_tokens=2, interventions=iv
         )
     assert len(llama_mod._GENERATE_CACHE) == 1
+
+
+def test_fast_attribution_oom_fallback(monkeypatch):
+    """On a device RESOURCE_EXHAUSTED, fast_attribution_maps halves the
+    feature batch and retries instead of dying mid-sweep (every retry at
+    long shapes costs a fresh compile, so correctness of the fallback
+    matters more than its frequency)."""
+    import multimodal_sae_tpu.features.patching.attribution as A
+
+    B, S, D_ = 1, 3, 4
+    widths_seen = []
+
+    def fake_build(model, hook, sae, batch, metric):
+        prefix = (np.zeros((B * S, 5)), np.zeros((B * S, 5), np.int64),
+                  np.zeros((B, S, D_)))
+
+        def chunk_step(mp, sp, wv, wi, clean, feats):
+            widths_seen.append(len(feats))
+            if len(feats) > 2:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of HBM")
+            return np.stack(
+                [np.full((B, S), float(f)) for f in np.asarray(feats)]
+            )
+
+        return prefix, {"w": np.zeros(1)}, chunk_step
+
+    monkeypatch.setattr(A, "build_fast_attribution", fake_build)
+
+    class M:
+        params = {}
+
+    sae = Sae(D_, SaeConfig(num_latents=8, k=2), key=jax.random.PRNGKey(0))
+    out = A.fast_attribution_maps(
+        M(), "layers.0", sae, {"input_ids": np.zeros((B, S))}, lambda l: l,
+        indices=[0, 1, 2, 3, 4], feature_batch=8, progress=False,
+    )
+    # 8 OOMs, 4 OOMs, then chunks of 2 succeed (padded ragged tail).
+    assert widths_seen == [8, 4, 2, 2, 2]
+    sal = out["layers.0"]
+    assert len(sal) == 5
+    assert [float(s[0, 0]) for s in sal] == [0.0, 1.0, 2.0, 3.0, 4.0]
