@@ -214,9 +214,12 @@ def full_depth_bench():
     rest = init_quant_rest(keys[-1])
     lparams = {**rest, "layers": layers}
     cfg = SaeConfig(num_latents=LATENTS, k=K)
-    sae_params = jax.device_put(
-        init_params(jax.random.PRNGKey(1), D_IN, cfg, dtype=DTYPE)
-    )
+    sae_params = init_params(jax.random.PRNGKey(1), D_IN, cfg, dtype=DTYPE)
+    if "--int8-sae" in sys.argv:  # opt-in W8A8 encoder (CLI --sae_int8)
+        from multimodal_sae_tpu.sae.model import quantize_encoder
+
+        sae_params = quantize_encoder(sae_params)
+    sae_params = jax.device_put(sae_params)
     batch, seq = 32, SEQ  # ctx 64 (image caching config)
     ids = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0, lcfg.vocab_size)
     _log(f"  init done in {time.perf_counter() - t0:.1f}s")
@@ -840,6 +843,13 @@ def main():
     cfg = SaeConfig(num_latents=LATENTS, k=K)
     key = jax.random.PRNGKey(0)
     params = init_params(key, D_IN, cfg, dtype=DTYPE)
+    int8_sae = "--int8-sae" in sys.argv
+    if int8_sae:
+        # Opt-in W8A8 encoder (`--sae_int8` on the cache CLIs): the
+        # pre-activation matmul rides the native int8 MXU path.
+        from multimodal_sae_tpu.sae.model import quantize_encoder
+
+        params = quantize_encoder(params)
     params = jax.device_put(params)
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SEQ, D_IN), dtype=DTYPE)
 
@@ -858,7 +868,8 @@ def main():
             {
                 "metric": "sae_cache_tokens_per_sec",
                 "value": round(tokens_per_sec, 1),
-                "unit": "tokens/s/chip @131k width",
+                "unit": "tokens/s/chip @131k width"
+                + (" (int8 encoder)" if int8_sae else ""),
                 "vs_baseline": round(tokens_per_sec / naive_tokens_per_sec, 3),
             }
         )

@@ -294,6 +294,13 @@ class CacheConfig:
     filters_path: Optional[str] = None
     """Json file mapping hookpoint -> list of feature indices to keep."""
 
+    sae_int8: bool = False
+    """Quantize each SAE's encoder to int8 and run the cache step's
+    pre-activation matmul on the native int8 MXU path (~2x the bf16 rate on
+    the dominant cost; sae/model.py quantize_encoder).  Opt-in: W8A8
+    changes numerics (per-token activation quantization; top-k boundary
+    ties can flip), so never combine with the fp32 bit-parity posture."""
+
     tp: int = 0
     """Tensor-parallel degree for the subject model: megatron column/row
     sharding over the first `tp` local devices on a ('model',) mesh

@@ -42,10 +42,15 @@ def load_explanation(explanation_dir: str) -> Dict[str, str]:
 
 
 def load_saes(
-    sae_path: str, filters: Optional[Dict[str, np.ndarray]] = None, dtype=None
+    sae_path: str,
+    filters: Optional[Dict[str, np.ndarray]] = None,
+    dtype=None,
+    int8_encoder: bool = False,
 ) -> Dict[str, Sae]:
     """Load one SAE per hookpoint, locally or from the hub
-    (reference utils.py:106-127)."""
+    (reference utils.py:106-127).  `int8_encoder` quantizes each W_enc for
+    the native int8 MXU cache step (opt-in, numerics-changing;
+    sae/model.py quantize_encoder)."""
     submodule_dict: Dict[str, Sae] = {}
     local = os.path.exists(sae_path)
     if filters is not None:
@@ -60,6 +65,9 @@ def load_saes(
                 )
     else:
         submodule_dict = Sae.load_many(sae_path, local=local, dtype=dtype)
+    if int8_encoder:
+        for sae in submodule_dict.values():
+            sae.quantize_encoder()
     return submodule_dict
 
 

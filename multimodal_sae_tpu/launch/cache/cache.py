@@ -38,7 +38,9 @@ def main(cfg: CacheConfig):
     dataset, shard_start = shard_dataset_contiguous(dataset, world, rank)
 
     logger.info(f"Load many sae from : {cfg.sae_path}")
-    submodule_dict = load_saes(cfg.sae_path, filters=filters)
+    submodule_dict = load_saes(
+        cfg.sae_path, filters=filters, int8_encoder=cfg.sae_int8
+    )
     logger.info(f"Select {submodule_dict.keys()}")
     if getattr(model, "mesh", None) is not None:
         # TP subject: SAE params must live (replicated) on the same mesh —

@@ -205,3 +205,50 @@ def test_int8_matmul_forward_close_and_grad_flows(fp32_and_q8):
     g = jax.grad(metric)(jnp.zeros((1, 8, CFG.hidden_size)))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_int8_sae_encoder():
+    """Opt-in W8A8 SAE encoder (sae/model.py quantize_encoder): pre_acts
+    close to the dense path, top-k selection largely preserved, training
+    forward refuses it, and load_saes honors the flag."""
+    import jax
+    import numpy as np
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.interp_utils import load_saes
+    from multimodal_sae_tpu.sae import Sae
+    from multimodal_sae_tpu.sae.model import (
+        encode,
+        forward,
+        pre_acts,
+        quantize_encoder,
+    )
+
+    d, L, k = 32, 128, 8
+    cfg = SaeConfig(num_latents=L, k=k)
+    sae = Sae(d, cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, d), dtype=jnp.float32)
+
+    dense = np.asarray(pre_acts(sae.params, x), dtype=np.float64)
+    qp = quantize_encoder(sae.params)
+    quant = np.asarray(pre_acts(qp, x), dtype=np.float64)
+    assert np.abs(quant - dense).max() < 0.05 * max(dense.max(), 1e-6)
+
+    di = np.asarray(encode(sae.params, x, cfg).top_indices)
+    qi = np.asarray(encode(qp, x, cfg).top_indices)
+    overlap = np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(di.tolist(), qi.tolist())]
+    )
+    assert overlap > 0.75, overlap
+
+    with pytest.raises(AssertionError, match="dense encoder"):
+        forward(qp, x, cfg)
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        sae.save_to_disk(Path(td) / "layers.0")
+        loaded = load_saes(td, int8_encoder=True)
+        assert isinstance(loaded["layers.0"].params["W_enc"], dict)
+        assert loaded["layers.0"].dtype == jnp.bfloat16
