@@ -181,6 +181,56 @@ def test_cache_cli_tensor_parallel(llama_dir_with_tokenizer, tmp_path):
     assert {loc[0] for loc in ref_map} == set(range(8))
 
 
+def test_cache_cli_int8_sae(llama_dir_with_tokenizer, tmp_path):
+    """`launch.cache.cache --sae_int8` end-to-end: the int8-encoder run's
+    sparse cache overwhelmingly matches the dense run (W8A8 flips only
+    near-tied top-k boundaries)."""
+    from datasets import Dataset
+    from safetensors.numpy import load_file
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+    from multimodal_sae_tpu.sae import Sae
+
+    rng = np.random.default_rng(3)
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    def run(sae_int8, out):
+        cache_cli.main(
+            CacheConfig(
+                model=llama_dir_with_tokenizer,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=2,
+                ctx_len=8,
+                n_splits=1,
+                sae_int8=sae_int8,
+            )
+        )
+        m = {}
+        for f in sorted((tmp_path / out / "layers.1").iterdir()):
+            data = load_file(str(f))
+            for loc, act in zip(data["locations"], data["activations"]):
+                m[tuple(loc)] = act
+        return m
+
+    q = run(True, "cache_q8")
+    d = run(False, "cache_dense")
+    shared = set(q) & set(d)
+    assert len(shared) >= 0.95 * max(len(q), len(d))
+    a = np.array([q[k] for k in shared])
+    b = np.array([d[k] for k in shared])
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+
+
 def test_load_subject_model_tp_flag(llama_dir_with_tokenizer):
     """--tp places megatron shardings on the stacked layer params."""
     from multimodal_sae_tpu.launch.utils import load_subject_model
