@@ -556,9 +556,12 @@ def llava_image_bench():
     params = {"language_model": lm, **init_rest(keys[-2], keys[-3])}
     model = LlavaNextModel(params, cfg)
     sae_cfg = SaeConfig(num_latents=LATENTS, k=K)
-    sae_params = jax.device_put(
-        init_params(jax.random.PRNGKey(1), D_IN, sae_cfg, dtype=DTYPE)
-    )
+    sae_params = init_params(jax.random.PRNGKey(1), D_IN, sae_cfg, dtype=DTYPE)
+    if "--int8-sae" in sys.argv:  # opt-in W8A8 encoder (CLI --sae_int8)
+        from multimodal_sae_tpu.sae.model import quantize_encoder
+
+        sae_params = quantize_encoder(sae_params)
+    sae_params = jax.device_put(sae_params)
     _log(f"  init done in {time.perf_counter() - t0:.1f}s")
 
     hook = "model.layers.24"  # LlavaNextModel.HOOK_PREFIX convention
