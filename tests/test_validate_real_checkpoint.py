@@ -17,24 +17,45 @@ pytest.importorskip("torch")
 pytest.importorskip("transformers")
 
 
-@pytest.mark.skipif(
-    not Path("/root/reference/sae_auto_interp").exists(),
-    reason="reference mount absent",
-)
-def test_self_test_passes(tmp_path):
+def _run_self_test(mode):
     result = subprocess.run(
         [
             sys.executable,
             str(REPO / "tools" / "validate_real_checkpoint.py"),
             "--self-test",
+            "--mode",
+            mode,
         ],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
     )
     assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
-    report = json.loads(result.stdout[result.stdout.index("{"):])
+    return json.loads(result.stdout[result.stdout.index("{"):])
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/sae_auto_interp").exists(),
+    reason="reference mount absent",
+)
+def test_self_test_passes(tmp_path):
+    report = _run_self_test("text")
     assert report["pass"] is True
     mod = report["modules"]["layers.1"]
+    assert mod["file_names_equal"] and mod["loc_overlap"] >= 0.97
+    assert mod["n_ref"] > 0
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/sae_auto_interp").exists(),
+    reason="reference mount absent",
+)
+def test_self_test_image_mode(tmp_path):
+    """The image path — fabricated LLaVA checkpoint with a REAL saved
+    LlavaNextProcessor, image dataset, reference FeatureImageCache — is the
+    exact flow the real llama3-llava-next-8b validation will take."""
+    report = _run_self_test("image")
+    assert report["pass"] is True
+    mod = report["modules"]["model.layers.1"]
     assert mod["file_names_equal"] and mod["loc_overlap"] >= 0.97
     assert mod["n_ref"] > 0

@@ -150,6 +150,23 @@ def run_reference(args, out_dir: Path) -> None:
         if os.path.isdir(hook_dir):
             submodules[hook] = ref_sae_mod.Sae.load_from_disk(hook_dir)
 
+    # The reference resolves hookpoints against `model.language_model`
+    # (reference features/cache.py:105-115), whose module naming depends on
+    # the installed transformers: older versions expose LlamaForCausalLM
+    # ("model.layers.N"), 4.5x exposes LlamaModel ("layers.N").  Resolve
+    # leniently and rename output dirs back to the canonical hookpoint.
+    resolve_on = model.language_model if is_llava else model
+    key_map = {}
+    for hook in list(submodules):
+        try:
+            resolve_on.get_submodule(hook)
+            key_map[hook] = hook
+        except AttributeError:
+            alt = hook.split(".", 1)[1] if hook.startswith("model.") else hook
+            resolve_on.get_submodule(alt)  # raises if still unresolvable
+            key_map[alt] = hook
+            submodules[alt] = submodules.pop(hook)
+
     dataset = load_any_dataset(args.dataset, args.split)
 
     if args.mode == "text":
@@ -187,6 +204,9 @@ def run_reference(args, out_dir: Path) -> None:
         (out_dir / hook).mkdir(parents=True, exist_ok=True)
     fc.save_splits(args.n_splits, str(out_dir), rank=0)
     fc.concate_safetensors(args.n_splits, str(out_dir))
+    for resolved, orig in key_map.items():
+        if resolved != orig:
+            (out_dir / resolved).rename(out_dir / orig)
 
 
 def compare(ours_dir: Path, ref_dir: Path, rtol: float, atol: float,
@@ -248,7 +268,12 @@ def main(argv=None) -> int:
     parser.add_argument("--sae", help="local SAE release dir (per-hookpoint)")
     parser.add_argument("--dataset", help="HF dataset name or save_to_disk dir")
     parser.add_argument("--split", default="train")
-    parser.add_argument("--mode", choices=("text", "image"), default="image")
+    parser.add_argument(
+        "--mode", choices=("text", "image"), default=None,
+        help="cache path to validate (default: image for real runs, "
+        "text for --self-test; --self-test --mode image fabricates a tiny "
+        "LLaVA checkpoint instead)",
+    )
     parser.add_argument(
         "--hookpoint", action="append", default=None,
         help="hookpoint(s) to validate (default: every SAE in --sae)",
@@ -273,6 +298,8 @@ def main(argv=None) -> int:
         print("reference mount absent — nothing to validate against", file=sys.stderr)
         return 2
 
+    if args.mode is None:
+        args.mode = "text" if args.self_test else "image"
     if args.self_test:
         _setup_self_test(args)
 
@@ -299,7 +326,10 @@ def main(argv=None) -> int:
 
 
 def _setup_self_test(args) -> None:
-    """Fabricate a tiny text checkpoint + SAE + pre-tokenized dataset."""
+    """Fabricate a tiny checkpoint + SAE + dataset for the requested mode:
+    text -> plain LLaMA with a pre-tokenized dataset; image -> LLaVA-NeXT
+    with a real saved LlavaNextProcessor and an image dataset (exercising
+    the exact path the real llama3-llava-next-8b validation will take)."""
     import tempfile
 
     import torch
@@ -314,44 +344,123 @@ def _setup_self_test(args) -> None:
     from multimodal_sae_tpu.sae import Sae
 
     tmp = Path(tempfile.mkdtemp(prefix="validate_selftest_"))
-    ckpt = tmp / "ckpt"
-    cfg = transformers.LlamaConfig(
-        vocab_size=128,
-        hidden_size=32,
-        intermediate_size=64,
-        num_hidden_layers=3,
-        num_attention_heads=4,
-        num_key_value_heads=2,
-        max_position_embeddings=64,
-    )
-    torch.manual_seed(0)
-    transformers.LlamaForCausalLM(cfg).save_pretrained(
-        ckpt, safe_serialization=True
-    )
-    tok = Tokenizer(models.WordLevel({str(i): i for i in range(128)}, unk_token="0"))
-    tok.pre_tokenizer = pre_tokenizers.Whitespace()
-    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="0").save_pretrained(ckpt)
-
+    sae_dir = tmp / "saes"
     rng = np.random.default_rng(0)
     ds_dir = tmp / "ds"
-    Dataset.from_dict(
-        {"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()}
-    ).save_to_disk(str(ds_dir))
+    torch.manual_seed(0)
 
-    sae_dir = tmp / "saes"
-    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
-        sae_dir / "layers.1"
-    )
+    if args.mode == "image":
+        # Directory name must contain "llava" (load_subject_model detects
+        # the multimodal path by name).
+        ckpt = tmp / "llava_ckpt"
+        pinpoints = [[32, 64], [64, 32], [64, 64]]
+        cfg = transformers.LlavaNextConfig(
+            vision_config=transformers.CLIPVisionConfig(
+                hidden_size=48,
+                intermediate_size=96,
+                num_hidden_layers=2,
+                num_attention_heads=4,
+                image_size=32,
+                patch_size=16,
+            ),
+            text_config=transformers.LlamaConfig(
+                vocab_size=260,
+                hidden_size=32,
+                intermediate_size=64,
+                num_hidden_layers=3,
+                num_attention_heads=4,
+                num_key_value_heads=2,
+            ),
+            image_grid_pinpoints=pinpoints,
+            image_token_index=256,
+        )
+        transformers.LlavaNextForConditionalGeneration(cfg).eval().save_pretrained(
+            ckpt, safe_serialization=True
+        )
+        tok = Tokenizer(
+            models.WordLevel({str(i): i for i in range(256)}, unk_token="0")
+        )
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        # Register <image> on the RAW tokenizer so its id (256) is persisted
+        # in tokenizer.json and survives from_pretrained (re-adding it at
+        # the PreTrainedTokenizerFast layer gets a fresh id on reload).
+        tok.add_special_tokens(["<image>"])
+        fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="0")
+        fast.save_pretrained(ckpt)
+        assert fast.convert_tokens_to_ids("<image>") == 256
+        processor = transformers.LlavaNextProcessor(
+            image_processor=transformers.LlavaNextImageProcessor(
+                size={"shortest_edge": 32},
+                crop_size={"height": 32, "width": 32},
+                image_grid_pinpoints=pinpoints,
+            ),
+            tokenizer=fast,
+            patch_size=16,
+            vision_feature_select_strategy="default",
+            image_token="<image>",
+            num_additional_image_tokens=1,
+        )
+        processor.save_pretrained(ckpt)
+
+        from PIL import Image
+
+        import datasets as hf_datasets
+
+        images = [
+            Image.fromarray(
+                rng.integers(0, 255, size=(40 + 4 * i, 52, 3), dtype=np.uint8)
+            )
+            for i in range(4)
+        ]
+        hf_datasets.Dataset.from_dict(
+            {"image": images}
+        ).cast_column("image", hf_datasets.Image()).save_to_disk(str(ds_dir))
+
+        hook = "model.layers.1"
+        Sae(
+            32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)
+        ).save_to_disk(sae_dir / hook)
+        args.rows = 4
+        args.ctx_len = 64
+        args.batch_size = 2
+        args.n_splits = 2
+    else:
+        ckpt = tmp / "ckpt"
+        cfg = transformers.LlamaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=64,
+        )
+        transformers.LlamaForCausalLM(cfg).save_pretrained(
+            ckpt, safe_serialization=True
+        )
+        tok = Tokenizer(
+            models.WordLevel({str(i): i for i in range(128)}, unk_token="0")
+        )
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="0").save_pretrained(
+            ckpt
+        )
+        Dataset.from_dict(
+            {"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()}
+        ).save_to_disk(str(ds_dir))
+        hook = "layers.1"
+        Sae(
+            32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)
+        ).save_to_disk(sae_dir / hook)
+        args.rows = 8
+        args.ctx_len = 8
+        args.batch_size = 2
+        args.n_splits = 2
 
     args.model = str(ckpt)
     args.sae = str(sae_dir)
     args.dataset = str(ds_dir)
-    args.mode = "text"
-    args.hookpoint = ["layers.1"]
-    args.rows = 8
-    args.ctx_len = 8
-    args.batch_size = 2
-    args.n_splits = 2
+    args.hookpoint = [hook]
     args.out = str(tmp / "out")
 
 
