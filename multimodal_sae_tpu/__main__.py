@@ -37,6 +37,7 @@ def load_artifacts(args: RunConfig):
             load_in_8bit=args.load_in_8bit,
             int8_matmul=args.int8_matmul,
             flash_attention=args.flash_attention,
+            tp=args.tp,
         )
 
     if args.dataset.endswith(".bin"):

@@ -156,6 +156,13 @@ class RunConfig(TrainConfig):
     per-layer (B, H, S, S) f32 score materialization that dominates at
     ctx_len ~2k (models/llama.py LlamaConfig.flash_attention)."""
 
+    tp: int = 0
+    """Tensor-parallel degree for the frozen subject: megatron sharding over
+    the first N local devices (parallel/tensor_parallel.py) — an 8B bf16
+    subject exceeds one 16 GB v5e chip during training too.  Captured
+    hiddens are resharded onto the trainer's data mesh on-device
+    (train/trainer.py _globalize_hiddens)."""
+
     max_examples: Optional[int] = None
     """Maximum number of examples to use for training."""
 

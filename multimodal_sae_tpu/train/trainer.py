@@ -203,6 +203,12 @@ class SaeTrainer:
         by hand (reference trainer.py:334-345)."""
         mesh = self._mesh_for(name)
         if not self._mesh_is_multiprocess(mesh):
+            # A tensor-parallel subject leaves its captures on the ('model',)
+            # mesh; the jitted train step pins batch-sharded operands on the
+            # trainer's mesh — reshard on-device (one XLA copy, no host trip).
+            sharding = getattr(hiddens, "sharding", None)
+            if getattr(sharding, "mesh", None) is not None and sharding.mesh != mesh:
+                hiddens = jax.device_put(hiddens, data_sharding(mesh))
             return hiddens
         return jax.make_array_from_process_local_data(
             data_sharding(mesh), np.asarray(jax.device_get(hiddens))

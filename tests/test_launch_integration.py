@@ -181,6 +181,43 @@ def test_cache_cli_tensor_parallel(llama_dir_with_tokenizer, tmp_path):
     assert {loc[0] for loc in ref_map} == set(range(8))
 
 
+def test_trainer_with_tp_subject_matches_unsharded(llama_dir_with_tokenizer):
+    """SAE training over a tensor-parallel subject (--tp on the train CLI):
+    captures land on the ('model',) mesh and are resharded onto the
+    trainer's data mesh on-device; the resulting params must match training
+    over the unsharded subject (fp32)."""
+    from multimodal_sae_tpu.config import SaeConfig, TrainConfig
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+    from multimodal_sae_tpu.parallel import get_mesh
+    from multimodal_sae_tpu.train import SaeTrainer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    rng = np.random.default_rng(0)
+    ds = [{"input_ids": rng.integers(0, 128, size=(16,))} for _ in range(8)]
+    batch = {"input_ids": np.stack([r["input_ids"] for r in ds[:4]])}
+
+    def train(tp):
+        model, _, _ = load_subject_model(
+            llama_dir_with_tokenizer, dtype=jnp.float32, tp=tp
+        )
+        cfg = TrainConfig(
+            sae=SaeConfig(expansion_factor=4, k=4),
+            batch_size=4,
+            lr=1e-3,
+            log_to_wandb=False,
+            hookpoints=["layers.1"],
+        )
+        mesh = get_mesh(("data",), devices=jax.devices()[:2])
+        trainer = SaeTrainer(cfg, ds, model, mesh=mesh)
+        for _ in range(2):
+            trainer.step(batch)
+        return np.asarray(trainer.saes["layers.1"].params["W_enc"])
+
+    np.testing.assert_allclose(train(2), train(0), rtol=2e-4, atol=1e-5)
+
+
 def test_cache_cli_int8_sae(llama_dir_with_tokenizer, tmp_path):
     """`launch.cache.cache --sae_int8` end-to-end: the int8-encoder run's
     sparse cache overwhelmingly matches the dense run (W8A8 flips only
