@@ -775,7 +775,7 @@ def steering_bench():
     # batch, so steered generations/s scales with the feature batch until
     # compute- or HBM-capacity-bound: sweep the width.
     best = (0.0, None, None)
-    for F in (8, 16, 32, 64):
+    for F in (8, 16, 32, 64, 128, 256):
         feats = list(range(F))
         try:
             t0 = time.perf_counter()
@@ -783,8 +783,12 @@ def steering_bench():
             _log(f"  F={F} compile+warm {time.perf_counter() - t0:.1f}s")
             dt = gen(F, feats, iters=3)
         except Exception as e:  # noqa: BLE001 — record the OOM boundary
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-                _log(f"  F={F}: OOM")
+            if (
+                "RESOURCE_EXHAUSTED" in str(e)
+                or "Out of memory" in str(e)
+                or "remote_compile" in str(e)  # compile-server OOM/crash
+            ):
+                _log(f"  F={F}: OOM/compile failure ({str(e)[:80]})")
                 break
             raise
         _log(f"  batched F={F}: {dt * 1e3:.0f} ms/call, {F / dt:.1f} gen/s")

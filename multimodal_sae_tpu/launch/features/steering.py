@@ -37,7 +37,7 @@ def parse_argument():
     parser.add_argument(
         "--feature-batch-size",
         type=int,
-        default=8,
+        default=64,
         help="Features steered per generate call: the shared prompt lets "
         "features ride the batch axis of the jitted generate loop (F "
         "generations -> 1), unlike the reference's sequential per-feature "
