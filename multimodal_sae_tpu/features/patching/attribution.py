@@ -6,16 +6,22 @@ splice with feature f ablated (corrupted), and accumulate
 (batch, seq) saliency map.
 
 TPU-first differences (same math):
+* **prefix/suffix split** (single-hookpoint fast path, the flagship config):
+  everything below the splice point is feature-independent — layers 0..hook,
+  the (B·S, width) pre-activation matmul, and a top-(k+1) selection pool run
+  ONCE; per feature only the layers above the hook run fwd+bwd
+  (`build_fast_attribution` / `fast_attribution_maps`);
 * the clean spliced forward does not depend on the feature index, so it runs
   once, not once per feature (the reference recomputes it in the loop,
   attribution.py:135-145);
-* corrupted forward + gradient is one jitted `value_and_grad` with the
-  feature index as a traced argument — compiled once, executed per feature —
-  with gradients obtained through a zero-delta at the splice point instead of
-  retain_grad (see patching/utils.py);
-* an optional `feature_batch` vmaps that step over chunks of features, which
-  is the big throughput win over the reference's per-feature python loop
-  (SURVEY.md §3.5 hot loop #4).
+* corrupted forward + gradient is one jitted `value_and_grad` with gradients
+  obtained through a zero-delta at the splice point instead of retain_grad
+  (see patching/utils.py);
+* a `feature_batch` vmaps the per-feature step (auto width by prompt length,
+  halve-and-retry on OOM) — the big throughput win over the reference's
+  per-feature python loop (SURVEY.md §3.5 hot loop #4);
+* the general path (multiple hookpoints, or models without
+  `forward_from_layer`) keeps the full-forward formulation.
 """
 
 from __future__ import annotations
@@ -81,6 +87,10 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
             def corrupted_metric(delta):
                 masked = jnp.where(wi == f, jnp.asarray(-1.0, wv.dtype), wv)
                 vals_k, pos = jax.lax.top_k(masked, k)
+                # The -1 sentinel can only be selected in the degenerate
+                # k == width case; clamping restores the reference's exact
+                # zero contribution for an ablated-but-selected feature.
+                vals_k = jnp.maximum(vals_k, jnp.asarray(0.0, vals_k.dtype))
                 idx_k = jnp.take_along_axis(wi, pos, axis=1)
                 spliced = (
                     sae_decode(sp, vals_k, idx_k)

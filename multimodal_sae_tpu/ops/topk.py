@@ -56,8 +56,13 @@ def blockwise_top_k(
         values are sorted descending (ties may order differently).
     """
     width = x.shape[-1]
-    if k >= width:
-        raise ValueError(f"k={k} must be < width={width}")
+    if k == width:
+        # Degenerate full-width selection (e.g. the fast-attribution
+        # top-(k+1) pool at k = width-1): block filtering has nothing to
+        # discard — fall through to the exact sort.
+        return jax.lax.top_k(x, k)
+    if k > width:
+        raise ValueError(f"k={k} must be <= width={width}")
     if num_blocks is None:
         num_blocks = _choose_block_count(width, k)
     if num_blocks <= 1:

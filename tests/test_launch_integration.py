@@ -452,3 +452,17 @@ def test_attribution_fast_path_matches_general(llama_dir, tmp_path):
     assert len(fast_out["layers.1"]) == len(indices)
     for a, b in zip(general_out["layers.1"], fast_out["layers.1"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    # Degenerate k == num_latents: the reference keeps the ablated feature
+    # selected at value 0 (a zeroed column still wins a top-k slot); the fast
+    # path's -1 sentinel must clamp back to the same zero contribution.
+    import shutil
+
+    shutil.rmtree(sae_dir)
+    Sae(32, SaeConfig(num_latents=16, k=16), key=jax.random.PRNGKey(2)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+    g = build(General(), 2).get_attribution(indices=[0, 7])
+    f = build(Fast(), 2).get_attribution(indices=[0, 7])
+    for a, b in zip(g["layers.1"], f["layers.1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
