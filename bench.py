@@ -795,6 +795,10 @@ def steering_bench():
         if F / dt > best[0]:
             best = (F / dt, F, dt)
     rate, F, dt_b = best
+    if F is None:
+        raise RuntimeError(
+            "steering sweep: every feature-batch width OOMed — no measurement"
+        )
     gen(1, [0])
     dt_1 = gen(1, [0], iters=3)
     _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")

@@ -24,9 +24,7 @@ def load_artifacts(args: RunConfig):
     if args.model.startswith("synthetic://"):
         from .models import SyntheticActivationSource
 
-        spec = args.model[len("synthetic://"):]
-        d_model, n_layers, vocab = (int(x) for x in spec.split(",")) if spec else (64, 4, 128)
-        model = SyntheticActivationSource(d_model=d_model, n_layers=n_layers, vocab=vocab)
+        model = SyntheticActivationSource.from_spec(args.model)
         tokenizer = None
     else:
         from .launch.utils import load_subject_model

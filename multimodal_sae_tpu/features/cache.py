@@ -481,8 +481,9 @@ def _batched(items, batch_size: int):
         raise TypeError(
             "_batched got a plain dict — iterating it would yield keys, not "
             "batches. Pass a row dataset (supports __getitem__) or an "
-            "iterable of prepared batch dicts (e.g. wrap one batch as "
-            "[batch])."
+            "iterator of prepared batch dicts (e.g. wrap one batch as "
+            "iter([batch]) — a plain [batch] list would be re-collated "
+            "row-wise and gain a spurious leading axis)."
         )
     if hasattr(items, "__getitem__"):
         n = len(items) // batch_size

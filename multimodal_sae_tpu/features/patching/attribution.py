@@ -62,10 +62,18 @@ def build_fast_attribution(model, hook: str, sae: Sae, batch: dict, metric):
 
     @jax.jit
     def encode_prefix(sp, h):
-        """One-time: raw latents -> top-(k+1) pool + the clean splice."""
+        """One-time: raw latents -> top-(k+1) pool + the clean splice.
+
+        The clean top-k is reselected from the SAME wide pool with the SAME
+        `lax.top_k` the corrupted path uses (not an independent
+        `select_topk(lat, k)`): two different top-k algorithms may break a
+        nonzero value tie at rank k differently, which would make
+        clean != corrupted for features that were never ablated and inject a
+        (W_dec[A]-W_dec[B])·v artifact into every saliency in the chunk."""
         lat = sae_pre_acts(sp, h.reshape(-1, D))
         wide_vals, wide_idx = select_topk(lat, k_wide)
-        clean_vals, clean_idx = select_topk(lat, k)
+        clean_vals, clean_pos = jax.lax.top_k(wide_vals, k)
+        clean_idx = jnp.take_along_axis(wide_idx, clean_pos, axis=1)
         clean = (
             sae_decode(sp, clean_vals, clean_idx).reshape(B, S, D).astype(h.dtype)
         )

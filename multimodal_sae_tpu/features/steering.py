@@ -133,9 +133,20 @@ class SteeringController:
         gen_cfg = generation_config or {}
         self._sample_kwargs = {}
         if gen_cfg.get("do_sample"):
+            # `or 1.0` would silently remap an explicit temperature of 0.0
+            # (greedy intent) to full-temperature sampling; HF `generate`
+            # raises for non-positive temperatures, so mirror that.
+            temperature = gen_cfg.get("temperature")
+            temperature = 1.0 if temperature is None else float(temperature)
+            if temperature <= 0.0:
+                raise ValueError(
+                    f"do_sample=True with temperature={temperature}; use "
+                    "do_sample=False for greedy decoding (HF generate "
+                    "rejects non-positive temperatures too)."
+                )
             self._sample_kwargs = {
                 "do_sample": True,
-                "temperature": float(gen_cfg.get("temperature") or 1.0),
+                "temperature": temperature,
                 "top_p": gen_cfg.get("top_p"),
                 "prng_key": jax.random.PRNGKey(int(gen_cfg.get("seed", 0))),
             }

@@ -42,13 +42,9 @@ def main(cfg: CacheConfig):
         cfg.sae_path, filters=filters, int8_encoder=cfg.sae_int8
     )
     logger.info(f"Select {submodule_dict.keys()}")
-    if getattr(model, "mesh", None) is not None:
-        # TP subject: SAE params must live (replicated) on the same mesh —
-        # jit rejects operands on different device sets.
-        from ...parallel import replicate_on_mesh
+    from ...parallel import replicate_saes
 
-        for sae in submodule_dict.values():
-            sae.params = replicate_on_mesh(sae.params, model.mesh)
+    replicate_saes(model, submodule_dict.values())
 
     hookpoints = list(submodule_dict.keys())
 

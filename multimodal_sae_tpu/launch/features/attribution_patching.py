@@ -78,11 +78,9 @@ def main(cfg: AttributionConfig):
         selected_sae=cfg.selected_sae,
         feature_batch=cfg.feature_batch,
     )
-    if getattr(model, "mesh", None) is not None:
-        from ...parallel import replicate_on_mesh
+    from ...parallel import replicate_saes
 
-        for sae in attribution.sae_dict.values():
-            sae.params = replicate_on_mesh(sae.params, model.mesh)
+    replicate_saes(model, attribution.sae_dict.values())
 
     saes = list(attribution.sae_dict.values())
     k = saes[0].cfg.num_latents_for(saes[0].d_in)

@@ -104,11 +104,9 @@ def main():
         processor = tokenizer
     filters = load_filter(args.filters)
     sae_dict = load_saes(args.sae_path, filters)
-    if getattr(model, "mesh", None) is not None:
-        from ...parallel import replicate_on_mesh
+    from ...parallel import replicate_saes
 
-        for sae in sae_dict.values():
-            sae.params = replicate_on_mesh(sae.params, model.mesh)
+    replicate_saes(model, sae_dict.values())
 
     gen_cfg = dict(getattr(model, "generation_config", None) or {})
     if args.sampling == "greedy":

@@ -137,11 +137,7 @@ def load_subject_or_synthetic(cfg):
     if cfg.model.startswith("synthetic://"):
         from ..models import SyntheticActivationSource
 
-        spec = cfg.model[len("synthetic://"):]
-        d_model, n_layers, vocab = (
-            (int(x) for x in spec.split(",")) if spec else (64, 4, 128)
-        )
-        return SyntheticActivationSource(d_model, n_layers, vocab), None, None
+        return SyntheticActivationSource.from_spec(cfg.model), None, None
     return load_subject_model(
         cfg.model,
         load_in_8bit=cfg.load_in_8bit,

@@ -64,6 +64,19 @@ class SyntheticActivationSource:
         self.embed = jax.random.normal(key, (vocab, d_model)) / (d_model**0.5)
         self._names = [f"layers.{i}" for i in range(n_layers)]
 
+    @classmethod
+    def from_spec(cls, uri: str) -> "SyntheticActivationSource":
+        """Parse a `synthetic://dM,L,V` model spec (empty spec -> defaults).
+
+        The single parser behind every CLI that accepts synthetic subjects
+        (train `__main__`, launch cache/attribution/steering) — a format
+        change lands in one place."""
+        spec = uri[len("synthetic://"):] if uri.startswith("synthetic://") else uri
+        if spec:
+            d_model, n_layers, vocab = (int(x) for x in spec.split(","))
+            return cls(d_model=d_model, n_layers=n_layers, vocab=vocab)
+        return cls()
+
     def hookpoint_names(self) -> List[str]:
         return list(self._names)
 

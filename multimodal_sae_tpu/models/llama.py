@@ -858,18 +858,22 @@ def greedy_generate(
 
 
 def top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Nucleus filtering with HF `TopPLogitsWarper` semantics: keep the
-    smallest descending-probability prefix whose cumulative mass reaches
-    `top_p` (exclusive-cumulative < top_p), always keeping the top token;
-    everything else goes to -inf.  Implemented as a threshold gather so no
-    inverse-permutation scatter is needed."""
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    exclusive = jnp.cumsum(probs, axis=-1) - probs
-    keep = exclusive < top_p  # position 0 always kept (exclusive cum = 0)
-    kcount = jnp.maximum(keep.sum(axis=-1), 1)
-    thresh = jnp.take_along_axis(sorted_logits, (kcount - 1)[..., None], axis=-1)
-    return jnp.where(logits >= thresh, logits, -jnp.inf)
+    """Nucleus filtering with HF `TopPLogitsWarper` semantics, replicated
+    exactly: sort ASCENDING (stable), remove tokens whose bottom-up
+    cumulative mass is <= 1 - top_p (always keeping the top token), and
+    scatter the mask back through the inverse permutation.  The sorted-mask
+    scatter — rather than a threshold compare against the boundary logit —
+    matters for ties at the nucleus boundary: HF keeps the higher-index
+    members of a tie class, and a threshold compare would keep the whole
+    class (on a flat distribution that disables top_p entirely)."""
+    order = jnp.argsort(logits, axis=-1)  # ascending; stable, ties by index
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)  # min_tokens_to_keep=1
+    inv = jnp.argsort(order, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    return jnp.where(remove, -jnp.inf, logits)
 
 
 def _make_next_token_fn(do_sample: bool, has_top_p: bool):
@@ -922,6 +926,7 @@ def _rebuild_interventions(spec, args):
 
 
 _GENERATE_CACHE: Dict[tuple, tuple] = {}
+_GENERATE_CACHE_CAP = 64
 
 
 def _generate_fns(
@@ -952,6 +957,10 @@ def _generate_fns(
     )
     fns = _GENERATE_CACHE.get(key)
     if fns is not None:
+        # Refresh recency: dicts evict in insertion order, so without this a
+        # hot steering configuration would be FIFO-evicted while cold
+        # one-shot entries survive.
+        _GENERATE_CACHE[key] = _GENERATE_CACHE.pop(key)
         return fns
 
     decode_spec = None if intervene_prefill_only else iv_spec
@@ -1028,7 +1037,7 @@ def _generate_fns(
         )
         return tokens
 
-    if len(_GENERATE_CACHE) >= 64:
+    if len(_GENERATE_CACHE) >= _GENERATE_CACHE_CAP:
         evicted = next(iter(_GENERATE_CACHE))
         _GENERATE_CACHE.pop(evicted)
         # A fleet mixing many (shape, max_new_tokens) pairs can thrash this
@@ -1036,7 +1045,7 @@ def _generate_fns(
         from ..logger import logger
 
         logger.warning(
-            "generate executable cache full (64): evicting "
+            f"generate executable cache full ({_GENERATE_CACHE_CAP}): evicting "
             f"max_new_tokens={evicted[1]} entry; recurring evictions mean "
             "the workload mixes too many generate configurations "
             "(consider bucketing max_new_tokens)"

@@ -11,6 +11,7 @@ from .collectives import all_gather_objects, barrier, gather_objects
 from .tensor_parallel import (
     llama_param_specs,
     replicate_on_mesh,
+    replicate_saes,
     shard_llama_params,
     shard_subject_model,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "gather_objects",
     "llama_param_specs",
     "replicate_on_mesh",
+    "replicate_saes",
     "shard_llama_params",
     "shard_subject_model",
 ]

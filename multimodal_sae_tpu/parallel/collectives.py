@@ -44,12 +44,22 @@ def barrier(name: str) -> None:
     multihost_utils.sync_global_devices(name)
 
 
+# process_allgather stages each rank's payload through device memory, so a
+# single-shot gather of a large result (e.g. a multi-GB attribution merge)
+# would claim world_size x payload HBM right when the chips are fullest.
+# Chunking bounds the device-resident transient to world_size x _CHUNK_BYTES;
+# the reassembled objects live only in host memory.
+_CHUNK_BYTES = 32 << 20
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather one picklable object per process; every process receives the
     full rank-ordered list (reference `dist.all_gather_object`,
     e.g. reference launch/features/attribution_patching.py:50-60).
 
-    Two-phase: gather byte lengths, pad payloads to the max, gather payloads.
+    Two-phase: gather byte lengths, then gather payloads in fixed-size
+    chunks (all ranks loop ceil(max_len / chunk) times, so the collective
+    schedule stays identical across processes).
     """
     import jax
 
@@ -64,13 +74,18 @@ def all_gather_objects(obj: Any) -> List[Any]:
         np.array([payload.size], dtype=np.int64)
     ).reshape(-1)
     max_len = int(lengths.max())
-    padded = np.zeros((max_len,), dtype=np.uint8)
-    padded[: payload.size] = payload
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    return [
-        pickle.loads(gathered[r, : int(lengths[r])].tobytes())
-        for r in range(gathered.shape[0])
-    ]
+    world = lengths.shape[0]
+    buffers = [np.empty((int(lengths[r]),), dtype=np.uint8) for r in range(world)]
+    for start in range(0, max(max_len, 1), _CHUNK_BYTES):
+        chunk = np.zeros((min(_CHUNK_BYTES, max_len - start),), dtype=np.uint8)
+        valid = payload[start : start + chunk.size]
+        chunk[: valid.size] = valid
+        gathered = np.asarray(multihost_utils.process_allgather(chunk))
+        for r in range(world):
+            take = min(chunk.size, int(lengths[r]) - start)
+            if take > 0:
+                buffers[r][start : start + take] = gathered[r, :take]
+    return [pickle.loads(buffers[r].tobytes()) for r in range(world)]
 
 
 def gather_objects(obj: Any, root: int = 0) -> Optional[List[Any]]:

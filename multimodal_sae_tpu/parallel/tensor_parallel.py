@@ -95,6 +95,19 @@ def replicate_on_mesh(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
+def replicate_saes(model, saes) -> None:
+    """Replicate every SAE's params onto a TP subject's mesh, in place.
+
+    The shared epilogue of every launch CLI that pairs SAEs with a possibly
+    tensor-parallel subject (cache, cache_image, attribution, steering): a
+    no-op for single-device subjects (`model.mesh is None`)."""
+    mesh = getattr(model, "mesh", None)
+    if mesh is None:
+        return
+    for sae in saes:
+        sae.params = replicate_on_mesh(sae.params, mesh)
+
+
 def shard_subject_model(model, tp: int, axis: str = "model"):
     """Wire `--tp N` from a launch CLI: build a ('model',) mesh over the
     first `tp` local devices and place the subject tensor-parallel —

@@ -39,6 +39,21 @@ def main():
     else:
         assert rooted is None
 
+    # Chunked payload path: shrink the chunk size so a multi-chunk gather
+    # (uneven lengths, final partial chunk) runs with real collectives.
+    from multimodal_sae_tpu.parallel import collectives
+
+    orig_chunk = collectives._CHUNK_BYTES
+    collectives._CHUNK_BYTES = 4096
+    try:
+        big = bytes(range(256)) * (40 + 13 * rank)  # ~10/13 KB, rank-uneven
+        chunked = all_gather_objects({"rank": rank, "blob": big})
+        for r, got in enumerate(chunked):
+            assert got["rank"] == r
+            assert got["blob"] == bytes(range(256)) * (40 + 13 * r)
+    finally:
+        collectives._CHUNK_BYTES = orig_chunk
+
     # The attribution merge helper, end to end across processes.
     import numpy as np
 

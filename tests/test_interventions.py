@@ -297,6 +297,39 @@ def test_generate_executable_cache_reused_across_chunks(llama, sae):
     assert len(llama_mod._GENERATE_CACHE) == 1
 
 
+def test_generate_cache_eviction_is_lru(llama):
+    """A cache hit must refresh recency: with the cap at 2, re-hitting the
+    oldest entry then inserting a third must evict the *unused* middle entry,
+    not the hot one (FIFO would recompile the hottest steering config)."""
+    import jax.numpy as jnp
+
+    from multimodal_sae_tpu.models import llama as llama_mod
+
+    llama_mod._GENERATE_CACHE.clear()
+    ids = jnp.ones((1, 4), jnp.int32)
+
+    def gen(new):
+        llama_mod.greedy_generate(
+            llama.params, llama.cfg, ids, max_new_tokens=new
+        )
+        return next(
+            k for k in reversed(llama_mod._GENERATE_CACHE) if k[1] == new
+        )
+
+    orig_cap = llama_mod._GENERATE_CACHE_CAP
+    llama_mod._GENERATE_CACHE_CAP = 2
+    try:
+        hot = gen(2)
+        gen(3)
+        gen(2)  # hit: must move `hot` to most-recent
+        gen(4)  # insert at cap: must evict max_new_tokens=3, not `hot`
+        assert hot in llama_mod._GENERATE_CACHE
+        assert all(k[1] != 3 for k in llama_mod._GENERATE_CACHE)
+    finally:
+        llama_mod._GENERATE_CACHE_CAP = orig_cap
+        llama_mod._GENERATE_CACHE.clear()
+
+
 def test_fast_attribution_oom_fallback(monkeypatch):
     """On a device RESOURCE_EXHAUSTED, fast_attribution_maps halves the
     feature batch and retries instead of dying mid-sweep (every retry at

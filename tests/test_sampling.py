@@ -66,6 +66,20 @@ def test_top_p_filter_matches_hf_warper(top_p):
     np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-6)
 
 
+def test_top_p_filter_tied_logits_keeps_sorted_prefix():
+    """Logit ties at the nucleus boundary keep exactly the first kcount in
+    sort order (HF sorted-mask scatter), not the whole tie class: a flat
+    row with top_p=0.5 must keep ceil(V/2) tokens, not all V."""
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    flat = np.zeros((1, 8), dtype=np.float32)
+    boundary_tie = np.asarray([[2.0, 1.0, 1.0, 1.0, -4.0, -4.0]], np.float32)
+    for logits, top_p in ((flat, 0.5), (boundary_tie, 0.6), (boundary_tie, 0.75)):
+        ours = np.asarray(top_p_filter(jnp.asarray(logits), jnp.float32(top_p)))
+        ref = TopPLogitsWarper(top_p=top_p)(None, torch.tensor(logits)).numpy()
+        np.testing.assert_array_equal(np.isinf(ours), np.isinf(ref))
+
+
 def test_top_p_keeps_at_least_one_token():
     # One dominant token; tiny top_p must still keep it (HF min_tokens_to_keep).
     logits = jnp.asarray([[10.0, 0.0, -1.0, -2.0]])
@@ -174,6 +188,40 @@ def test_load_generation_config(tmp_path):
         "temperature": 0.6,
         "top_p": 0.9,
     }
+
+
+def test_steering_rejects_nonpositive_sampling_temperature(tiny):
+    """temperature 0.0 with do_sample must raise (HF generate does too), not
+    silently fall back to temperature-1.0 sampling."""
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.steering import SteeringController
+    from multimodal_sae_tpu.sae import Sae
+
+    _, cfg, params = tiny
+    model = LlamaModel(params, cfg)
+
+    class StubTok:
+        def apply_chat_template(self, conv, add_generation_prompt=True, tokenize=False):
+            return conv[0]["content"][0]["text"]
+
+        def __call__(self, text):
+            return {"input_ids": [1, 5]}
+
+    sae = Sae(
+        cfg.hidden_size,
+        SaeConfig(expansion_factor=2, k=4),
+        key=jax.random.PRNGKey(0),
+    )
+    with pytest.raises(ValueError, match="temperature"):
+        SteeringController(
+            sae=sae,
+            module_name="layers.1",
+            feature_idx=[0],
+            model=model,
+            processor=StubTok(),
+            prompt="hello",
+            generation_config={"do_sample": True, "temperature": 0.0},
+        )
 
 
 def test_steering_controller_sampling_smoke(tiny):
