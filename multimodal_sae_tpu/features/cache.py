@@ -128,11 +128,6 @@ class Cache:
         self.filters = (
             {k: np.asarray(v) for k, v in filters.items()} if filters else None
         )
-        self._filter_sets = (
-            {k: set(v.tolist()) for k, v in self.filters.items()}
-            if self.filters
-            else None
-        )
         self.batch_size = batch_size
         self.shard_size = shard_size
 
@@ -320,9 +315,13 @@ class FeatureCache:
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
         {"input_ids": ...} rows or prepared batches) and fill the cache
-        (reference cache.py:158-230)."""
+        (reference cache.py:158-230).
+
+        `n_tokens` is NOT a budget: like the reference (which accumulates
+        `total_tokens` without ever breaking on it, cache.py:163-173), the
+        whole dataset is cached regardless; the parameter exists for API
+        parity only."""
         iterator = _batched(tokens, self.batch_size)
-        total = 0
         try:
             from tqdm import tqdm
 
@@ -338,7 +337,6 @@ class FeatureCache:
             if pending is not None:
                 self._host_step(*pending)
             pending = (dev, batch_number)
-            total += n_tokens
         if pending is not None:
             self._host_step(*pending)
         self.cache.save()
@@ -392,7 +390,7 @@ class FeatureCache:
                     f"streaming was enabled with n_splits="
                     f"{self._stream_n_splits}, got {n_splits}"
                 )
-            counts = self._stream.close()
+            counts = self._stream.close(extra_modules=list(self.cache._arenas))
             self._stream = None
             for module_path, n in counts.items():
                 have = self.cache._arenas[module_path].n
@@ -448,6 +446,14 @@ class FeatureCache:
                     for f in os.listdir(module_dir)
                     if re.search(rf"Rank[0-9]+_{start}_{end}\.safetensors", f)
                 ]
+                if not shard_files:
+                    # Every rank writes a (possibly empty) shard per split —
+                    # zero files means a rank's output is missing, not an
+                    # empty split; np.concatenate([]) would mask that.
+                    raise FileNotFoundError(
+                        f"no Rank*_{start}_{end}.safetensors shards in "
+                        f"{module_dir}; a rank's save_splits output is missing"
+                    )
                 locations, activations = [], []
                 for fname in sorted(shard_files):
                     data = load_file(os.path.join(module_dir, fname))

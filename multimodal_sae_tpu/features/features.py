@@ -156,6 +156,13 @@ class FeatureRecord:
 
 
 def _json_default(o):
+    import dataclasses
+
+    if dataclasses.is_dataclass(o) and not isinstance(o, type):
+        # save_examples=True serializes Example/ImageExample dataclasses
+        # (the reference's orjson handled dataclasses natively); their
+        # array fields recurse back through this default.
+        return dataclasses.asdict(o)
     if isinstance(o, np.ndarray):
         return o.tolist()
     if isinstance(o, (np.integer,)):

@@ -44,7 +44,12 @@ def logits(
 def unigram(
     record: FeatureRecord, k: int = 10, threshold: float = 0.0, negative_shift: int = 0
 ):
-    """Max-activating-token diversity check (reference stats.py:50-73)."""
+    """Max-activating-token diversity check (reference stats.py:50-73).
+
+    Note: `threshold` is the FRACTION of examples to inspect, and the
+    reference's own default of 0.0 inspects zero examples — returning
+    (set(), nan). Pass a positive threshold (e.g. 0.3) for a meaningful
+    verdict; the default is kept for reference parity."""
     avg_nonzero = []
     top_tokens = []
     n_examples = floor(len(record.examples) * threshold)
@@ -80,7 +85,10 @@ def get_neighbors(submodule_dict: Dict[str, object], feature_filter: Dict, k: in
 
     for module_path, sae in submodule_dict.items():
         selected_features = feature_filter.get(module_path, False)
-        if not selected_features:
+        # The reference tests `not selected_features` (stats.py:102) on its
+        # list filters; our load_filter returns np.ndarray values, whose
+        # truth value is ambiguous — test emptiness explicitly.
+        if selected_features is False or len(selected_features) == 0:
             continue
         # (L, d) decoder rows -> column layout (d, L) like the reference.
         W_D = jnp.asarray(sae.params["W_dec"]).T

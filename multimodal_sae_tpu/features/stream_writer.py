@@ -147,15 +147,21 @@ class StreamingSplitWriter:
         if len(acts):
             self._put((module_path, locs, acts))
 
-    def close(self) -> Dict[str, int]:
+    def close(self, extra_modules: Sequence[str] = ()) -> Dict[str, int]:
         """Drain the queue, finalize every shard header (creating empty
         shards for splits a module never touched, like the buffered path),
-        and return per-module entry counts."""
+        and return per-module entry counts.
+
+        `extra_modules`: modules that must get (empty) shard files even if
+        they produced zero COO entries — `modules()` only reflects appenders
+        created by actual data, and a hookpoint whose filtered features never
+        fired would otherwise have no Rank files at all, breaking the rank-0
+        merge (which iterates every cached module)."""
         self._put(None)
         self._thread.join()
         if self._error:
             raise self._error[0]
-        for module in self.modules():
+        for module in set(self.modules()) | set(extra_modules):
             for split_i in range(len(self.split_indices)):
                 self._get_appender(module, split_i)
         counts: Dict[str, int] = {}

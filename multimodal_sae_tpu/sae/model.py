@@ -394,7 +394,17 @@ class Sae:
         if local:
             repo_path = Path(name)
         else:
-            repo_path = Path(resolve_hub_path(name, None, allow_patterns=pattern))
+            # Hookpoint dirs nest the actual files, so the download filter
+            # needs the reference's '/*' suffix (reference sae.py:79-83);
+            # the raw pattern still matches directory names below.
+            repo_path = Path(
+                resolve_hub_path(
+                    name,
+                    None,
+                    allow_patterns=pattern + "/*" if pattern is not None else None,
+                    require_cfg=False,
+                )
+            )
 
         if layers is not None:
             return {

@@ -62,11 +62,18 @@ def _load_safetensors_numpy(filename: str) -> Dict[str, np.ndarray]:
         from safetensors.numpy import load_file
 
         return load_file(filename)
-    except Exception:
+    except FileNotFoundError:
+        raise  # not a dtype problem — don't mask it with the torch fallback
+    except Exception as numpy_err:
         # Fall back through torch (cpu), converting to numpy via ml_dtypes.
-        import ml_dtypes
-        import torch  # type: ignore
-        from safetensors.torch import load_file as torch_load_file
+        try:
+            import ml_dtypes
+            import torch  # type: ignore
+            from safetensors.torch import load_file as torch_load_file
+        except ImportError:
+            # Torch-free host: surface the original (informative) error —
+            # a bare 'No module named torch' would hide a corrupt file.
+            raise numpy_err
 
         out = {}
         for k, v in torch_load_file(filename).items():
@@ -113,11 +120,21 @@ def load_sae_from_disk(
 
 
 def resolve_hub_path(
-    name: str, hookpoint: Optional[str], allow_patterns: Optional[str] = None
+    name: str,
+    hookpoint: Optional[str],
+    allow_patterns: Optional[str] = None,
+    *,
+    require_cfg: bool = True,
 ) -> Path:
     """Resolve a HuggingFace-hub repo (or local path) to a local directory
     (reference sae.py:102-124). Local paths pass through; hub downloads are
-    gated on `huggingface_hub` being importable and having network access."""
+    gated on `huggingface_hub` being importable and having network access.
+
+    `require_cfg` applies only when `hookpoint is None`: `load_from_hub`
+    expects a single-SAE repo (cfg.json at the root, reference
+    sae.py:120-122), but `load_many` targets multi-hookpoint repos whose
+    cfg.json files live one directory down — it must pass False or every
+    hub load_many would fail on a perfectly valid repo."""
     p = Path(name)
     if p.exists():
         return p / hookpoint if hookpoint else p
@@ -131,6 +148,6 @@ def resolve_hub_path(
     repo_path = Path(snapshot_download(name, allow_patterns=pattern))
     if hookpoint is not None:
         repo_path = repo_path / hookpoint
-    elif not (repo_path / "cfg.json").exists():
+    elif require_cfg and not (repo_path / "cfg.json").exists():
         raise FileNotFoundError("No config file found; try specifying a layer.")
     return repo_path

@@ -46,5 +46,16 @@ class DataCollatorForImage:
         if pad_id is None:
             pad_id = self.tokenizer.eos_token_id
         ids = self.pad_sequence(input_ids, padding_value=pad_id)
-        attention_mask = (ids != pad_id).astype(np.int64)
+        # Mask from true row lengths, not `ids != pad_id` (reference
+        # trainer.py:63): with a pad-less Llama-3 tokenizer the fallback
+        # pad is EOS, and a value-compare would mask every genuine EOS /
+        # end-of-turn token inside the conversation out of the subject
+        # forward. Identical to the reference mask whenever content rows
+        # don't contain the pad id.
+        lengths = np.array([len(r) for r in input_ids])
+        pos = np.arange(ids.shape[1])
+        if getattr(self.tokenizer, "padding_side", "right") == "left":
+            attention_mask = (pos[None, :] >= ids.shape[1] - lengths[:, None]).astype(np.int64)
+        else:
+            attention_mask = (pos[None, :] < lengths[:, None]).astype(np.int64)
         return dict(images=images, input_ids=ids, attention_mask=attention_mask)

@@ -442,10 +442,14 @@ class SaeTrainer:
             # global_step is advanced inside step().
             if pbar is not None:
                 pbar.update()
-            if getattr(self, "_preempted", False):
+            if getattr(self, "_preempted", False) and substep == 0:
                 # Preemption-safe exit (SURVEY.md §5: the reference has no
-                # failure handling): checkpoint at the batch boundary and stop;
-                # `--resume` continues from here.
+                # failure handling). Only stop at a gradient-accumulation
+                # boundary: checkpoints persist global_step but not the
+                # partial grad_accs window, so a mid-window save would resume
+                # into an optimizer update built from a truncated window
+                # still scaled by the full acc_steps. Worst case this delays
+                # the stop by grad_acc_steps - 1 batches.
                 rank0_print("Preemption signal received; checkpointing and stopping.")
                 break
 
@@ -489,7 +493,9 @@ class SaeTrainer:
             sae.params = params
             self.grad_accs[name] = grad_acc
             self._did_fire[name] |= np.asarray(fired)
-            if avg_metrics is not None:
+            if avg_metrics is not None and cfg.wandb_log_frequency:
+                # Guarded on wandb_log_frequency: 0 disables logging in
+                # _fit_loop, and would divide by zero here.
                 denom = (
                     cfg.grad_acc_steps * cfg.micro_acc_steps * cfg.wandb_log_frequency
                 )

@@ -254,3 +254,23 @@ def test_upsample_mask_and_image_examples():
     corner = arr[0, 0]
     assert center[0] > 200  # activated center keeps the red image
     assert corner.sum() < 60  # masked corner is (near) black
+
+
+def test_feature_record_save_examples_roundtrip(tmp_path):
+    """save(save_examples=True) must serialize Example dataclasses — stdlib
+    json needs the dataclass default; the reference's orjson did it natively
+    (review r3)."""
+    from multimodal_sae_tpu.features import Example
+
+    rec = FeatureRecord(Feature("layers.1", 7))
+    rec.explanation = "fires on digits"
+    rec.examples = [
+        Example(tokens=np.array([3, 4]), activations=np.array([0.5, 2.0]))
+    ]
+    rec.train = rec.examples
+    rec.save(str(tmp_path), save_examples=True)
+    with open(tmp_path / "layers.1_feature7.json") as f:
+        data = json.load(f)
+    assert data["explanation"] == "fires on digits"
+    assert data["examples"][0]["tokens"] == [3, 4]
+    assert data["examples"][0]["activations"] == [0.5, 2.0]

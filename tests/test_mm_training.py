@@ -94,3 +94,30 @@ def test_mm_training_runs(llava, tmp_path):
     assert fvus[-1] < fvus[0]  # learning on multimodal activations
     trainer.save()
     assert (tmp_path / "run" / "model.layers.1" / "sae.safetensors").exists()
+
+
+def test_collator_padless_tokenizer_keeps_content_eos():
+    """With a pad-less (Llama-3-style) tokenizer the collator pads with EOS;
+    genuine EOS tokens inside the conversation must still get attention 1 —
+    an `ids != pad` mask would zero them (review r3)."""
+    import numpy as np
+
+    from multimodal_sae_tpu.train.collator import DataCollatorForImage
+
+    class PadlessTok:
+        pad_token_id = None
+        eos_token_id = 2
+        padding_side = "left"
+        model_max_length = 100
+
+    coll = DataCollatorForImage(PadlessTok())
+    out = coll(
+        [
+            {"input_ids": np.array([1, 7, 2, 9, 2]), "image": None},
+            {"input_ids": np.array([1, 5]), "image": None},
+        ]
+    )
+    np.testing.assert_array_equal(out["attention_mask"][0], [1, 1, 1, 1, 1])
+    # Row 1: left-padded with 3 EOS pads -> masked; real tokens kept.
+    np.testing.assert_array_equal(out["attention_mask"][1], [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(out["input_ids"][1], [2, 2, 2, 1, 5])

@@ -246,3 +246,28 @@ def test_fired_not_all_true_when_row_has_few_positive_acts():
     assert 0 < fired.sum() < cfg.num_latents, fired.sum()
     # Only selected positives count: at most ~k from row 0 (+ ties).
     assert fired.sum() <= 2 * cfg.k, fired.sum()
+
+
+def test_load_many_hub_multi_hookpoint(tmp_path, monkeypatch):
+    """Hub load_many targets multi-hookpoint repos: cfg.json lives only in
+    per-hookpoint subdirectories, so the resolver must not require one at the
+    repo root, and the download filter needs the reference's '/*' suffix to
+    fetch nested files (reference sae.py:79-83; review r3)."""
+    import huggingface_hub
+
+    cfg = SaeConfig(expansion_factor=2, k=2)
+    repo = tmp_path / "fake-hub-snapshot"
+    for i in [0, 2]:
+        Sae(8, cfg, key=jax.random.PRNGKey(i)).save_to_disk(repo / f"layers.{i}")
+    seen = {}
+
+    def fake_snapshot_download(name, allow_patterns=None, **kw):
+        seen["name"], seen["allow_patterns"] = name, allow_patterns
+        return str(repo)
+
+    monkeypatch.setattr(
+        huggingface_hub, "snapshot_download", fake_snapshot_download
+    )
+    saes = Sae.load_many("org/multi-sae-repo", pattern="layers.*")
+    assert list(saes.keys()) == ["layers.0", "layers.2"]
+    assert seen == {"name": "org/multi-sae-repo", "allow_patterns": "layers.*/*"}

@@ -103,3 +103,17 @@ def test_pca_fit_sae_list():
     red.fit_sae_list(saes)
     out = red.transform(np.asarray(saes[0].params["W_dec"]))
     assert out.shape == (16, 3)
+
+
+def test_get_neighbors_accepts_ndarray_filters():
+    """interp_utils.load_filter returns np.ndarray values; get_neighbors must
+    not die on their ambiguous truth value, and must skip empty arrays
+    (review r3)."""
+    sae = Sae(8, SaeConfig(num_latents=32, k=4), key=jax.random.PRNGKey(0))
+    neighbors, per_layer = get_neighbors(
+        {"layers.0": sae, "layers.1": sae},
+        {"layers.0": np.array([1, 5]), "layers.1": np.array([], dtype=np.int64)},
+        k=6,
+    )
+    assert set(neighbors) == {"layers.0"}
+    assert len(neighbors["layers.0"][0]["indices"]) == 5

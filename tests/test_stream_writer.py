@@ -145,3 +145,50 @@ def test_writer_thread_death_surfaces_instead_of_hanging(tmp_path):
             w.submit("layers.0", locs, acts)
     with pytest.raises(OSError):
         w.close()
+
+
+def test_streamed_zero_entry_module_still_gets_shards(tmp_path):
+    """A hookpoint whose filter excludes every fired feature produces ZERO
+    COO entries; the streaming close must still write its (empty) Rank
+    shards — the rank-0 merge iterates every cached module and would
+    otherwise find no files at all (review r3)."""
+    from safetensors.numpy import load_file
+
+    sae = _make_sae()
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"], "layers.1": batch["h"]}
+
+    fc = FeatureCache(
+        capture_fn,
+        {"layers.0": sae, "layers.1": sae},
+        batch_size=2,
+        shard_size=0,
+        filters={
+            "layers.0": np.arange(64),
+            "layers.1": np.array([], dtype=np.int64),  # nothing ever kept
+        },
+    )
+    fc.enable_streaming(str(tmp_path), N_SPLITS, rank=0)
+    fc.process_batch({"h": jax.random.normal(jax.random.PRNGKey(0), (2, 8, D_IN))}, 0)
+    fc.cache.save()
+    fc.save_splits(N_SPLITS, str(tmp_path), rank=0)
+    files = sorted(os.listdir(tmp_path / "layers.1"))
+    assert len(files) == N_SPLITS
+    for f in files:
+        data = load_file(str(tmp_path / "layers.1" / f))
+        assert data["locations"].shape == (0, 3)
+    fc.concate_safetensors(N_SPLITS, str(tmp_path))
+    assert len(os.listdir(tmp_path / "layers.1")) == N_SPLITS
+
+
+def test_concate_raises_on_missing_rank_shards(tmp_path):
+    """Zero shard files for a split means a rank's output is missing; the
+    merge must say so instead of dying in np.concatenate([])."""
+    fc = _run_cache(tmp_path, streaming=False)
+    # Remove every shard of one split.
+    for f in os.listdir(tmp_path / "layers.0"):
+        if f.endswith("_15.safetensors"):
+            os.remove(tmp_path / "layers.0" / f)
+    with pytest.raises(FileNotFoundError, match="missing"):
+        fc.concate_safetensors(N_SPLITS, str(tmp_path))

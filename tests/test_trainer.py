@@ -196,3 +196,16 @@ def _batches(ds, bs):
     from multimodal_sae_tpu.train.trainer import _iter_batches
 
     return _iter_batches(ds, bs)
+
+
+def test_wandb_log_frequency_zero_disables_logging():
+    """wandb_log_frequency=0 means logging-off; it must not divide metric
+    accumulation by zero on the first batch (review r3)."""
+    from collections import defaultdict
+
+    model = SyntheticActivationSource(d_model=32, n_layers=2)
+    ds = _dataset(n=16)
+    trainer = SaeTrainer(_cfg(wandb_log_frequency=0), ds, model)
+    for batch in _batches(ds, 8):
+        trainer.step(batch, {"layers.1": defaultdict(float)})
+    assert trainer.global_step == 2
