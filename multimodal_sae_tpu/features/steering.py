@@ -100,7 +100,8 @@ class SteeringController:
             sweep instead of the reference's one-generation-per-feature
             sequential loop (reference launch/features/steering.py:71-78).
         generation_config: optional {"do_sample", "temperature", "top_p",
-            "seed"} dict (e.g. from the checkpoint's generation_config.json,
+            "seed", "eos_token_id"} dict (e.g. from the checkpoint's
+            generation_config.json,
             attached by launch.utils.load_subject_model). The reference
             inherits these through HF `generate`
             (reference features/steering.py:72-75); greedy when absent.
@@ -131,6 +132,7 @@ class SteeringController:
         self.max_new_tokens = max_new_tokens
         self.feature_batch_size = max(1, int(feature_batch_size))
         gen_cfg = generation_config or {}
+        tokenizer = getattr(processor, "tokenizer", processor)
         self._sample_kwargs = {}
         if gen_cfg.get("do_sample"):
             # `or 1.0` would silently remap an explicit temperature of 0.0
@@ -150,6 +152,15 @@ class SteeringController:
                 "top_p": gen_cfg.get("top_p"),
                 "prng_key": jax.random.PRNGKey(int(gen_cfg.get("seed", 0))),
             }
+        # EOS stopping applies regardless of sampling mode (HF generate
+        # stops at the checkpoint's stop ids; without this every
+        # generation ran the full max_new_tokens and decoded post-EOS
+        # babble into the steering jsons). Config first, tokenizer fallback.
+        eos = gen_cfg.get("eos_token_id")
+        if eos is None:
+            eos = getattr(tokenizer, "eos_token_id", None)
+        if eos is not None:
+            self._sample_kwargs["eos_token_id"] = eos
 
         conversation = [
             {"role": "user", "content": [{"type": "text", "text": prompt}]}
@@ -166,7 +177,6 @@ class SteeringController:
         templated = processor.apply_chat_template(
             conversation, add_generation_prompt=True, tokenize=False
         )
-        tokenizer = getattr(processor, "tokenizer", processor)
         prompt_ids = tokenizer(templated)["input_ids"]
 
         if image is not None:

@@ -52,16 +52,13 @@ def main(cfg: AttributionConfig):
     initialize_distributed()
     rank, world = shard_info()
 
-    from transformers import AutoTokenizer
-
-    tokenizer = AutoTokenizer.from_pretrained(cfg.model)
     logger.info(f"Using model {cfg.model}")
     logger.info(f"Using sae {cfg.sae_path}")
     logger.info(f"Selecting sae layer {cfg.selected_sae}")
 
     import jax.numpy as jnp
 
-    model, processor, _ = load_subject_model(
+    model, processor, tokenizer = load_subject_model(
         cfg.model,
         dtype=jnp.bfloat16,
         load_in_8bit=cfg.load_in_8bit,

@@ -31,7 +31,12 @@ def parse_argument():
     parser.add_argument("--image-path", "-i", type=str, default=None)
     parser.add_argument("--text", "-t", type=str, help="The prompt text")
     parser.add_argument("--sae-path", type=str, help="SAE path, hub or local")
-    parser.add_argument("--filters", type=str, help="The filters json path")
+    parser.add_argument(
+        "--filters",
+        type=str,
+        required=True,
+        help="The filters json path (which features to steer)",
+    )
     parser.add_argument("--clamp-value", "-k", type=float, default=50)
     parser.add_argument("--save-dir", "-s", default="./results/steering")
     parser.add_argument(

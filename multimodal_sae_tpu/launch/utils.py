@@ -110,7 +110,7 @@ def _load_generation_config(model_name_or_path: str) -> dict:
         raw = json.load(f)
     return {
         k: raw[k]
-        for k in ("do_sample", "temperature", "top_p")
+        for k in ("do_sample", "temperature", "top_p", "eos_token_id")
         if raw.get(k) is not None
     }
 
@@ -175,10 +175,17 @@ def shard_info():
 def select_modules(save_dir: str, filters, selected_layers):
     """Module list for a cached-feature run: every module directory under the
     cache, narrowed to the filter keys or the selected layer indices
-    (reference launch/explain/explain.py:43-54 and siblings)."""
+    (reference launch/explain/explain.py:43-54 and siblings).
+
+    Deviation: the reference indexes `selected_layers` into a raw
+    `os.listdir`, whose order is filesystem-enumeration-dependent — the
+    same `--selected_layers 0` can process different layers on different
+    machines. We natsort so the mapping is stable (layers.5 < layers.10)."""
     import os
 
-    modules = os.listdir(save_dir)
+    from ..utils import natsorted
+
+    modules = natsorted(os.listdir(save_dir))
     if filters is not None:
         return [m for m in modules if m in filters]
     if selected_layers:

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip_vit import (
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
     ClipVisionConfig,
     clip_attention,
     clip_params_from_state_dict,
@@ -25,8 +27,6 @@ from .clip_vit import (
     quick_gelu,
 )
 
-OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
-OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 @dataclass(frozen=True)

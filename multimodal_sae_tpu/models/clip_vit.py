@@ -18,6 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# OpenAI CLIP pixel normalization (HF CLIPImageProcessor defaults) — the
+# single definition shared by the LLaVA anyres preprocessor and the
+# CLIP-score image path; keep these in one place so a precision change
+# cannot skew one consumer silently.
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
 
 @dataclass(frozen=True)
 class ClipVisionConfig:

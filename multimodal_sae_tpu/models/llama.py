@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -709,7 +709,7 @@ class LlamaModel:
         max_new_tokens: int = 512,
         interventions: Optional[Dict[str, InterventionFn]] = None,
         intervene_prefill_only: bool = True,
-        eos_token_id: Optional[int] = None,
+        eos_token_id: Union[int, Sequence[int], None] = None,
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: Optional[float] = None,
@@ -722,7 +722,17 @@ class LlamaModel:
 
         `intervene_prefill_only` mirrors the reference steering hook's
         "skip decode-phase len-1 sequences" condition
-        (reference features/steering.py:113-114)."""
+        (reference features/steering.py:113-114).
+
+        `eos_token_id` accepts an int or a list of stop ids (Llama-3 ships
+        [eot, eos]); when omitted it defaults from the checkpoint's
+        generation_config (attached by launch.utils.load_subject_model), so
+        every caller stops at end-of-turn like HF `generate` without
+        threading the id explicitly."""
+        if eos_token_id is None:
+            eos_token_id = (getattr(self, "generation_config", None) or {}).get(
+                "eos_token_id"
+            )
         attention_mask = None
         if isinstance(input_ids, dict):
             attention_mask = input_ids.get("attention_mask")
@@ -753,7 +763,7 @@ def greedy_generate(
     max_new_tokens: int,
     interventions=None,
     intervene_prefill_only: bool = True,
-    eos_token_id: Optional[int] = None,
+    eos_token_id: Union[int, Sequence[int], None] = None,
     inputs_embeds: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
     do_sample: bool = False,
@@ -818,6 +828,16 @@ def greedy_generate(
         full_mask = None
         prefill_pos = None
 
+    if eos_token_id is not None:
+        # HF checkpoints may define several stop ids (Llama-3: eot + eos);
+        # normalize to a hashable tuple so the executable-cache key is
+        # stable across list/int spellings. An empty list means no-eos
+        # (eos_token_id[0] is used as the fill value below).
+        eos_token_id = (
+            tuple(int(e) for e in eos_token_id)
+            if isinstance(eos_token_id, (list, tuple))
+            else (int(eos_token_id),)
+        ) or None
     iv_spec, iv_args = _split_interventions(interventions)
     has_top_p = do_sample and top_p is not None and top_p < 1.0
     prefill_fn, decode_fn = _generate_fns(
@@ -997,11 +1017,11 @@ def _generate_fns(
         temperature, top_p, base_key = sample_args
         tokens0 = jnp.zeros((B, max_new_tokens), dtype=jnp.int32)
         tokens0 = tokens0.at[:, 0].set(first_tok.astype(jnp.int32))
-        done0 = (
-            (first_tok == eos_token_id)
-            if eos_token_id is not None
-            else jnp.zeros((B,), bool)
-        )
+        if eos_token_id is not None:
+            eos_arr = jnp.asarray(eos_token_id, jnp.int32)  # static tuple
+            done0 = (first_tok[:, None] == eos_arr[None, :]).any(-1)
+        else:
+            done0 = jnp.zeros((B,), bool)
 
         def cond(state):
             i, cache, tokens, done = state
@@ -1027,14 +1047,26 @@ def _generate_fns(
                 (temperature, top_p, jax.random.fold_in(base_key, i)),
             ).astype(jnp.int32)
             if eos_token_id is not None:
-                nxt = jnp.where(done, eos_token_id, nxt)
-                done = jnp.logical_or(done, nxt == eos_token_id)
+                nxt = jnp.where(done, eos_token_id[0], nxt)
+                done = jnp.logical_or(
+                    done, (nxt[:, None] == eos_arr[None, :]).any(-1)
+                )
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
             return i + 1, out["cache"], tokens, done
 
-        _, cache, tokens, _ = jax.lax.while_loop(
+        i_fin, cache, tokens, _ = jax.lax.while_loop(
             cond, body, (jnp.asarray(1), cache, tokens0, done0)
         )
+        if eos_token_id is not None:
+            # Early all-done exit leaves the tail of the buffer at its
+            # zeros init — token id 0 is a REAL vocab token ('!' in
+            # Llama-3) that would decode as trailing babble; fill with the
+            # primary stop id like HF's pad fill (pad == eos for Llama-3).
+            tokens = jnp.where(
+                jnp.arange(max_new_tokens)[None, :] >= i_fin,
+                jnp.asarray(eos_token_id[0], jnp.int32),
+                tokens,
+            )
         return tokens
 
     if len(_GENERATE_CACHE) >= _GENERATE_CACHE_CAP:

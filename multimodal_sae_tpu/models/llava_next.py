@@ -22,18 +22,21 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .clip_vit import ClipVisionConfig, clip_vision_forward
+from .clip_vit import (
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+    ClipVisionConfig,
+    clip_vision_forward,
+)
 from .llama import LlamaConfig, greedy_generate, llama_forward, stack_layer_params
 from .quant import leaf_dtype, qembed
 
-OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
-OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 DEFAULT_PINPOINTS = [[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]]
 
@@ -668,12 +671,17 @@ class LlavaNextModel:
         max_new_tokens: int = 512,
         interventions=None,
         intervene_prefill_only: bool = True,
-        eos_token_id: Optional[int] = None,
+        eos_token_id: Union[int, Sequence[int], None] = None,
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: Optional[float] = None,
         prng_key=None,
     ):
+        if eos_token_id is None:
+            # Same checkpoint-config default as LlamaModel.generate.
+            eos_token_id = (getattr(self, "generation_config", None) or {}).get(
+                "eos_token_id"
+            )
         embeds = self._embed_multimodal(batch)
         iv = (
             {self._strip(k): v for k, v in interventions.items()}

@@ -119,9 +119,14 @@ def shard_subject_model(model, tp: int, axis: str = "model"):
     Returns (model, mesh)."""
     from .mesh import get_mesh
 
-    devices = jax.devices()
+    # local_devices, not jax.devices(): in a multi-process run the global
+    # list leads with host 0's chips on every rank, and device_put onto
+    # another host's (non-addressable) devices crashes. Each process TPs
+    # its subject over its own chips; cross-process remains data/feature
+    # parallel, matching the launch scripts' process-index sharding.
+    devices = jax.local_devices()
     if tp > len(devices):
-        raise ValueError(f"--tp {tp} > available devices ({len(devices)})")
+        raise ValueError(f"--tp {tp} > local devices ({len(devices)})")
     mesh = get_mesh((axis,), devices=devices[:tp])
     params = model.params
     if "language_model" in params:  # LLaVA-NeXT

@@ -322,3 +322,92 @@ def test_flash_attention_matches_eager():
     rel0 = np.linalg.norm(a[0] - b[0]) / np.linalg.norm(b[0])
     rel1 = np.linalg.norm(a[1, :12] - b[1, :12]) / np.linalg.norm(b[1, :12])
     assert rel0 < 1e-3 and rel1 < 1e-3, (rel0, rel1)
+
+
+def test_generate_eos_stops_and_fills_tail(tiny):
+    """EOS semantics (review r3): once every row has emitted a stop id the
+    loop exits early, and the unwritten tail must be filled with the primary
+    stop id — the zeros init is a REAL vocab token. Also covers list-valued
+    eos (Llama-3 ships [eot, eos]) and parity with HF generate's pad fill."""
+    hf, cfg, params = tiny
+    ids = np.array([[1, 5, 9, 42, 7]])
+    free = np.asarray(
+        greedy_generate(params, cfg, jnp.asarray(ids), max_new_tokens=8)
+    )
+    # Choose the 3rd generated token as "EOS": generation must stop there.
+    eos = int(free[0, ids.shape[1] + 2])
+    ours = np.asarray(
+        greedy_generate(
+            params, cfg, jnp.asarray(ids), max_new_tokens=8, eos_token_id=eos
+        )
+    )
+    np.testing.assert_array_equal(ours[:, : ids.shape[1] + 3], free[:, : ids.shape[1] + 3])
+    assert (ours[0, ids.shape[1] + 3 :] == eos).all(), ours
+    with torch.no_grad():
+        hf_tokens = hf.generate(
+            torch.tensor(ids),
+            max_new_tokens=8,
+            do_sample=False,
+            eos_token_id=eos,
+            pad_token_id=eos,
+        ).numpy()
+    np.testing.assert_array_equal(ours[:, : hf_tokens.shape[1]], hf_tokens)
+    # List-valued eos: a set containing the SECOND generated token stops earlier.
+    eos2 = int(free[0, ids.shape[1] + 1])
+    ours2 = np.asarray(
+        greedy_generate(
+            params,
+            cfg,
+            jnp.asarray(ids),
+            max_new_tokens=8,
+            eos_token_id=[eos2, eos],
+        )
+    )
+    assert (ours2[0, ids.shape[1] + 2 :] == eos2).all(), ours2
+
+
+def test_select_modules_layer_indices_are_natsorted():
+    """--selected_layers indexes a natsorted listing (stable across
+    filesystems; the reference indexed raw os.listdir order)."""
+    import os
+    import tempfile
+
+    from multimodal_sae_tpu.launch.utils import select_modules
+
+    with tempfile.TemporaryDirectory() as d:
+        for name in ("layers.10", "layers.5", "layers.24"):
+            os.mkdir(os.path.join(d, name))
+        assert select_modules(d, None, [0, 2]) == ["layers.5", "layers.24"]
+        assert select_modules(d, None, None) == [
+            "layers.5",
+            "layers.10",
+            "layers.24",
+        ]
+
+
+def test_generate_empty_eos_list_means_no_eos(tiny):
+    """A checkpoint generation_config with eos_token_id: [] must behave as
+    no-eos, not IndexError at trace time (review r3 follow-up)."""
+    _, cfg, params = tiny
+    ids = jnp.asarray(np.array([[1, 5, 9]]))
+    free = np.asarray(greedy_generate(params, cfg, ids, max_new_tokens=4))
+    empty = np.asarray(
+        greedy_generate(params, cfg, ids, max_new_tokens=4, eos_token_id=[])
+    )
+    np.testing.assert_array_equal(free, empty)
+
+
+def test_model_generate_defaults_eos_from_generation_config(tiny):
+    """LlamaModel.generate picks the stop id up from the checkpoint's
+    attached generation_config, so every caller (tools/model_steering.py
+    included) stops at EOS without threading it."""
+    _, cfg, params = tiny
+    from multimodal_sae_tpu.models.llama import LlamaModel
+
+    model = LlamaModel(params, cfg)
+    ids = np.array([[1, 5, 9, 42, 7]])
+    free = np.asarray(model.generate(ids, max_new_tokens=8))
+    eos = int(free[0, ids.shape[1] + 1])
+    model.generation_config = {"eos_token_id": eos}
+    stopped = np.asarray(model.generate(ids, max_new_tokens=8))
+    assert (stopped[0, ids.shape[1] + 2 :] == eos).all(), stopped

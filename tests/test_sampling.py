@@ -265,3 +265,48 @@ def test_steering_controller_sampling_smoke(tiny):
     assert set(result) == {"layers.1_feature0", "layers.1_feature3"}
     for v in result.values():
         assert set(v) == {"original_resps", "clamped_resps", "idx"}
+
+
+def test_steering_threads_eos_from_tokenizer(tiny):
+    """SteeringController must pass the stop id to generate (config first,
+    tokenizer fallback) — without it every generation ran the full
+    max_new_tokens and decoded post-EOS babble (review r3)."""
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.steering import SteeringController
+    from multimodal_sae_tpu.sae import Sae
+
+    _, cfg, params = tiny
+    model = LlamaModel(params, cfg)
+
+    class StubTok:
+        eos_token_id = 9
+
+        def apply_chat_template(self, conv, add_generation_prompt=True, tokenize=False):
+            return conv[0]["content"][0]["text"]
+
+        def __call__(self, text):
+            return {"input_ids": [1, 5]}
+
+    sae = Sae(
+        cfg.hidden_size, SaeConfig(expansion_factor=2, k=4), key=jax.random.PRNGKey(0)
+    )
+    ctrl = SteeringController(
+        sae=sae,
+        module_name="layers.1",
+        feature_idx=[0],
+        model=model,
+        processor=StubTok(),
+        prompt="hi",
+    )
+    assert ctrl._sample_kwargs["eos_token_id"] == 9
+    # An explicit generation_config id wins over the tokenizer's.
+    ctrl2 = SteeringController(
+        sae=sae,
+        module_name="layers.1",
+        feature_idx=[0],
+        model=model,
+        processor=StubTok(),
+        prompt="hi",
+        generation_config={"eos_token_id": [3, 9]},
+    )
+    assert ctrl2._sample_kwargs["eos_token_id"] == [3, 9]
