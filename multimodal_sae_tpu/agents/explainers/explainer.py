@@ -44,8 +44,9 @@ async def random_explanation_loader(
 ) -> ExplainerResult:
     """Control baseline: a random *other* feature's explanation."""
     explanations = [f for f in os.listdir(explanation_dir) if f.endswith(".txt")]
-    if str(record.feature) in explanations:
-        explanations.remove(str(record.feature))
+    own = f"{record.feature}.txt"
+    if own in explanations:
+        explanations.remove(own)
     pick = random.choice(explanations)
     explanation = json.loads(await _read(f"{explanation_dir}/{pick}"))
     return ExplainerResult(record=record, explanation=explanation)

@@ -46,6 +46,7 @@ from ....features.constructors import (
 from ....interp_utils import load_explanation
 from ....logger import logger
 from ....utils import natsorted
+from ....utils.misc import process_count, process_index
 from .label_refiner import LabelRefiner
 from .utils import DetectionResult, get_boxes, refine_masks
 
@@ -79,15 +80,6 @@ def _sentinel_score(feature: str, label: str) -> dict:
         "activated_pct": -1,
         "label": label,
     }
-
-
-def _process_info():
-    try:
-        import jax
-
-        return jax.process_index(), jax.process_count()
-    except Exception:  # pragma: no cover
-        return 0, 1
 
 
 class SegmentScorer:
@@ -157,7 +149,7 @@ class SegmentScorer:
     def _shard_features(self, filters=None):
         """Split the natsorted explained-feature list over processes
         (replaces the reference's DDP tensor_split, segment_scorer.py:85-108)."""
-        self.rank, world = _process_info()
+        self.rank, world = process_index(), process_count()
         self.features = natsorted(self.explanation.keys())
         chunk_size = len(self.features) if filters is None else len(filters)
         self.feature_idx = np.array_split(np.arange(chunk_size), world)[self.rank]

@@ -74,11 +74,16 @@ class ChatTransport:
             "Content-Type": "application/json",
             **self.extra_headers,
         }
+        # `timeout` is an HTTP request option, never part of the chat body —
+        # strict OpenAI-compatible servers 400 on unknown fields.
+        timeout = kwargs.pop("timeout", None)
+        request_opts = {} if timeout is None else {"timeout": timeout}
         payload = {"model": model, "messages": messages, **kwargs}
         resp = await self._httpx().post(
             f"{self.base_url}/chat/completions{self.url_suffix}",
             headers=headers,
             json=payload,
+            **request_opts,
         )
         resp.raise_for_status()
         return resp.json()

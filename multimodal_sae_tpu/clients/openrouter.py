@@ -1,15 +1,13 @@
-"""OpenRouter chat client via plain HTTP POST
-(reference sae_auto_interp/clients/openrouter.py:14-68)."""
+"""OpenRouter chat client (reference sae_auto_interp/clients/openrouter.py:14-68),
+built on the shared OpenAI-compatible ChatTransport/retry loop from client.py
+rather than its own copy of the httpx + retry machinery."""
 
 from __future__ import annotations
 
-import asyncio
-import json
 import os
 from typing import Optional
 
-from ..logger import logger
-from .client import Client
+from .client import ChatTransport, Client, retry_chat
 
 
 class OpenRouter(Client):
@@ -22,42 +20,26 @@ class OpenRouter(Client):
         base_url: str = "https://openrouter.ai/api/v1/chat/completions",
     ):
         super().__init__(model)
+        # The reference takes the full /chat/completions URL; ChatTransport
+        # wants the API root and appends the suffix itself.
+        root = base_url.rstrip("/")
+        suffix = "/chat/completions"
+        if root.endswith(suffix):
+            root = root[: -len(suffix)]
         self.url = base_url
         self.api_key = api_key or os.environ.get("OPENROUTER_API_KEY", "")
-        self._client = None
-
-    def _httpx(self):
-        import httpx
-
-        if self._client is None:
-            self._client = httpx.AsyncClient()
-        return self._client
-
-    def postprocess(self, response) -> str:
-        return response.json()["choices"][0]["message"]["content"]
+        self.transport = ChatTransport(root, self.api_key)
 
     async def generate(
         self, prompt, raw: bool = False, max_retries: int = 2, **kwargs
     ) -> str:
         if isinstance(prompt, str):
             prompt = [{"role": "user", "content": prompt}]
-        headers = {"Authorization": f"Bearer {self.api_key}"}
-        data = {"model": self.model, "messages": prompt, **kwargs}
-        last_err = None
-        for attempt in range(max_retries):
-            try:
-                response = await self._httpx().post(
-                    url=self.url, json=data, headers=headers
-                )
-                if response is None:
-                    raise RuntimeError("Response is None")
-                return response if raw else self.postprocess(response)
-            except json.JSONDecodeError as e:
-                last_err = e
-                logger.warning(f"Attempt {attempt + 1}: Invalid JSON response, retrying... {e}")
-            except Exception as e:
-                last_err = e
-                logger.warning(f"Attempt {attempt + 1}: {e}, retrying...")
-            await asyncio.sleep(1)
-        logger.error(f"All retry attempts failed. Most recent error: {last_err}")
-        raise last_err
+        return await retry_chat(
+            self.transport,
+            self.model,
+            prompt,
+            max_retries=max_retries,
+            raw=raw,
+            **kwargs,
+        )

@@ -124,5 +124,5 @@ def load_tokenizer(model: str):
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model, padding_side="left")
-    tokenizer._pad_token = tokenizer._eos_token
+    tokenizer.pad_token = tokenizer.eos_token
     return tokenizer

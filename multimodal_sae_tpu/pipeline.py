@@ -60,7 +60,11 @@ class Pipeline:
             async with semaphore:
                 return await self._chain(record)
 
-        for records in self.generator(collate):
+        source = self.generator(collate)
+        # collate=True yields one flat list of records rather than a
+        # per-buffer generator of lists; treat it as a single batch.
+        buffers = [source] if collate else source
+        for records in buffers:
             tasks = [asyncio.create_task(bounded(r)) for r in records]
             progress = _progress_bar(len(tasks))
             for finished in asyncio.as_completed(tasks):

@@ -38,6 +38,16 @@ def process_index() -> int:
         return 0
 
 
+def process_count() -> int:
+    """Number of hosts in the multi-host JAX job (1 when single-host)."""
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:  # pragma: no cover - jax always importable in this repo
+        return 1
+
+
 def rank0_print(*args):
     """Print only on process 0 (reference sae/utils.py:13-18)."""
     if process_index() == 0:

@@ -190,3 +190,56 @@ def test_load_explanation_format(tmp_path):
     )
     out = load_explanation(str(tmp_path))
     assert out == {"m_feature0": "expl0", "m_feature1": "expl1"}
+
+
+def test_pipeline_collate_true_single_batch():
+    """collate=True hands the pipeline one flat list of records."""
+    client = StubClient("[EXPLANATION]: something")
+    explainer = SimpleExplainer(client, StubTokenizer())
+    results = []
+
+    def gen(collate):
+        records = [_record(), _record(), _record()]
+        if collate:
+            return records  # flat list, like FeatureDataset.load(collate=True)
+        return iter([records])
+
+    pipe = Pipe(process_wrapper(explainer, postprocess=lambda r: results.append(r)))
+    pipeline = Pipeline(gen, pipe)
+    asyncio.run(pipeline.run(max_processes=2, collate=True))
+    assert len(results) == 3
+
+
+def test_random_explanation_loader_excludes_own(tmp_path):
+    """Control baseline must never hand back the feature's own explanation."""
+    import random
+
+    from multimodal_sae_tpu.agents import random_explanation_loader
+
+    rec = _record()
+    own = f"{rec.feature}.txt"
+    (tmp_path / own).write_text(json.dumps("OWN"))
+    (tmp_path / "model.layers.24_feature999.txt").write_text(json.dumps("OTHER"))
+    random.seed(0)
+    for _ in range(20):
+        out = asyncio.run(random_explanation_loader(rec, str(tmp_path)))
+        assert out.explanation == "OTHER"
+
+
+def test_load_tokenizer_runs_on_installed_transformers(tmp_path):
+    """Regression: the private _pad_token/_eos_token attrs are gone in
+    modern transformers; load_tokenizer must use the public properties."""
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    from multimodal_sae_tpu.interp_utils import load_tokenizer
+
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(16)}, unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="0", eos_token="1"
+    ).save_pretrained(tmp_path)
+    tokenizer = load_tokenizer(str(tmp_path))
+    assert tokenizer.padding_side == "left"
+    assert tokenizer.pad_token == tokenizer.eos_token == "1"

@@ -133,3 +133,27 @@ def test_create_response_model():
     assert inst.example_2 == 3
     with pytest.raises(Exception):
         model(example_0="not-an-int-at-all", example_1=2, example_2=3)
+
+
+def test_srt_timeout_not_in_request_body(server):
+    """`timeout` is an HTTP option; strict servers 400 on unknown body fields."""
+    client = SRT(model="test-model", base_url=_url(server), launch_server=False)
+    asyncio.run(client.generate("hello"))
+    assert "timeout" not in server.requests[0]["body"]
+    client.clean()
+
+
+def test_openrouter_shared_transport(server):
+    from multimodal_sae_tpu.clients import OpenRouter
+
+    client = OpenRouter(
+        "some/model",
+        api_key="or-key",
+        base_url=_url(server) + "/api/v1/chat/completions",
+    )
+    out = asyncio.run(client.generate("hi"))
+    assert out == "stub reply"
+    req = server.requests[0]
+    assert req["path"] == "/api/v1/chat/completions"
+    assert req["headers"]["Authorization"] == "Bearer or-key"
+    assert req["body"]["messages"][0]["content"] == "hi"
