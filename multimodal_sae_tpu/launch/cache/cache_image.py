@@ -46,7 +46,6 @@ def main(cfg: CacheConfig):
     replicate_saes(model, submodule_dict.values())
 
     hookpoints = list(submodule_dict.keys())
-    image_token = model.cfg.image_token_index
     tokenizer_ids = tokenizer("<image>", add_special_tokens=True)["input_ids"]
 
     def capture_fn(batch):

@@ -93,13 +93,29 @@ def llama_params_from_state_dict(
         "layers": layers,
         "norm": _v(sd, f"{prefix}norm.weight", dtype),
     }
+    # The head lives beside (not under) the decoder: strip one trailing
+    # "model." segment from the prefix (a plain .replace() would strip every
+    # occurrence, e.g. "language_model.model." -> "language_lm_head.weight").
+    sibling = prefix[: -len("model.")] if prefix.endswith("model.") else prefix
     head_key = None
-    for cand in ("lm_head.weight", prefix.replace("model.", "") + "lm_head.weight"):
+    for cand in (
+        "lm_head.weight",
+        sibling + "lm_head.weight",
+        prefix + "lm_head.weight",
+    ):
         if cand in sd:
             head_key = cand
             break
-    if head_key is not None and not cfg.tie_word_embeddings:
-        params["lm_head"] = _t(sd, head_key, dtype)
+    if not cfg.tie_word_embeddings:
+        if head_key is None:
+            import warnings
+
+            warnings.warn(
+                f"untied checkpoint but no lm_head.weight found under "
+                f"prefix {prefix!r}; logits will reuse embed_tokens"
+            )
+        else:
+            params["lm_head"] = _t(sd, head_key, dtype)
     return params
 
 

@@ -253,9 +253,30 @@ def flash_attention(
     `mha_reference` (identical math, pure jnp) elsewhere.  `pad_mask` (B, S)
     marks real tokens; pad *keys* are excluded everywhere via kv segment ids
     (pad queries still attend to real keys, matching the eager additive-mask
-    path, so their outputs stay finite and get sliced off downstream)."""
+    path, so their outputs stay finite and get sliced off downstream).
+
+    The TPU kernel requires the sequence length to divide its 128-wide
+    blocks; any S is padded up to the next multiple here (pad keys masked
+    out via the segment ids, pad query rows sliced off) so callers never
+    see the constraint.  The padding runs on every backend so CPU tests
+    exercise the exact wiring."""
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
+    orig_S = q.shape[2]
+    pad = (-orig_S) % 128
+    if pad:
+        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+        if pad_mask is None:
+            pad_mask = jnp.concatenate(
+                [
+                    jnp.ones((q.shape[0], orig_S), jnp.int32),
+                    jnp.zeros((q.shape[0], pad), jnp.int32),
+                ],
+                axis=1,
+            )
+        else:
+            pad_mask = jnp.pad(pad_mask.astype(jnp.int32), ((0, 0), (0, pad)))
     if pad_mask is not None:
         q_seg = jnp.ones(q.shape[0:1] + q.shape[2:3], jnp.int32)
         kv_seg = pad_mask.astype(jnp.int32)
@@ -267,12 +288,14 @@ def flash_attention(
     # differentiable — attribution backprops THROUGH the splice's attention.
     q = q * jnp.asarray(scale, q.dtype)
     if jax.default_backend() == "tpu":
-        return _fa.flash_attention(
+        out = _fa.flash_attention(
             q, k, v, segment_ids=segment_ids, causal=True, sm_scale=1.0
         )
-    return _fa.mha_reference(
-        q, k, v, None, segment_ids=segment_ids, causal=True, sm_scale=1.0
-    )
+    else:
+        out = _fa.mha_reference(
+            q, k, v, None, segment_ids=segment_ids, causal=True, sm_scale=1.0
+        )
+    return out[:, :, :orig_S] if pad else out
 
 
 def decoder_layer(
@@ -331,10 +354,11 @@ def decoder_layer(
 
 
 def causal_mask(
-    S_q: int, S_k: int, dtype, attention_mask: Optional[jax.Array] = None, offset: int = 0
+    S_q: int, S_k: int, attention_mask: Optional[jax.Array] = None, offset: int = 0
 ):
-    """Additive mask (B, 1, S_q, S_k): causal plus optional padding mask.
-    `offset` = number of cached tokens before the query block."""
+    """Additive mask (B, 1, S_q, S_k), always float32 (it is added to the
+    f32 attention scores): causal plus optional padding mask.  `offset` =
+    number of cached tokens before the query block."""
     q_pos = jnp.arange(S_q)[:, None] + offset
     k_pos = jnp.arange(S_k)[None, :]
     causal = k_pos <= q_pos  # (S_q, S_k)
@@ -445,7 +469,7 @@ def llama_forward(
                     f"neither the input block ({S}) nor the cache ({S_k})"
                 )
             amask = amask * pad
-        mask = causal_mask(S, S_k, h.dtype, amask, offset=offset)
+        mask = causal_mask(S, S_k, amask, offset=offset)
         pad_mask = None
     elif cfg.flash_attention and S > 1:
         # Flash path: causality and pad-key exclusion happen inside the
@@ -456,7 +480,7 @@ def llama_forward(
             jnp.asarray(attention_mask) if attention_mask is not None else None
         )
     else:
-        mask = causal_mask(S, S, h.dtype, attention_mask)
+        mask = causal_mask(S, S, attention_mask)
         pad_mask = None
 
     layers = params["layers"]
@@ -564,6 +588,62 @@ def lm_head_logits(params: dict, cfg: LlamaConfig, h_final: jax.Array) -> jax.Ar
     return qmatmul(h_final, lm_head, int8=cfg.int8_matmul)
 
 
+def _hookpoint_layer_idx(hookpoint: str) -> int:
+    """'model.layers.24' / 'layers.24' -> 24."""
+    return int(hookpoint.rsplit(".", 1)[-1])
+
+
+def suffix_params_above(params: dict, layer_idx: int) -> dict:
+    """Host-side slice of the weights the suffix forward needs: the layers
+    above `layer_idx`, plus final norm and LM head (unsliced leaves alias
+    the live buffers).  Shared by LlamaModel and LlavaNextModel — see
+    LlamaModel.suffix_params for the 16 GB memory rationale."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked
+        out["layers"] = jax.tree_util.tree_map(lambda x: x[layer_idx + 1 :], layers)
+    else:
+        out["layers"] = layers[layer_idx + 1 :]
+    return out
+
+
+def forward_from_layer_above(
+    params: dict,
+    cfg: LlamaConfig,
+    hidden: jax.Array,
+    layer_idx: int,
+    attention_mask=None,
+    last_logit_only: bool = True,
+    suffix: Optional[dict] = None,
+):
+    """Resume the decoder forward from layer `layer_idx`'s output (the
+    suffix half of attribution's prefix/suffix split; traceable).  With
+    `suffix` (from `suffix_params_above`) only the above-splice weights ride
+    jit arguments; `last_logit_only` projects just the final position."""
+    if suffix is None:
+        run_params, start = params, layer_idx + 1
+        run_cfg = cfg
+    else:
+        run_params, start = suffix, 0
+        run_cfg = dataclasses.replace(
+            cfg, num_hidden_layers=cfg.num_hidden_layers - layer_idx - 1
+        )
+    out = llama_forward(
+        run_params,
+        run_cfg,
+        inputs_embeds=hidden,
+        attention_mask=(
+            jnp.asarray(attention_mask) if attention_mask is not None else None
+        ),
+        start_layer=start,
+        return_logits=not last_logit_only,
+        return_hidden=last_logit_only,
+    )
+    if last_logit_only:
+        return lm_head_logits(run_params, run_cfg, out["hidden"][:, -1:])
+    return out["logits"]
+
+
 def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
     """Random init (scaled normal) — for tests/benchmarks without checkpoints."""
     D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
@@ -654,16 +734,7 @@ class LlamaModel:
         materializes a per-program copy of the suffix weights (~1.9 GB at
         8B/hook-24) that tips a 16 GB chip (measured: the F=2 long-shape
         attribution OOMed by exactly that margin)."""
-        layer_idx = int(hookpoint.rsplit(".", 1)[-1])
-        out = {k: v for k, v in self.params.items() if k != "layers"}
-        layers = self.params["layers"]
-        if isinstance(layers, dict):  # stacked
-            out["layers"] = jax.tree_util.tree_map(
-                lambda x: x[layer_idx + 1 :], layers
-            )
-        else:
-            out["layers"] = layers[layer_idx + 1 :]
-        return out
+        return suffix_params_above(self.params, _hookpoint_layer_idx(hookpoint))
 
     def forward_from_layer(
         self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
@@ -679,28 +750,15 @@ class LlamaModel:
         `last_logit_only` projects just the final position to vocabulary —
         the logit-diff metric never reads the rest, and the full (S, 128k)
         f32 logits plus their backward are multi-GB at real prompt shapes."""
-        layer_idx = int(hookpoint.rsplit(".", 1)[-1])
-        if suffix is None:
-            params, start = self.params, layer_idx + 1
-            cfg = self.cfg
-        else:
-            params, start = suffix, 0
-            cfg = dataclasses.replace(
-                self.cfg,
-                num_hidden_layers=self.cfg.num_hidden_layers - layer_idx - 1,
-            )
-        out = llama_forward(
-            params,
-            cfg,
-            inputs_embeds=hidden,
+        return forward_from_layer_above(
+            self.params,
+            self.cfg,
+            hidden,
+            _hookpoint_layer_idx(hookpoint),
             attention_mask=batch.get("attention_mask"),
-            start_layer=start,
-            return_logits=not last_logit_only,
-            return_hidden=last_logit_only,
+            last_logit_only=last_logit_only,
+            suffix=suffix,
         )
-        if last_logit_only:
-            return lm_head_logits(params, cfg, out["hidden"][:, -1:])
-        return out["logits"]
 
     # ---- generation ------------------------------------------------------
     def generate(

@@ -271,6 +271,33 @@ def project_image_features(params: dict, cfg: LlavaNextConfig, pixel_values: jax
     return x @ p["linear_2"] + p["linear_2_bias"]
 
 
+def _repack_left_padded(batch: dict) -> dict:
+    """Re-pack a padded batch so every row's valid tokens sit at the END.
+
+    `prepare_inputs` right-pads (matching the HF processor's capture-path
+    default), but autoregressive generation appends at the right edge, so
+    `greedy_generate` requires LEFT padding (llama.py monotonicity check).
+    Rolling token ids before embedding keeps the <image> placeholder
+    positions and the pixel tensors untouched."""
+    amask = batch.get("attention_mask")
+    if amask is None:
+        return batch
+    am = np.asarray(amask)
+    ids = np.asarray(batch["input_ids"])
+    if not (am == 0).any():
+        return batch  # no padding anywhere
+    # Re-packing is the identity for already-left-padded rows, so apply it
+    # unconditionally when any padding exists.
+    new_ids = np.zeros_like(ids)
+    new_am = np.zeros_like(am)
+    for i in range(am.shape[0]):
+        valid = ids[i][am[i].astype(bool)]
+        if len(valid):
+            new_ids[i, -len(valid):] = valid
+            new_am[i, -len(valid):] = 1
+    return {**batch, "input_ids": new_ids, "attention_mask": new_am}
+
+
 def _iv_cache_key(interventions) -> tuple:
     """Hashable jit-cache key part for an interventions dict — the static
     half of `models/llama.py _split_interventions` (one source of truth for
@@ -597,17 +624,12 @@ class LlavaNextModel:
         """Host-side slice of the language-model weights the suffix forward
         needs (see LlamaModel.suffix_params for the memory rationale;
         unsliced leaves alias the live buffers)."""
-        layer_idx = int(self._strip(hookpoint).rsplit(".", 1)[-1])
-        lm = self.params["language_model"]
-        out = {k: v for k, v in lm.items() if k != "layers"}
-        layers = lm["layers"]
-        if isinstance(layers, dict):  # stacked
-            out["layers"] = jax.tree_util.tree_map(
-                lambda x: x[layer_idx + 1 :], layers
-            )
-        else:
-            out["layers"] = layers[layer_idx + 1 :]
-        return out
+        from .llama import _hookpoint_layer_idx, suffix_params_above
+
+        return suffix_params_above(
+            self.params["language_model"],
+            _hookpoint_layer_idx(self._strip(hookpoint)),
+        )
 
     def forward_from_layer(
         self, hidden, hookpoint: str, batch: dict, last_logit_only: bool = True,
@@ -619,33 +641,17 @@ class LlavaNextModel:
         hookpoint, so the suffix is pure text-side layers).  Pass
         `suffix=self.suffix_params(hookpoint)` from jitted callers so only
         the above-splice weights ride jit arguments."""
-        import dataclasses as _dc
+        from .llama import _hookpoint_layer_idx, forward_from_layer_above
 
-        from .llama import lm_head_logits, llama_forward
-
-        layer_idx = int(self._strip(hookpoint).rsplit(".", 1)[-1])
-        text_cfg = self.cfg.text_config
-        if suffix is None:
-            lm_params, start = self.params["language_model"], layer_idx + 1
-        else:
-            lm_params, start = suffix, 0
-            text_cfg = _dc.replace(
-                text_cfg,
-                num_hidden_layers=text_cfg.num_hidden_layers - layer_idx - 1,
-            )
-        amask = batch.get("attention_mask")
-        out = llama_forward(
-            lm_params,
-            text_cfg,
-            inputs_embeds=hidden,
-            attention_mask=jnp.asarray(amask) if amask is not None else None,
-            start_layer=start,
-            return_logits=not last_logit_only,
-            return_hidden=last_logit_only,
+        return forward_from_layer_above(
+            self.params["language_model"],
+            self.cfg.text_config,
+            hidden,
+            _hookpoint_layer_idx(self._strip(hookpoint)),
+            attention_mask=batch.get("attention_mask"),
+            last_logit_only=last_logit_only,
+            suffix=suffix,
         )
-        if last_logit_only:
-            return lm_head_logits(lm_params, text_cfg, out["hidden"][:, -1:])
-        return out["logits"]
 
     def _maybe_prepare(self, batch: dict) -> dict:
         """Accept raw multimodal batches ({"input_ids" with un-expanded
@@ -682,6 +688,7 @@ class LlavaNextModel:
             eos_token_id = (getattr(self, "generation_config", None) or {}).get(
                 "eos_token_id"
             )
+        batch = _repack_left_padded(batch)
         embeds = self._embed_multimodal(batch)
         iv = (
             {self._strip(k): v for k, v in interventions.items()}

@@ -25,7 +25,11 @@ def geometric_median(points: jax.Array, max_iter: int = 100, tol: float = 1e-5):
     def body(state):
         i, guess, prev, _ = state
         prev = guess
-        weights = 1.0 / jnp.linalg.norm(points - guess, axis=1)
+        # A point coinciding with the guess (e.g. duplicated rows) gives
+        # norm 0 -> inf weight -> NaN; clamp to a tiny distance instead
+        # (Weiszfeld's standard epsilon regularization).
+        norms = jnp.maximum(jnp.linalg.norm(points - guess, axis=1), 1e-12)
+        weights = 1.0 / norms
         weights = weights / weights.sum()
         guess = (weights[:, None] * points).sum(axis=0)
         done = jnp.linalg.norm(guess - prev) < tol

@@ -40,12 +40,21 @@ def initialize_distributed(
         num_processes = int(os.environ["NUM_PROCESSES"])
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
-    has_env = (
+    # "Explicit" = the user configured a multi-host job (coordinator/world
+    # spec, or a TPU slice spanning several workers); failing to bring it up
+    # must raise — N independent world=1 processes would stomp each other's
+    # output files.  A lone TPU_WORKER_HOSTNAMES entry is just single-worker
+    # TPU-VM metadata (present even on this tunneled single-chip host): worth
+    # an auto-probe, but a probe failure means single-host, not danger.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    explicit = (
         coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
         or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
-        or "TPU_WORKER_HOSTNAMES" in os.environ
+        or len([h for h in hostnames.split(",") if h]) > 1
     )
-    if not has_env:
+    if not explicit and not hostnames:
         return False
     try:
         if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
@@ -58,8 +67,18 @@ def initialize_distributed(
             process_id=process_id,
         )
         return True
-    except Exception as e:  # pragma: no cover - env-specific
-        print(f"jax.distributed.initialize failed ({e}); continuing single-host")
+    except Exception as e:
+        if explicit:
+            # Continuing single-host after an explicitly configured
+            # multi-host init fails would silently degrade the job; fail
+            # loudly instead.
+            raise RuntimeError(
+                "jax.distributed.initialize failed for a configured "
+                "multi-host job (coordinator unreachable, or JAX was "
+                "already initialized before initialize_distributed); "
+                "refusing to continue single-host"
+            ) from e
+        print(f"jax.distributed auto-probe failed ({e}); continuing single-host")
         return False
 
 

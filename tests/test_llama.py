@@ -411,3 +411,47 @@ def test_model_generate_defaults_eos_from_generation_config(tiny):
     model.generation_config = {"eos_token_id": eos}
     stopped = np.asarray(model.generate(ids, max_new_tokens=8))
     assert (stopped[0, ids.shape[1] + 2 :] == eos).all(), stopped
+
+
+def test_lm_head_fallback_nested_prefix():
+    """The sibling lm_head candidate must strip only the TRAILING 'model.'
+    segment ('language_model.model.' -> 'language_model.lm_head.weight')."""
+    import dataclasses
+
+    cfg = LlamaConfig(
+        vocab_size=32,
+        hidden_size=8,
+        intermediate_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        tie_word_embeddings=False,
+    )
+    torch = pytest.importorskip("torch")
+    p = "language_model.model."
+    hd = cfg.hidden_size
+    sd = {
+        p + "embed_tokens.weight": torch.randn(32, hd),
+        p + "norm.weight": torch.ones(hd),
+        "language_model.lm_head.weight": torch.randn(32, hd),
+    }
+    for name, shape in [
+        ("input_layernorm.weight", (hd,)),
+        ("self_attn.q_proj.weight", (8, hd)),
+        ("self_attn.k_proj.weight", (4, hd)),
+        ("self_attn.v_proj.weight", (4, hd)),
+        ("self_attn.o_proj.weight", (hd, 8)),
+        ("post_attention_layernorm.weight", (hd,)),
+        ("mlp.gate_proj.weight", (16, hd)),
+        ("mlp.up_proj.weight", (16, hd)),
+        ("mlp.down_proj.weight", (hd, 16)),
+    ]:
+        sd[p + "layers.0." + name] = (
+            torch.ones(shape) if name.endswith("layernorm.weight") else torch.randn(shape)
+        )
+    params = llama_params_from_state_dict(sd, cfg, prefix=p)
+    assert "lm_head" in params, "nested-prefix lm_head fallback missed"
+    np.testing.assert_allclose(
+        np.asarray(params["lm_head"]),
+        sd["language_model.lm_head.weight"].numpy().T,
+    )

@@ -203,3 +203,23 @@ def test_capture_accepts_stacked_pixel_values(tiny, images):
     empty = {"input_ids": np.array([[1, 2, 3]]), "pixel_values": []}
     out = model.capture(empty, [hook])[hook]
     assert out.shape[1] == 3
+
+
+def test_generate_right_padded_multi_image_batch(tiny, images):
+    """prepare_inputs right-pads heterogeneous batches; generate must
+    re-pack to left padding (greedy_generate's requirement) and match
+    per-row generation."""
+    from multimodal_sae_tpu.models.llava_next import LlavaNextModel
+
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    prompts = [[1, IMG_TOKEN, 2], [1, IMG_TOKEN, 2, 3]]
+    batch = model.prepare_inputs(images=images, prompt_ids=prompts)
+    # The two images have different anyres geometries -> unequal expanded
+    # lengths -> right-padded batch (this used to raise in generate).
+    assert (np.asarray(batch["attention_mask"])[:, -1] == 0).any()
+    out = np.asarray(model.generate(batch, max_new_tokens=3))
+    for i in range(2):
+        single = model.prepare_inputs(images=[images[i]], prompt_ids=[prompts[i]])
+        ref = np.asarray(model.generate(single, max_new_tokens=3))
+        np.testing.assert_array_equal(out[i, -3:], ref[0, -3:])

@@ -174,3 +174,10 @@ def test_kth_value_exact():
 
     x3 = jnp.asarray(rng.normal(size=(2, 3, 64)), jnp.float32)
     assert kv(x3, 5).shape == (2, 3, 1)
+
+
+def test_geometric_median_identical_points_no_nan():
+    """Weiszfeld division-by-zero guard: duplicated rows must not yield NaN."""
+    med = geometric_median(jnp.ones((8, 4)) * 3.5)
+    np.testing.assert_allclose(np.asarray(med), 3.5, atol=1e-5)
+    assert np.isfinite(np.asarray(med)).all()

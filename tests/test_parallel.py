@@ -137,3 +137,30 @@ def test_tensor_parallel_flash_attention_matches_single_device():
         jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
     )
     assert rel < 1e-4, rel
+
+
+def test_initialize_distributed_explicit_failure_raises(monkeypatch):
+    """An explicitly configured multi-host job that cannot initialize must
+    raise — not silently degrade to N independent world=1 runs."""
+    import pytest as _pytest
+
+    from multimodal_sae_tpu.parallel import initialize_distributed
+
+    # JAX's backend is already initialized in this test process, so
+    # jax.distributed.initialize() is guaranteed to fail fast.
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "0")
+    with _pytest.raises(RuntimeError, match="refusing to continue"):
+        initialize_distributed()
+
+
+def test_initialize_distributed_metadata_probe_degrades(monkeypatch):
+    """Single-worker TPU-VM metadata (one TPU_WORKER_HOSTNAMES entry, no
+    coordinator config) is only an auto-probe: a failure means single-host."""
+    from multimodal_sae_tpu.parallel import initialize_distributed
+
+    for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_distributed() is False
