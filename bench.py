@@ -70,11 +70,11 @@ def _time(step_fn, params, x, iters=10):
             x, acc = carry
             out = step_fn(params, x)
             leaves = jax.tree_util.tree_leaves(out)
-            s = sum(
-                jnp.sum(l).astype(jnp.float32)
-                for l in leaves
-                if jnp.issubdtype(l.dtype, jnp.floating)
-            )
+            # Sum EVERY leaf (ints too): a dropped integer output (e.g. the
+            # top-k idx tensor) lets XLA dead-code-eliminate its producer —
+            # the index-translation/sort work would silently vanish from the
+            # measurement.
+            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
             x = x + (s * 1e-12).astype(x.dtype)
             return (x, acc + s)
 
@@ -142,7 +142,9 @@ def full_pipeline_bench():
         def body(_, carry):
             ids, acc = carry
             vals, idx = step(params, ids)
-            s = jnp.sum(vals).astype(jnp.float32)
+            # idx must feed the checksum or XLA DCEs the index-side
+            # sort/translation work out of the measurement.
+            s = (jnp.sum(vals) + jnp.sum(idx)).astype(jnp.float32)
             ids = jnp.roll(ids, s.astype(jnp.int32) & 1)
             return (ids, acc + s)
 
@@ -239,7 +241,9 @@ def full_depth_bench():
             def body(_, carry):
                 ids, acc = carry
                 vals, idx = step(params, ids)
-                s = jnp.sum(vals).astype(jnp.float32)
+                # idx must feed the checksum or XLA DCEs the index-side
+                # sort/translation work out of the measurement.
+                s = (jnp.sum(vals) + jnp.sum(idx)).astype(jnp.float32)
                 ids = jnp.roll(ids, s.astype(jnp.int32) & 1)
                 return (ids, acc + s)
 
@@ -288,10 +292,7 @@ def attribution_bench():
     fwd+bwd rides vmap.  Reports features attributed/sec/chip."""
     import dataclasses
 
-    from multimodal_sae_tpu.features.patching.utils import (
-        get_logit_diff,
-        spliced_forward_with_delta,
-    )
+    from multimodal_sae_tpu.features.patching.utils import get_logit_diff
     from multimodal_sae_tpu.models.llama import (
         LlamaConfig,
         init_llama_params,
@@ -386,7 +387,9 @@ def attribution_bench():
     prefix_args, suffix_tree, chunk_step = build_fast_attribution(
         model, hook, sae, batch, metric
     )
-    jax.block_until_ready(prefix_args[0])
+    # block_until_ready does not block through the tunnel (see _time);
+    # force completion with a scalar readback before reading the clock.
+    float(jnp.sum(prefix_args[0]).astype(jnp.float32))
     _log(f"  prefix in {time.perf_counter() - t0:.1f}s")
 
     def timed_rate(F):
@@ -422,8 +425,12 @@ def attribution_bench():
         try:
             rate, dt = timed_rate(F)
         except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED boundary
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-                _log(f"  F={F}: OOM ({str(e)[:120]})")
+            if (
+                "RESOURCE_EXHAUSTED" in str(e)
+                or "Out of memory" in str(e)
+                or "remote_compile" in str(e)  # compile-server OOM/crash
+            ):
+                _log(f"  F={F}: OOM/compile failure ({str(e)[:120]})")
                 break
             raise
         _log(f"  F={F}: {rate:.2f} features/s ({dt / F * 1e3:.2f} ms/feature)")
@@ -542,12 +549,13 @@ def llava_image_bench():
     # platform's high-latency dispatch path.
     @jax.jit
     def init_rest(kv, kp):
+        kp1, kp2 = jax.random.split(kp)  # distinct streams per matrix
         return {
             "vision_tower": init_vision(kv),
             "projector": {
-                "linear_1": (jax.random.normal(kp, (1024, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
+                "linear_1": (jax.random.normal(kp1, (1024, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
                 "linear_1_bias": jnp.zeros((D_IN,), jnp.bfloat16),
-                "linear_2": (jax.random.normal(kp, (D_IN, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
+                "linear_2": (jax.random.normal(kp2, (D_IN, D_IN), jnp.float32) * 0.02).astype(jnp.bfloat16),
                 "linear_2_bias": jnp.zeros((D_IN,), jnp.bfloat16),
             },
             "image_newline": jnp.zeros((D_IN,), jnp.bfloat16),
@@ -704,7 +712,6 @@ def steering_bench():
         LlamaConfig,
         greedy_generate,
         init_llama_params,
-        stack_layer_params,
     )
     from multimodal_sae_tpu.models.quant import quantize_llama_params
     from multimodal_sae_tpu.sae.model import Sae
@@ -773,6 +780,13 @@ def steering_bench():
 
     # Decode reads the full 8.6 GB of weights per token step regardless of
     # batch, so steered generations/s scales with the feature batch until
+    # Measure the sequential F=1 baseline FIRST: the sweep below deliberately
+    # runs until an OOM/compile failure, and the remote compile service can
+    # take ~16 min per compile in its post-crash degraded state (memory
+    # notes) — a fresh F=1 compile after the sweep would stall the bench.
+    gen(1, [0])
+    dt_1 = gen(1, [0], iters=3)
+    _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")
     # compute- or HBM-capacity-bound: sweep the width.
     best = (0.0, None, None)
     for F in (8, 16, 32, 64, 128, 256):
@@ -799,9 +813,6 @@ def steering_bench():
         raise RuntimeError(
             "steering sweep: every feature-batch width OOMed — no measurement"
         )
-    gen(1, [0])
-    dt_1 = gen(1, [0], iters=3)
-    _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")
     print(
         json.dumps(
             {
