@@ -419,7 +419,7 @@ def attribution_bench():
         return F / dt, dt
 
     # Sweep the vmap width; on OOM record the boundary (BASELINE.md).
-    sweep = [1, 2, 4, 8, 16] if long else [8, 16, 32]
+    sweep = [1, 2, 4, 8, 16] if long else [8, 16, 32, 64]
     best = (0.0, None, None)
     for F in sweep:
         try:
@@ -787,9 +787,16 @@ def steering_bench():
     gen(1, [0])
     dt_1 = gen(1, [0], iters=3)
     _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")
-    # compute- or HBM-capacity-bound: sweep the width.
+    # compute- or HBM-capacity-bound: sweep the width.  Capped at 64 by
+    # default: F=128 is MEASURED to crash the remote compile service on this
+    # platform (BASELINE.md steering row), leaving it degraded (~16 min
+    # compiles) for every later bench in the session; opt back in with
+    # MMSAE_BENCH_WIDE_SWEEP=1 when probing a new platform.
+    widths = (8, 16, 32, 64)
+    if os.environ.get("MMSAE_BENCH_WIDE_SWEEP"):
+        widths = (8, 16, 32, 64, 128, 256)
     best = (0.0, None, None)
-    for F in (8, 16, 32, 64, 128, 256):
+    for F in widths:
         feats = list(range(F))
         try:
             t0 = time.perf_counter()

@@ -361,7 +361,10 @@ class LlavaNextModel:
             images: list of PIL images (or None for text-only).
             prompt_ids: token ids containing exactly one `image_token_index`
                 placeholder per image (pre-expansion), list per batch row.
-        Returns a batch dict for forward()/capture().
+        Returns a batch dict for forward()/capture().  Rows are RIGHT-padded
+        (matching the HF processor's capture-path default, which the BOS-drop
+        cache path relies on); `generate` re-packs to left padding itself
+        (`_repack_left_padded`).
         """
         if images is None:
             return {"input_ids": np.asarray(input_ids)}
