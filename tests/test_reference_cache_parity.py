@@ -14,75 +14,19 @@ features on split boundaries; cache.py:243-247,293-294).
 
 Skipped when the mount is absent."""
 
-import importlib.util
 import sys
-import types
-from pathlib import Path
 
 import numpy as np
 import pytest
 
-REF_ROOT = Path("/root/reference/sae_auto_interp")
+from multimodal_sae_tpu.utils.reference_mount import (
+    REFERENCE_ROOT as REF_ROOT,
+    load_reference_cache_module as _load_reference_cache_module,
+    load_reference_sae_module as _load_reference_sae,
+)
 
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
-
-from test_reference_sae_parity import _load_reference_sae, _shim_simple_parsing
-
-
-def _load_reference_cache_module():
-    """Import the reference features/cache.py from the mount under a private
-    package name, shimming its offline-hostile imports:
-
-    * `torchtyping` is not installed — provide a subscriptable TensorType;
-    * `FeatureImageCache.__init__` has a `LlavaNextProcessor.from_pretrained`
-      *default argument* evaluated at import time (reference cache.py:312-429)
-      — patch the transformers attribute for the duration of the import.
-    """
-    if "_refsai.features.cache" in sys.modules:
-        return sys.modules["_refsai.features.cache"]
-    _shim_simple_parsing()
-    if "torchtyping" not in sys.modules:
-        tt = types.ModuleType("torchtyping")
-
-        class TensorType:
-            def __class_getitem__(cls, item):
-                return cls
-
-        tt.TensorType = TensorType
-        sys.modules["torchtyping"] = tt
-
-    ref_sae_mod = _load_reference_sae()
-    root = types.ModuleType("_refsai")
-    root.__path__ = [str(REF_ROOT)]
-    sys.modules["_refsai"] = root
-    sae_pkg = types.ModuleType("_refsai.sae")
-    sae_pkg.Sae = ref_sae_mod.Sae
-    sae_pkg.SaeConfig = sys.modules["_refsae.config"].SaeConfig
-    sys.modules["_refsai.sae"] = sae_pkg
-    feats = types.ModuleType("_refsai.features")
-    feats.__path__ = [str(REF_ROOT / "features")]
-    sys.modules["_refsai.features"] = feats
-
-    # Patch `from_pretrained` on the real class: transformers' _LazyModule
-    # aliasing means module-attribute patches are not reliably seen by a
-    # fresh `from transformers import LlavaNextProcessor`.
-    real_cls = transformers.LlavaNextProcessor
-    own_fp = real_cls.__dict__.get("from_pretrained")  # may be inherited
-    real_cls.from_pretrained = classmethod(lambda cls, *a, **k: None)
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "_refsai.features.cache", REF_ROOT / "features" / "cache.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        sys.modules["_refsai.features.cache"] = mod
-    finally:
-        if own_fp is None:
-            del real_cls.from_pretrained
-        else:
-            real_cls.from_pretrained = own_fp
-    return mod
 
 
 class _EmbedModel(torch.nn.Module):

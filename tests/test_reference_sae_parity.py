@@ -4,58 +4,19 @@ CPU-only torch): a checkpoint written by this framework loads in the
 reference, and forward outputs (reconstruction, FVU, AuxK, Multi-TopK) agree.
 Skipped when the mount is absent."""
 
-import importlib.util
 import sys
-import types
-from pathlib import Path
 
 import numpy as np
 import pytest
 
-REFERENCE_SAE_DIR = Path("/root/reference/sae_auto_interp/sae")
+from multimodal_sae_tpu.utils.reference_mount import (
+    REFERENCE_ROOT,
+    load_reference_sae_module as _load_reference_sae,
+)
+
+REFERENCE_SAE_DIR = REFERENCE_ROOT / "sae"
 
 torch = pytest.importorskip("torch")
-
-
-def _shim_simple_parsing():
-    """The reference's config imports `simple_parsing`, absent here; provide
-    the two names it uses (Serializable with to_dict, list_field)."""
-    if "simple_parsing" in sys.modules:
-        return
-    import dataclasses
-
-    shim = types.ModuleType("simple_parsing")
-
-    class Serializable:
-        def to_dict(self):
-            return dataclasses.asdict(self)
-
-    shim.Serializable = Serializable
-    shim.list_field = lambda *a: dataclasses.field(default_factory=lambda: list(a))
-    sys.modules["simple_parsing"] = shim
-
-    if "natsort" not in sys.modules:
-        from multimodal_sae_tpu.utils import natsorted
-
-        nat = types.ModuleType("natsort")
-        nat.natsorted = natsorted
-        sys.modules["natsort"] = nat
-
-
-def _load_reference_sae():
-    """Import the reference `sae` package from the mount under a private name."""
-    _shim_simple_parsing()
-    pkg = types.ModuleType("_refsae")
-    pkg.__path__ = [str(REFERENCE_SAE_DIR)]
-    sys.modules["_refsae"] = pkg
-    for name in ("config", "utils", "sae"):
-        spec = importlib.util.spec_from_file_location(
-            f"_refsae.{name}", REFERENCE_SAE_DIR / f"{name}.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[f"_refsae.{name}"] = mod
-        spec.loader.exec_module(mod)
-    return sys.modules["_refsae.sae"]
 
 
 @pytest.mark.skipif(not REFERENCE_SAE_DIR.exists(), reason="reference mount absent")

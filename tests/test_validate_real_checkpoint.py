@@ -17,7 +17,7 @@ pytest.importorskip("torch")
 pytest.importorskip("transformers")
 
 
-def _run_self_test(mode):
+def _run_self_test(mode, scratch):
     result = subprocess.run(
         [
             sys.executable,
@@ -25,13 +25,16 @@ def _run_self_test(mode):
             "--self-test",
             "--mode",
             mode,
+            "--scratch-dir",
+            str(scratch),
         ],
         capture_output=True,
         text=True,
         timeout=900,
     )
     assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
-    return json.loads(result.stdout[result.stdout.index("{"):])
+    # The report is the LAST stdout line (loaders upstream print freely).
+    return json.loads(result.stdout.strip().splitlines()[-1])
 
 
 @pytest.mark.skipif(
@@ -39,7 +42,7 @@ def _run_self_test(mode):
     reason="reference mount absent",
 )
 def test_self_test_passes(tmp_path):
-    report = _run_self_test("text")
+    report = _run_self_test("text", tmp_path)
     assert report["pass"] is True
     mod = report["modules"]["layers.1"]
     assert mod["file_names_equal"] and mod["loc_overlap"] >= 0.97
@@ -54,7 +57,7 @@ def test_self_test_image_mode(tmp_path):
     """The image path — fabricated LLaVA checkpoint with a REAL saved
     LlavaNextProcessor, image dataset, reference FeatureImageCache — is the
     exact flow the real llama3-llava-next-8b validation will take."""
-    report = _run_self_test("image")
+    report = _run_self_test("image", tmp_path)
     assert report["pass"] is True
     mod = report["modules"]["model.layers.1"]
     assert mod["file_names_equal"] and mod["loc_overlap"] >= 0.97

@@ -255,6 +255,10 @@ def compare(ours_dir: Path, ref_dir: Path, rtol: float, atol: float,
         mod_report["pass"] = bool(
             mod_report["file_names_equal"]
             and (mod_report["byte_equal"] or (overlap >= min_overlap and close))
+            # An empty module (e.g. every batch dropped as ragged) must not
+            # count as a vacuous PASS — there is nothing validated.
+            and len(ref_map) > 0
+            and len(ours_map) > 0
         )
         report["modules"][module] = mod_report
         report["byte_equal"] &= mod_report["byte_equal"]
@@ -290,6 +294,11 @@ def main(argv=None) -> int:
         "--self-test", action="store_true",
         help="fabricate a tiny checkpoint and validate the procedure itself",
     )
+    parser.add_argument(
+        "--scratch-dir", default=None,
+        help="root for --self-test's fabricated files (default: a fresh "
+        "temp dir removed at exit)",
+    )
     args = parser.parse_args(argv)
 
     from multimodal_sae_tpu.utils.reference_mount import reference_available
@@ -307,10 +316,25 @@ def main(argv=None) -> int:
         if getattr(args, name) is None:
             parser.error(f"--{name} is required (or pass --self-test)")
 
+    # The whole point is fp32 parity: without this, TPU runs compute the
+    # subject forward as single-pass bf16 MXU matmuls (~4e-3 relative error
+    # per op) and the thresholds below would fail a byte-parity-correct
+    # implementation.  (Tests force CPU where fp32 is native; the real
+    # TPU run this tool packages needs the pin.)
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import shutil
+
     out = Path(args.out)
     ours_dir, ref_dir = out / "ours", out / "reference"
-    ours_dir.mkdir(parents=True, exist_ok=True)
-    ref_dir.mkdir(parents=True, exist_ok=True)
+    for d in (ours_dir, ref_dir):
+        # A rerun with different settings (n_splits/hookpoint/rows) must not
+        # compare against stale files from the previous generation.
+        if d.exists():
+            shutil.rmtree(d)
+        d.mkdir(parents=True)
 
     run_ours(args, ours_dir)
     run_reference(args, ref_dir)
@@ -320,8 +344,11 @@ def main(argv=None) -> int:
         for k in ("model", "sae", "dataset", "mode", "rows", "ctx_len",
                   "batch_size", "n_splits")
     }
-    print(json.dumps(report, indent=2))
     (out / "report.json").write_text(json.dumps(report, indent=2))
+    # Compact single-line report as the LAST stdout line: upstream loaders
+    # (torch/transformers/the mounted reference) print freely, so consumers
+    # parse the final line rather than scanning for a brace.
+    print(json.dumps(report))
     return 0 if report["pass"] else 1
 
 
@@ -343,7 +370,15 @@ def _setup_self_test(args) -> None:
     from multimodal_sae_tpu.config import SaeConfig
     from multimodal_sae_tpu.sae import Sae
 
-    tmp = Path(tempfile.mkdtemp(prefix="validate_selftest_"))
+    if args.scratch_dir:
+        tmp = Path(args.scratch_dir)
+        tmp.mkdir(parents=True, exist_ok=True)
+    else:
+        import atexit
+        import shutil
+
+        tmp = Path(tempfile.mkdtemp(prefix="validate_selftest_"))
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     sae_dir = tmp / "saes"
     rng = np.random.default_rng(0)
     ds_dir = tmp / "ds"
