@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tu
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .quant import is_quantized, leaf_dtype, qembed, qmatmul
 
@@ -255,28 +256,36 @@ def flash_attention(
     (pad queries still attend to real keys, matching the eager additive-mask
     path, so their outputs stay finite and get sliced off downstream).
 
-    The TPU kernel requires the sequence length to divide its 128-wide
-    blocks; any S is padded up to the next multiple here (pad keys masked
-    out via the segment ids, pad query rows sliced off) so callers never
-    see the constraint.  The padding runs on every backend so CPU tests
-    exercise the exact wiring."""
+    The TPU kernel requires the sequence length to divide its blocks; any S
+    is padded up to the next block multiple here (pad query rows sliced
+    off) so callers never see the constraint.  END-padding needs no key
+    masking at all under causal attention: a real query at position
+    i < orig_S can never attend a pad key at j >= orig_S, so segment ids
+    are built only when the CALLER passes a pad_mask (whose zeros may sit
+    anywhere, e.g. left padding).  The padding runs on every backend so
+    CPU tests exercise the exact wiring.
+
+    Block sizes: the kernel's 128-wide defaults run at ~10 TF/s at the
+    anyres image shape (4, 32, 2432, 128) on v5e — the per-block softmax
+    bookkeeping dominates 128^2 MXU tiles.  512-wide blocks measure
+    5.8 ms/layer vs 19.7 (3.4x; the full sweep is in BASELINE.md), so for
+    S >= 1024 without segment ids we pad to a 512 bucket instead of 128
+    (the extra pad rows cost only attention FLOPs — callers' projections
+    stay at the caller's S) and pass 512-wide BlockSizes.  With segment
+    ids the 512-block compile HANGS the remote Mosaic compiler (measured
+    >420 s on a tiny shape, r3), so masked batches stay on the 128
+    defaults."""
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
     orig_S = q.shape[2]
-    pad = (-orig_S) % 128
+    block = 512 if orig_S >= 1024 and pad_mask is None else 128
+    pad = (-orig_S) % block
     if pad:
         zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
         q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
-        if pad_mask is None:
-            pad_mask = jnp.concatenate(
-                [
-                    jnp.ones((q.shape[0], orig_S), jnp.int32),
-                    jnp.zeros((q.shape[0], pad), jnp.int32),
-                ],
-                axis=1,
-            )
-        else:
+        if pad_mask is not None:
             pad_mask = jnp.pad(pad_mask.astype(jnp.int32), ((0, 0), (0, pad)))
+        # pad_mask None: causality alone excludes the end-pad keys.
     if pad_mask is not None:
         q_seg = jnp.ones(q.shape[0:1] + q.shape[2:3], jnp.int32)
         kv_seg = pad_mask.astype(jnp.int32)
@@ -288,8 +297,18 @@ def flash_attention(
     # differentiable — attribution backprops THROUGH the splice's attention.
     q = q * jnp.asarray(scale, q.dtype)
     if jax.default_backend() == "tpu":
+        block_sizes = None
+        if block == 512:  # only ever chosen with segment_ids None
+            b = 512
+            block_sizes = _fa.BlockSizes(
+                block_q=b, block_k_major=b, block_k=b, block_b=1,
+                block_q_major_dkv=b, block_k_major_dkv=b,
+                block_k_dkv=b, block_q_dkv=b,
+                block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+            )
         out = _fa.flash_attention(
-            q, k, v, segment_ids=segment_ids, causal=True, sm_scale=1.0
+            q, k, v, segment_ids=segment_ids, causal=True, sm_scale=1.0,
+            block_sizes=block_sizes,
         )
     else:
         out = _fa.mha_reference(
@@ -723,7 +742,12 @@ class LlamaModel:
             self._capture_jit[key] = run
         ids = jnp.asarray(batch["input_ids"])
         amask = batch.get("attention_mask")
-        amask = jnp.asarray(amask) if amask is not None else jnp.ones_like(ids)
+        # Keep a missing (or all-ones) mask as None: fabricating ones forces
+        # the flash path through segment ids, which bars its fast 512-wide
+        # blocks (see flash_attention).
+        if amask is not None:
+            amask_np = np.asarray(amask)
+            amask = None if amask_np.all() else jnp.asarray(amask_np)
         return self._capture_jit[key](self.params, ids, amask)
 
     def suffix_params(self, hookpoint: str) -> dict:

@@ -567,6 +567,13 @@ class LlavaNextModel:
             if amask is not None
             else np.ones((B, S), np.int32)
         )
+        # A no-padding batch (uniform geometry — the common cache case) needs
+        # no mask at all: bucket-pad keys are excluded by causality for every
+        # real query, and pad-row outputs are sliced off below.  Passing None
+        # keeps the flash path segment-id-free, which is what allows its
+        # 512-wide blocks (llama.py flash_attention: the 512-block kernel
+        # compiles only without segment ids; 3.4x on the anyres shape).
+        all_ones = bool(amask_np.all())
         if pad:
             embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
             amask_np = np.concatenate(
@@ -602,7 +609,7 @@ class LlavaNextModel:
             fn(
                 self.params["language_model"],
                 embeds,
-                jnp.asarray(amask_np),
+                None if all_ones else jnp.asarray(amask_np),
                 iv_args,
             )
         )

@@ -455,3 +455,82 @@ def test_lm_head_fallback_nested_prefix():
         np.asarray(params["lm_head"]),
         sd["language_model.lm_head.weight"].numpy().T,
     )
+
+
+def test_flash_attention_long_sequence_512_bucket():
+    """S >= 1024 routes through the 512-block bucket (padding to a 512
+    multiple); outputs must still match eager at real positions, and
+    gradients must flow (attribution backward uses these block sizes)."""
+    import dataclasses
+
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        rope_theta=10000.0,
+        max_position_embeddings=2048,
+    )
+    from multimodal_sae_tpu.models.llama import init_llama_params
+
+    fcfg = dataclasses.replace(cfg, flash_attention=True)
+    params = init_llama_params(jax.random.PRNGKey(5), cfg)
+    S = 1100  # >= 1024 and not a multiple of 512: pads to 1536
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 64, size=(1, S)))
+    amask = np.ones((1, S), np.int32)
+    amask[0, 1050:] = 0
+
+    ref = llama_forward(params, cfg, ids, attention_mask=jnp.asarray(amask))
+    got = llama_forward(params, fcfg, ids, attention_mask=jnp.asarray(amask))
+    a = np.asarray(ref["logits"][0, :1050], np.float32)
+    b = np.asarray(got["logits"][0, :1050], np.float32)
+    np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    def metric(c, delta):
+        out = llama_forward(
+            params, c, ids, interventions={"layers.0": lambda h: h + delta}
+        )
+        return out["logits"][0, 1049, 5]
+
+    z = jnp.zeros((1, S, 32))
+    g = jax.grad(lambda d: metric(fcfg, d))(z)
+    ge = jax.grad(lambda d: metric(cfg, d))(z)
+    rel = float(jnp.linalg.norm(g - ge) / (jnp.linalg.norm(ge) + 1e-9))
+    assert np.isfinite(np.asarray(g)).all() and rel < 5e-3, rel
+
+
+def test_capture_with_explicit_masks():
+    """capture() drops an all-ones mask (fast flash route) but honors a
+    padded one — both must match the maskless / masked forward exactly."""
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        rope_theta=10000.0,
+    )
+    from multimodal_sae_tpu.models.llama import LlamaModel, init_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(7), cfg)
+    model = LlamaModel(params, cfg)
+    ids = np.random.default_rng(7).integers(1, 64, size=(2, 10))
+    ones = np.ones((2, 10), np.int64)
+    c_none = model.capture({"input_ids": ids}, ["layers.1"])
+    c_ones = model.capture({"input_ids": ids, "attention_mask": ones}, ["layers.1"])
+    np.testing.assert_array_equal(
+        np.asarray(c_none["layers.1"]), np.asarray(c_ones["layers.1"])
+    )
+    pad = ones.copy()
+    pad[1, 8:] = 0
+    c_pad = model.capture({"input_ids": ids, "attention_mask": pad}, ["layers.1"])
+    ref = llama_forward(
+        params, cfg, jnp.asarray(ids), attention_mask=jnp.asarray(pad),
+        capture=("layers.1",), return_logits=False,
+    )["captured"]["layers.1"]
+    np.testing.assert_allclose(
+        np.asarray(c_pad["layers.1"]), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
