@@ -138,14 +138,22 @@ class Cache:
         batch_number: int,
         module_path: str,
         threshold: float = 1e-5,
+        row_offset: Optional[int] = None,
     ):
         """Add a (B, S, k) top-k batch. Equivalent to the reference's
         dense-scatter + nonzero (cache.py:42-57, 209-218) without the dense
         buffer.  float32 batches route through the native single-pass C++
-        extractor (native/coo.cpp) when it is built; other dtypes use numpy."""
+        extractor (native/coo.cpp) when it is built; other dtypes use numpy.
+
+        `row_offset` overrides the `batch_number * batch_size` default — the
+        run loop passes the ACTUAL consumed-row cursor so pass-through
+        prepared batches whose size differs from `batch_size` still land on
+        the right dataset rows."""
         vals = np.asarray(vals)
         idx = np.asarray(idx)
-        row_offset = batch_number * self.batch_size + self.shard_size
+        if row_offset is None:
+            row_offset = batch_number * self.batch_size
+        row_offset += self.shard_size
         selected = self.filters[module_path] if self.filters is not None else None
         arena = self._arenas[module_path]
 
@@ -246,6 +254,7 @@ class FeatureCache:
         self._stream = None
         self._stream_n_splits = 0
         self._stream_marks: Dict[str, int] = {}
+        self._row_cursor = 0  # dataset rows consumed (exact, any batch size)
 
     def enable_streaming(self, save_dir: str, n_splits: int, rank: int = 0):
         """Persist `Rank{r}_{start}_{end}.safetensors` shards incrementally
@@ -263,6 +272,8 @@ class FeatureCache:
             act_dtype=self.activation_dtype,
         )
         self._stream_n_splits = n_splits
+        self._stream_save_dir = save_dir
+        self._stream_rank = rank
         self._stream_marks = {}
 
     def filter_submodules(self, filters: Dict[str, np.ndarray]):
@@ -288,12 +299,19 @@ class FeatureCache:
             out[module_path] = self._topk_fns[module_path](sae.params, h)
         return out
 
-    def _host_step(self, dev_out: dict, batch_number: int):
-        """Materialize one batch's (vals, idx) and extract COO triples."""
+    def _host_step(self, dev_out: dict, batch_number: int, n_rows: int):
+        """Materialize one batch's (vals, idx) and extract COO triples.
+
+        `n_rows` is the batch's ACTUAL row count; the row cursor (not
+        `batch_number * batch_size`) sets each row's global dataset index so
+        pass-through batches of any size stay aligned."""
         for module_path, (vals, idx) in dev_out.items():
             vals = np.asarray(vals, dtype=self.activation_dtype)
             idx = np.asarray(idx)
-            self.cache.add_topk(vals, idx, batch_number, module_path)
+            self.cache.add_topk(
+                vals, idx, batch_number, module_path,
+                row_offset=self._row_cursor,
+            )
             if self._stream is not None:
                 arena = self.cache._arenas[module_path]
                 mark = self._stream_marks.get(module_path, 0)
@@ -307,10 +325,13 @@ class FeatureCache:
                         arena.act[mark : arena.n],
                     )
                     self._stream_marks[module_path] = arena.n
+        self._row_cursor += n_rows
 
     def process_batch(self, batch: dict, batch_number: int, skip_bos: bool = False):
         """One cache step: capture hiddens, encode each hookpoint, accumulate."""
-        self._host_step(self._device_step(batch, skip_bos), batch_number)
+        self._host_step(
+            self._device_step(batch, skip_bos), batch_number, _batch_rows(batch)
+        )
 
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
@@ -336,7 +357,7 @@ class FeatureCache:
             dev = self._device_step(batch, skip_bos)
             if pending is not None:
                 self._host_step(*pending)
-            pending = (dev, batch_number)
+            pending = (dev, batch_number, _batch_rows(batch))
         if pending is not None:
             self._host_step(*pending)
         self.cache.save()
@@ -389,6 +410,19 @@ class FeatureCache:
                 raise ValueError(
                     f"streaming was enabled with n_splits="
                     f"{self._stream_n_splits}, got {n_splits}"
+                )
+            # The streaming writer was configured with its own save_dir/rank;
+            # silently ignoring mismatched arguments here would leave shards
+            # in the wrong place for the caller's later merge.
+            if os.path.abspath(save_dir) != os.path.abspath(self._stream_save_dir):
+                raise ValueError(
+                    f"streaming writes to {self._stream_save_dir!r}, but "
+                    f"save_splits was called with save_dir={save_dir!r}"
+                )
+            if rank != self._stream_rank:
+                raise ValueError(
+                    f"streaming was enabled with rank={self._stream_rank}, "
+                    f"got rank={rank}"
                 )
             counts = self._stream.close(extra_modules=list(self.cache._arenas))
             self._stream = None
@@ -476,6 +510,15 @@ class FeatureImageCache(FeatureCache):
 
     def run(self, n_tokens: int, tokens, progress: bool = True, **kw):
         super().run(n_tokens, tokens, progress=progress, skip_bos=True)
+
+
+def _batch_rows(batch: dict) -> int:
+    """Actual row count of a prepared batch (any leading key works: the
+    collated keys all share the batch axis)."""
+    for key in ("input_ids", "image", "images", "pixel_values"):
+        if key in batch:
+            return len(batch[key])
+    return len(next(iter(batch.values())))
 
 
 def _batched(items, batch_size: int):

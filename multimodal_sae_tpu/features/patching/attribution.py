@@ -272,7 +272,15 @@ class Attribution:
             ],
             dtype=np.int64,
         )
-        self.batch = self.model.prepare_inputs(images=images, prompt_ids=prompt_ids)
+        # prepare_inputs right-pads ragged rows, but the metric reads
+        # logits[:, -1] — re-pack to LEFT padding so the last position is
+        # every row's last REAL token (the reference gets this from its
+        # left-padding tokenizer, reference utils.py:233-241).
+        from ...models.llava_next import _repack_left_padded
+
+        self.batch = _repack_left_padded(
+            self.model.prepare_inputs(images=images, prompt_ids=prompt_ids)
+        )
         self.metric = partial(
             get_logit_diff, answer_token_indices=jnp.asarray(self.answer_ids)
         )

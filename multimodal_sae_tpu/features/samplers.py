@@ -23,19 +23,27 @@ from .features import Example, FeatureRecord
 def split_activation_quantiles(
     examples: List[Example], n_quantiles: int, n_samples: int, seed: int = 22
 ):
-    """Threshold-based quantiles over max activation (reference samplers.py:9-31)."""
+    """Threshold-based quantiles over max activation (reference samplers.py:9-31).
+
+    Deviation from the reference transcription: the reference assumes an
+    ascending queue whose FIRST element it nonetheless reads as the maximum —
+    with the descending example lists the constructors actually produce,
+    every threshold quantile comes out empty and `random.sample` raises
+    (the function is unreachable from the reference's own CLIs).  Here the
+    true max sets the thresholds, the queue is sorted ascending, and
+    sampling caps at the quantile size."""
     random.seed(seed)
-    max_activation = examples[0].max_activation
+    max_activation = max(e.max_activation for e in examples)
     thresholds = [max_activation * i / n_quantiles for i in range(1, n_quantiles)]
 
     samples = []
-    queue = deque(examples)
+    queue = deque(sorted(examples, key=lambda e: e.max_activation))
     for threshold in thresholds:
         quantile = []
         while queue and queue[0].max_activation < threshold:
             quantile.append(queue.popleft())
-        samples.append(random.sample(quantile, n_samples))
-    samples.append(random.sample(list(queue), n_samples))
+        samples.append(random.sample(quantile, min(n_samples, len(quantile))))
+    samples.append(random.sample(list(queue), min(n_samples, len(queue))))
     return samples
 
 

@@ -103,6 +103,12 @@ class SaeTrainer:
             layers_name = model.layers_name()
             cfg.hookpoints = [f"{layers_name}.{i}" for i in cfg.layers]
 
+        if not cfg.hookpoints:
+            raise ValueError(
+                "no hookpoints resolved — check --hookpoints patterns / "
+                f"--layers against the model's modules (e.g. "
+                f"{model.hookpoint_names()[:3]}...)"
+            )
         self.cfg = cfg
         self.dataset = dataset
         self.mesh = mesh if mesh is not None else get_mesh(("data",))
@@ -167,6 +173,7 @@ class SaeTrainer:
         }
         self._num_tokens_in_step = 0
         self._b_dec_initialized = False  # set on resume / after step 0
+        self._seen_global_shapes = set()  # cross-process shape check cache
 
         self._build_jitted_fns()
         self._ensure_global_state()
@@ -210,8 +217,28 @@ class SaeTrainer:
             if getattr(sharding, "mesh", None) is not None and sharding.mesh != mesh:
                 hiddens = jax.device_put(hiddens, data_sharding(mesh))
             return hiddens
+        local = np.asarray(jax.device_get(hiddens))
+        # Ragged multimodal batches pad to each process's batch max — if the
+        # processes disagree on the flattened row count, the inferred global
+        # shapes differ and the compiled collectives hang.  Verify agreement
+        # once per NEW local shape (first-use host allgather, free
+        # steady-state) and fail loudly instead.
+        if local.shape not in self._seen_global_shapes:
+            from jax.experimental import multihost_utils
+
+            all_shapes = multihost_utils.process_allgather(
+                np.asarray(local.shape, np.int64)
+            )
+            if not (all_shapes == np.asarray(local.shape, np.int64)).all():
+                raise ValueError(
+                    f"processes disagree on the local hiddens shape "
+                    f"({all_shapes.tolist()}) — ragged multimodal batches "
+                    "must pad to a fixed length in multi-process runs (use a "
+                    "collator pad length / uniform ctx_len)"
+                )
+            self._seen_global_shapes.add(local.shape)
         return jax.make_array_from_process_local_data(
-            data_sharding(mesh), np.asarray(jax.device_get(hiddens))
+            data_sharding(mesh), local
         )
 
     # ------------------------------------------------------------------ setup
@@ -230,6 +257,19 @@ class SaeTrainer:
             rank0_print(f"Training on modules: {self.cfg.hookpoints}")
             return
 
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # The device-group formulation drives every group from this
+            # process; on a multi-host mesh some groups would contain only
+            # non-addressable devices and device_put/jit against them fails
+            # (opaquely, mid-init).  The shard_map all_to_all formulation in
+            # train/module_sharded.py is the multi-host module sharding.
+            raise NotImplementedError(
+                "distribute_modules device groups are single-host only; use "
+                "train/module_sharded.py (ModuleShardedTrainer) for "
+                "multi-host module sharding"
+            )
         devices = list(self.mesh.devices.flatten())
         n_groups = min(len(devices), len(self.cfg.hookpoints))
         per_group, rem = divmod(len(self.cfg.hookpoints), n_groups)
@@ -466,7 +506,12 @@ class SaeTrainer:
             if name not in self.saes:
                 continue
             sae = self.saes[name]
-            hiddens = hiddens.reshape(-1, hiddens.shape[-1])  # flatten(0,1)
+            # flatten(0,1).  Ragged mm batches give a per-batch-max n, so the
+            # jitted accumulate retraces per distinct n — bounded in practice
+            # by the anyres pinpoint count (~5 expanded lengths for a fixed
+            # prompt template), not per-batch.  Multi-process runs verify
+            # cross-process shape agreement in _globalize_hiddens.
+            hiddens = hiddens.reshape(-1, hiddens.shape[-1])
 
             # Batch sharding needs the token count divisible by the mesh; mm
             # (anyres) batches are ragged, so pad with wrap-around rows —
@@ -646,18 +691,15 @@ def _unflatten_opt_state(flat: Dict[str, np.ndarray], like):
 
 def _iter_batches(dataset, batch_size: int, collator=None) -> Iterable[dict]:
     """Sequential fixed-size batches (no shuffling — the dataset is shuffled
-    upstream for reproducibility, reference trainer.py:235-241)."""
+    upstream for reproducibility, reference trainer.py:235-241).  Batching +
+    default collation delegate to the cache pipeline's `_batched` (one
+    hardened implementation: drop-last, per-key stack-else-list)."""
+    from ..features.cache import _batched
+
+    if collator is None:
+        yield from _batched(dataset, batch_size)
+        return
     n = len(dataset)
     for i in range(n // batch_size):
         rows = [dataset[j] for j in range(i * batch_size, (i + 1) * batch_size)]
-        if collator is not None:
-            yield collator(rows)
-            continue
-        batch = {}
-        for key in rows[0]:
-            vals = [r[key] for r in rows]
-            try:
-                batch[key] = np.stack([np.asarray(v) for v in vals])
-            except Exception:
-                batch[key] = vals
-        yield batch
+        yield collator(rows)

@@ -274,3 +274,71 @@ def test_feature_record_save_examples_roundtrip(tmp_path):
     assert data["explanation"] == "fires on digits"
     assert data["examples"][0]["tokens"] == [3, 4]
     assert data["examples"][0]["activations"] == [0.5, 2.0]
+
+
+def test_cache_row_offsets_with_passthrough_batches():
+    """Pass-through prepared batches whose size differs from the configured
+    batch_size must still land on contiguous global dataset rows (the old
+    batch_number * batch_size offset left phantom gaps)."""
+    import jax
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.cache import FeatureCache
+    from multimodal_sae_tpu.sae import Sae
+
+    d, width = 8, 16
+    sae = Sae(d, SaeConfig(num_latents=width, k=3), key=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def capture_fn(batch):
+        ids = np.asarray(batch["input_ids"])
+        h = rng2.normal(size=(*ids.shape, d)).astype(np.float32)
+        return {"m": jnp.asarray(h)}
+
+    # Two caches over the same 6 rows: one via the dataset path (batch 2),
+    # one via pass-through 3-row prepared batches with batch_size=16.
+    rows = [{"input_ids": list(map(int, r))} for r in rng.integers(1, 9, (6, 4))]
+
+    rng2 = np.random.default_rng(1)
+    ref = FeatureCache(capture_fn, {"m": sae}, batch_size=2)
+    ref.run(0, rows, progress=False)
+
+    rng2 = np.random.default_rng(1)
+    odd = FeatureCache(capture_fn, {"m": sae}, batch_size=16)
+    prepared = [
+        {"input_ids": np.asarray([r["input_ids"] for r in rows[i : i + 3]])}
+        for i in (0, 3)
+    ]
+    odd.run(0, iter(prepared), progress=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.cache.feature_locations["m"]),
+        np.asarray(odd.cache.feature_locations["m"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.cache.feature_activations["m"]),
+        np.asarray(odd.cache.feature_activations["m"]),
+    )
+
+
+def test_split_activation_quantiles_descending_input():
+    """Constructors produce examples sorted DESCENDING by max activation; the
+    threshold-quantile sampler must not crash on them (the reference's
+    transcription raised from empty quantiles)."""
+    from multimodal_sae_tpu.features.features import Example
+    from multimodal_sae_tpu.features.samplers import split_activation_quantiles
+
+    examples = [
+        Example(tokens=np.arange(4), activations=np.full(4, a, np.float32))
+        for a in (9.0, 7.0, 5.0, 3.5, 2.0, 1.0, 0.5, 0.1)
+    ]
+    out = split_activation_quantiles(examples, n_quantiles=4, n_samples=2)
+    assert len(out) == 4
+    got = [e.max_activation for q in out for e in q]
+    assert len(got) == len(set(id(e) for q in out for e in q))  # no dupes
+    # Every example lands in the quantile its max activation belongs to.
+    for qi, q in enumerate(out):
+        lo = 9.0 * qi / 4
+        hi = 9.0 * (qi + 1) / 4 if qi < 3 else np.inf
+        for e in q:
+            assert lo <= e.max_activation < hi or (qi == 3 and e.max_activation == 9.0)

@@ -217,3 +217,66 @@ def test_attribution_class_multimodal(llava, sae, tmp_path):
         LlavaNextModel.forward_from_layer = had
     for a, b in zip(general["model.layers.0"], arr):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_attribution_ragged_batch_matches_per_row(llava, sae, tmp_path):
+    """Two probing rows whose images take different anyres geometries have
+    different expanded lengths; the batch is re-packed to LEFT padding so
+    the last-position metric reads each row's last REAL token.  Each row's
+    saliency must match a single-row run."""
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, hw in enumerate(((50, 70), (90, 40))):  # different pinpoints
+        p = tmp_path / f"probe{i}.png"
+        Image.fromarray(rng.integers(0, 255, (*hw, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+
+    sae_dir = tmp_path / "saes"
+    sae.save_to_disk(sae_dir / "model.layers.0")
+
+    class Tok:
+        @staticmethod
+        def __call__(text, **kw):
+            ids = [1]
+            for part in text.split("<image>"):
+                ids += [2 + (ord(c) % 100) for c in part][:4]
+                ids.append(IMG_TOKEN)
+            ids.pop()
+            return {"input_ids": ids}
+
+        @staticmethod
+        def convert_tokens_to_ids(tok):
+            return 2 + (ord(tok[0]) % 100)
+
+    def probing_file(rows):
+        p = tmp_path / f"probe_{len(rows)}_{rows[0]['image'][-6:-4]}.json"
+        p.write_text(json.dumps(rows))
+        return str(p)
+
+    rows = [
+        {"prompt": "<image> is a", "answer": "cat", "baseline": "dog",
+         "image": paths[0]},
+        {"prompt": "<image> shows some", "answer": "cat", "baseline": "dog",
+         "image": paths[1]},
+    ]
+    batched = Attribution(
+        llava, Tok(), sae_path=str(sae_dir), data_path=probing_file(rows),
+        selected_sae="model.layers.0",
+    )
+    am = np.asarray(batched.batch["attention_mask"])
+    assert (am[:, -1] == 1).all(), "batch must be left-padded"
+    assert (am == 0).any(), "geometries must differ (ragged batch)"
+    out2 = batched.get_attribution(indices=[5])["model.layers.0"][0]
+
+    for r, row in enumerate(rows):
+        single = Attribution(
+            llava, Tok(), sae_path=str(sae_dir), data_path=probing_file([row]),
+            selected_sae="model.layers.0",
+        )
+        ref = single.get_attribution(indices=[5])["model.layers.0"][0]
+        L = ref.shape[1]
+        # The metric means over the batch (reference get_logit_diff), so a
+        # B-row batch scales each row's gradient — and saliency — by 1/B.
+        np.testing.assert_allclose(
+            out2[r, -L:] * len(rows), ref[0], rtol=2e-2, atol=2e-5,
+        )
