@@ -232,9 +232,12 @@ class SaeTrainer:
             if not (all_shapes == np.asarray(local.shape, np.int64)).all():
                 raise ValueError(
                     f"processes disagree on the local hiddens shape "
-                    f"({all_shapes.tolist()}) — ragged multimodal batches "
-                    "must pad to a fixed length in multi-process runs (use a "
-                    "collator pad length / uniform ctx_len)"
+                    f"({all_shapes.tolist()}).  Multi-process training needs "
+                    "every process's flattened token count to match each "
+                    "step: use a fixed ctx_len text pipeline, or for "
+                    "multimodal data ensure geometry-uniform batches (anyres "
+                    "expanded length varies per image pinpoint, so mixed "
+                    "image sizes across processes cannot align)"
                 )
             self._seen_global_shapes.add(local.shape)
         return jax.make_array_from_process_local_data(
