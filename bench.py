@@ -486,7 +486,9 @@ def llava_image_bench():
         flash_attention=True,  # fused attention: eager materializes ~3 GB of
         # f32 scores per layer at the anyres seq len
     )
-    vcfg = ClipVisionConfig()  # CLIP-L/14 @ 336 — the llava-next tower
+    int8_vision = "--int8-vision" in sys.argv
+    # CLIP-L/14 @ 336 — the llava-next tower (opt-in int8 MXU matmuls)
+    vcfg = ClipVisionConfig(int8_matmul=int8_vision)
     cfg = LlavaNextConfig(text_config=lcfg, vision_config=vcfg)
     one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
 
@@ -562,6 +564,12 @@ def llava_image_bench():
         }
 
     params = {"language_model": lm, **init_rest(keys[-2], keys[-3])}
+    if int8_vision:
+        from multimodal_sae_tpu.models.quant import quantize_clip_params
+
+        params["vision_tower"] = jax.jit(quantize_clip_params)(
+            params["vision_tower"]
+        )
     model = LlavaNextModel(params, cfg)
     sae_cfg = SaeConfig(num_latents=LATENTS, k=K)
     sae_params = init_params(jax.random.PRNGKey(1), D_IN, sae_cfg, dtype=DTYPE)

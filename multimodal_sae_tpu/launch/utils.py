@@ -68,12 +68,23 @@ def load_subject_model(
 
         params, cfg = load_llava_next(model_name_or_path, dtype=dtype)
         if load_in_8bit or int8_matmul:
+            from ..models.quant import quantize_clip_params
+
+            # The reference's llava 8-bit path quantizes the whole model
+            # (Quanto fp8, reference launch/utils.py:68-97) — quantize the
+            # vision tower alongside the language model.
             params = dict(params)
             params["language_model"] = quantize_llama_params(
                 params["language_model"]
             )
+            params["vision_tower"] = quantize_clip_params(params["vision_tower"])
         cfg = dataclasses.replace(
-            cfg, text_config=_merge_flags(cfg.text_config)
+            cfg,
+            text_config=_merge_flags(cfg.text_config),
+            vision_config=dataclasses.replace(
+                cfg.vision_config,
+                int8_matmul=int8_matmul or cfg.vision_config.int8_matmul,
+            ),
         )
         model = LlavaNextModel(params, cfg)
         processor = LlavaNextProcessor.from_pretrained(model_name_or_path)

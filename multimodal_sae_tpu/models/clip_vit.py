@@ -37,6 +37,12 @@ class ClipVisionConfig:
     layer_norm_eps: float = 1e-5
     projection_dim: int = 768
 
+    int8_matmul: bool = False
+    """Run quantized tower weights through native int8xint8 MXU matmuls with
+    dynamic per-token activation quant (same machinery as the subject,
+    models/quant.py).  Opt-in: W8A8 changes numerics.  Ignored for
+    unquantized weights."""
+
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
@@ -67,12 +73,14 @@ def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     return x.reshape(B, gh * gw, C * patch * patch)
 
 
-def clip_attention(x, lp, num_heads, eps, mask=None):
+def clip_attention(x, lp, num_heads, eps, mask=None, int8=False):
+    from .quant import qmatmul
+
     B, S, D = x.shape
     hd = D // num_heads
-    q = x @ lp["q_proj"] + lp["q_bias"]
-    k = x @ lp["k_proj"] + lp["k_bias"]
-    v = x @ lp["v_proj"] + lp["v_bias"]
+    q = qmatmul(x, lp["q_proj"], int8=int8) + lp["q_bias"]
+    k = qmatmul(x, lp["k_proj"], int8=int8) + lp["k_bias"]
+    v = qmatmul(x, lp["v_proj"], int8=int8) + lp["v_bias"]
     q = q.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
     k = k.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, num_heads, hd).transpose(0, 2, 1, 3)
@@ -82,7 +90,7 @@ def clip_attention(x, lp, num_heads, eps, mask=None):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
-    return out @ lp["out_proj"] + lp["out_bias"]
+    return qmatmul(out, lp["out_proj"], int8=int8) + lp["out_bias"]
 
 
 def clip_vision_forward(
@@ -97,11 +105,14 @@ def clip_vision_forward(
 
     hidden_states[i] follows HF: index 0 is the pre-encoder embedding output,
     index i+1 is encoder layer i's output."""
+    from .quant import leaf_dtype, qmatmul
+
     B = pixel_values.shape[0]
-    dtype = params["patch_embedding"].dtype
+    i8 = cfg.int8_matmul
+    dtype = leaf_dtype(params["patch_embedding"])
 
     patches = _patchify(pixel_values.astype(dtype), cfg.patch_size)
-    patch_embeds = patches @ params["patch_embedding"]  # (B, P, D)
+    patch_embeds = qmatmul(patches, params["patch_embedding"], int8=i8)  # (B, P, D)
     cls = jnp.broadcast_to(
         params["class_embedding"][None, None, :], (B, 1, cfg.hidden_size)
     )
@@ -115,11 +126,13 @@ def clip_vision_forward(
     for lp in params["layers"]:
         residual = h
         x = layer_norm(h, lp["ln1"], lp["ln1_bias"], cfg.layer_norm_eps)
-        h = residual + clip_attention(x, lp, cfg.num_attention_heads, cfg.layer_norm_eps)
+        h = residual + clip_attention(
+            x, lp, cfg.num_attention_heads, cfg.layer_norm_eps, int8=i8
+        )
         residual = h
         x = layer_norm(h, lp["ln2"], lp["ln2_bias"], cfg.layer_norm_eps)
-        x = quick_gelu(x @ lp["fc1"] + lp["fc1_bias"])
-        h = residual + (x @ lp["fc2"] + lp["fc2_bias"])
+        x = quick_gelu(qmatmul(x, lp["fc1"], int8=i8) + lp["fc1_bias"])
+        h = residual + (qmatmul(x, lp["fc2"], int8=i8) + lp["fc2_bias"])
         hidden_states.append(h)
 
     last = layer_norm(

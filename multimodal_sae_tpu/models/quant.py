@@ -181,3 +181,33 @@ def quantize_llama_params(
         else:
             out[name] = quant_entry(name, v)
     return out
+
+
+_CLIP_QUANT_KEYS = frozenset(
+    {"patch_embedding", "q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"}
+)
+
+
+def quantize_clip_params(params: dict, activation_dtype=jnp.bfloat16) -> dict:
+    """Quantize the large 2D matmul weights of a CLIP vision-tower tree
+    (models/clip_vit.py layout); norms/biases/embeddings cast to
+    `activation_dtype` like `quantize_llama_params`."""
+
+    def quant_entry(name: str, w):
+        if is_quantized(w):
+            return w
+        if name in _CLIP_QUANT_KEYS and jnp.asarray(w).ndim == 2:
+            return quantize_weight(w)
+        return w.astype(activation_dtype) if jnp.issubdtype(
+            jnp.asarray(w).dtype, jnp.floating
+        ) else w
+
+    out = {}
+    for name, v in params.items():
+        if name == "layers":
+            out[name] = [
+                {k: quant_entry(k, a) for k, a in layer.items()} for layer in v
+            ]
+        else:
+            out[name] = quant_entry(name, v)
+    return out

@@ -223,3 +223,33 @@ def test_generate_right_padded_multi_image_batch(tiny, images):
         single = model.prepare_inputs(images=[images[i]], prompt_ids=[prompts[i]])
         ref = np.asarray(model.generate(single, max_new_tokens=3))
         np.testing.assert_array_equal(out[i, -3:], ref[0, -3:])
+
+
+def test_capture_with_int8_tower(tiny, images):
+    """Opt-in int8 vision tower through the full multimodal capture path:
+    captures stay close to the fp32 run (W8A8 tolerance)."""
+    import dataclasses
+
+    from multimodal_sae_tpu.models.llava_next import LlavaNextModel
+    from multimodal_sae_tpu.models.quant import (
+        quantize_clip_params,
+        quantize_llama_params,
+    )
+
+    _, cfg, params = tiny
+    ref_model = LlavaNextModel(params, cfg)
+    batch = ref_model.prepare_inputs(images=[images[0]], prompt_ids=[[1, IMG_TOKEN, 2]])
+    ref = np.asarray(ref_model.capture(batch, ["model.layers.1"])["model.layers.1"])
+
+    qparams = dict(params)
+    qparams["language_model"] = quantize_llama_params(params["language_model"])
+    qparams["vision_tower"] = quantize_clip_params(params["vision_tower"])
+    qcfg = dataclasses.replace(
+        cfg,
+        text_config=dataclasses.replace(cfg.text_config, int8_matmul=True),
+        vision_config=dataclasses.replace(cfg.vision_config, int8_matmul=True),
+    )
+    qmodel = LlavaNextModel(qparams, qcfg)
+    got = np.asarray(qmodel.capture(batch, ["model.layers.1"])["model.layers.1"])
+    rel = np.linalg.norm(got.astype(np.float32) - ref) / np.linalg.norm(ref)
+    assert np.isfinite(got).all() and rel < 0.15, rel

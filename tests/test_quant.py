@@ -252,3 +252,70 @@ def test_int8_sae_encoder():
         loaded = load_saes(td, int8_encoder=True)
         assert isinstance(loaded["layers.0"].params["W_enc"], dict)
         assert loaded["layers.0"].dtype == jnp.bfloat16
+
+
+def test_quantized_clip_tower_close_to_dense():
+    """Opt-in int8 vision tower: weight-only dequant and W8A8 paths both
+    track the dense forward within int8 tolerance."""
+    import dataclasses
+
+    from multimodal_sae_tpu.models.clip_vit import (
+        ClipVisionConfig,
+        clip_vision_forward,
+    )
+    from multimodal_sae_tpu.models.quant import quantize_clip_params
+
+    cfg = ClipVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=16,
+    )
+    rng = np.random.default_rng(0)
+
+    def mat(shape, scale=0.05):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "q_proj": mat((D, D)), "q_bias": jnp.zeros((D,)),
+                "k_proj": mat((D, D)), "k_bias": jnp.zeros((D,)),
+                "v_proj": mat((D, D)), "v_bias": jnp.zeros((D,)),
+                "out_proj": mat((D, D)), "out_bias": jnp.zeros((D,)),
+                "ln1": jnp.ones((D,)), "ln1_bias": jnp.zeros((D,)),
+                "ln2": jnp.ones((D,)), "ln2_bias": jnp.zeros((D,)),
+                "fc1": mat((D, I)), "fc1_bias": jnp.zeros((I,)),
+                "fc2": mat((I, D)), "fc2_bias": jnp.zeros((D,)),
+            }
+        )
+    params = {
+        "patch_embedding": mat((3 * 16 * 16, D)),
+        "class_embedding": mat((D,)),
+        "position_embedding": mat((cfg.num_patches + 1, D)),
+        "pre_layrnorm": jnp.ones((D,)), "pre_layrnorm_bias": jnp.zeros((D,)),
+        "post_layernorm": jnp.ones((D,)), "post_layernorm_bias": jnp.zeros((D,)),
+        "layers": layers,
+    }
+    pv = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    ref = clip_vision_forward(params, cfg, pv)["features"]
+
+    qp = quantize_clip_params(params)
+    deq = clip_vision_forward(qp, cfg, pv)["features"]
+    rel = float(
+        jnp.linalg.norm((deq.astype(jnp.float32) - ref))
+        / jnp.linalg.norm(ref)
+    )
+    assert rel < 0.05, rel
+
+    i8cfg = dataclasses.replace(cfg, int8_matmul=True)
+    w8a8 = clip_vision_forward(qp, i8cfg, pv)["features"]
+    rel8 = float(
+        jnp.linalg.norm((w8a8.astype(jnp.float32) - ref))
+        / jnp.linalg.norm(ref)
+    )
+    assert rel8 < 0.08, rel8
