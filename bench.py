@@ -786,8 +786,6 @@ def steering_bench():
             _np.asarray(out["sequences"] if isinstance(out, dict) else out)
         return (time.perf_counter() - t0) / iters
 
-    # Decode reads the full 8.6 GB of weights per token step regardless of
-    # batch, so steered generations/s scales with the feature batch until
     # Measure the sequential F=1 baseline FIRST: the sweep below deliberately
     # runs until an OOM/compile failure, and the remote compile service can
     # take ~16 min per compile in its post-crash degraded state (memory
@@ -795,6 +793,8 @@ def steering_bench():
     gen(1, [0])
     dt_1 = gen(1, [0], iters=3)
     _log(f"  sequential F=1: {dt_1 * 1e3:.0f} ms/call")
+    # Decode reads the full 8.6 GB of weights per token step regardless of
+    # batch, so steered generations/s scales with the feature batch until
     # compute- or HBM-capacity-bound: sweep the width.  Capped at 64 by
     # default: F=128 is MEASURED to crash the remote compile service on this
     # platform (BASELINE.md steering row), leaving it degraded (~16 min

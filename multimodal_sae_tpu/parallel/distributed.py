@@ -33,6 +33,14 @@ def initialize_distributed(
 
     if getattr(_dist.global_state, "client", None) is not None:
         return True  # already initialized
+    # Function arguments are a deliberate multi-host request; record that
+    # BEFORE merging the env-var conveniences (a bare NUM_PROCESSES exported
+    # by some unrelated scheduler must not turn a single-host run fatal).
+    arg_explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
@@ -40,17 +48,17 @@ def initialize_distributed(
         num_processes = int(os.environ["NUM_PROCESSES"])
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
-    # "Explicit" = the user configured a multi-host job (coordinator/world
-    # spec, or a TPU slice spanning several workers); failing to bring it up
-    # must raise — N independent world=1 processes would stomp each other's
-    # output files.  A lone TPU_WORKER_HOSTNAMES entry is just single-worker
-    # TPU-VM metadata (present even on this tunneled single-chip host): worth
-    # an auto-probe, but a probe failure means single-host, not danger.
+    # "Explicit" = the user configured a multi-host job (function args, a
+    # coordinator address, or a TPU slice spanning several workers); failing
+    # to bring THAT up must raise — N independent world=1 processes would
+    # stomp each other's output files.  A lone TPU_WORKER_HOSTNAMES entry is
+    # just single-worker TPU-VM metadata (present even on this tunneled
+    # single-chip host): worth an auto-probe, but a probe failure means
+    # single-host, not danger.
     hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     explicit = (
-        coordinator_address is not None
-        or num_processes is not None
-        or process_id is not None
+        arg_explicit
+        or coordinator_address is not None
         or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
         or len([h for h in hostnames.split(",") if h]) > 1
     )
@@ -82,13 +90,7 @@ def initialize_distributed(
         return False
 
 
-def process_count() -> int:
-    import jax
-
-    return jax.process_count()
-
-
-def process_index() -> int:
-    import jax
-
-    return jax.process_index()
+# Canonical helpers live in utils.misc (exception-safe: single-host fallback
+# when jax is unusable); re-exported here so the parallel package keeps its
+# historical import surface without a second implementation to keep in sync.
+from ..utils.misc import process_count, process_index  # noqa: E402,F401

@@ -173,7 +173,6 @@ class SaeTrainer:
         }
         self._num_tokens_in_step = 0
         self._b_dec_initialized = False  # set on resume / after step 0
-        self._seen_global_shapes = set()  # cross-process shape check cache
 
         self._build_jitted_fns()
         self._ensure_global_state()
@@ -220,26 +219,26 @@ class SaeTrainer:
         local = np.asarray(jax.device_get(hiddens))
         # Ragged multimodal batches pad to each process's batch max — if the
         # processes disagree on the flattened row count, the inferred global
-        # shapes differ and the compiled collectives hang.  Verify agreement
-        # once per NEW local shape (first-use host allgather, free
-        # steady-state) and fail loudly instead.
-        if local.shape not in self._seen_global_shapes:
-            from jax.experimental import multihost_utils
+        # shapes differ and the compiled collectives hang.  The check must be
+        # UNCONDITIONAL: gating it on per-process seen-shape state would have
+        # one process enter the allgather while another skips it — the exact
+        # deadlock it exists to prevent.  Cost: one tiny host allgather per
+        # hookpoint per batch (~ms against a 100 ms+ step).
+        from jax.experimental import multihost_utils
 
-            all_shapes = multihost_utils.process_allgather(
-                np.asarray(local.shape, np.int64)
+        all_shapes = multihost_utils.process_allgather(
+            np.asarray(local.shape, np.int64)
+        )
+        if not (all_shapes == np.asarray(local.shape, np.int64)).all():
+            raise ValueError(
+                f"processes disagree on the local hiddens shape "
+                f"({all_shapes.tolist()}).  Multi-process training needs "
+                "every process's flattened token count to match each "
+                "step: use a fixed ctx_len text pipeline, or for "
+                "multimodal data ensure geometry-uniform batches (anyres "
+                "expanded length varies per image pinpoint, so mixed "
+                "image sizes across processes cannot align)"
             )
-            if not (all_shapes == np.asarray(local.shape, np.int64)).all():
-                raise ValueError(
-                    f"processes disagree on the local hiddens shape "
-                    f"({all_shapes.tolist()}).  Multi-process training needs "
-                    "every process's flattened token count to match each "
-                    "step: use a fixed ctx_len text pipeline, or for "
-                    "multimodal data ensure geometry-uniform batches (anyres "
-                    "expanded length varies per image pinpoint, so mixed "
-                    "image sizes across processes cannot align)"
-                )
-            self._seen_global_shapes.add(local.shape)
         return jax.make_array_from_process_local_data(
             data_sharding(mesh), local
         )
@@ -699,6 +698,13 @@ def _iter_batches(dataset, batch_size: int, collator=None) -> Iterable[dict]:
     hardened implementation: drop-last, per-key stack-else-list)."""
     from ..features.cache import _batched
 
+    if not hasattr(dataset, "__getitem__"):
+        # _batched would pass-through each raw ROW of an iterable dataset as
+        # a "prepared batch"; the trainer needs indexed row datasets.
+        raise TypeError(
+            f"SaeTrainer needs an indexable row dataset (got "
+            f"{type(dataset).__name__}); materialize the iterable first"
+        )
     if collator is None:
         yield from _batched(dataset, batch_size)
         return
