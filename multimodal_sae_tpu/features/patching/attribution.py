@@ -281,6 +281,15 @@ class Attribution:
         self.batch = _repack_left_padded(
             self.model.prepare_inputs(images=images, prompt_ids=prompt_ids)
         )
+        am = self.batch.get("attention_mask")
+        if am is not None and np.asarray(am).all():
+            # An all-ones mask is semantically absent; dropping it host-side
+            # lets the flash path run segment-id-free (512-wide blocks, 3.4x
+            # — llama.py flash_attention) through both the prefix capture
+            # and the per-feature suffix forwards.
+            self.batch = {
+                k: v for k, v in self.batch.items() if k != "attention_mask"
+            }
         self.metric = partial(
             get_logit_diff, answer_token_indices=jnp.asarray(self.answer_ids)
         )
