@@ -534,3 +534,19 @@ def test_capture_with_explicit_masks():
     np.testing.assert_allclose(
         np.asarray(c_pad["layers.1"]), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_flash_block_sizes_construct():
+    """The 512-wide BlockSizes the TPU branch builds must stay constructible
+    against the installed jax (the CPU tests never execute that branch, so a
+    kwarg rename in jax would otherwise surface only on hardware)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    b = 512
+    bs = _fa.BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b,
+        block_k_dkv=b, block_q_dkv=b,
+        block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
+    assert bs.block_q == 512 and bs.block_k_major == 512
