@@ -34,7 +34,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 _HDR = 256  # reserved bytes for `u64 len | JSON + space padding`
-_DTYPE_TAGS = {"float32": "F32", "float16": "F16", "int64": "I64"}
+_DTYPE_TAGS = {
+    "float32": "F32",
+    "float16": "F16",
+    "float64": "F64",
+    "bfloat16": "BF16",
+    "int64": "I64",
+}
 
 
 class _SplitAppender:
@@ -54,6 +60,15 @@ class _SplitAppender:
     def append(self, locs: np.ndarray, acts: np.ndarray):
         if self.act_dtype is None:
             self.act_dtype = acts.dtype
+        # Raw-byte streaming: the finalize header derives byte offsets from
+        # these dtypes, so a silent mismatch would desynchronize the file.
+        if locs.dtype != np.int64:
+            raise TypeError(f"locations must be int64, got {locs.dtype}")
+        if acts.dtype != self.act_dtype:
+            raise TypeError(
+                f"activation dtype changed mid-stream: "
+                f"{self.act_dtype} -> {acts.dtype}"
+            )
         self.f.write(memoryview(np.ascontiguousarray(locs)))
         self.f_act.write(memoryview(np.ascontiguousarray(acts)))
         self.n += len(acts)
@@ -116,6 +131,14 @@ class StreamingSplitWriter:
         self.split_indices = list(split_indices)
         self.rank = rank
         self.act_dtype = np.dtype(act_dtype)
+        if self.act_dtype.name not in _DTYPE_TAGS:
+            # Validate up front: a KeyError at finalize() would discard the
+            # whole run's cache compute.
+            raise TypeError(
+                f"streaming writer cannot serialize activation dtype "
+                f"{self.act_dtype} (supported: {sorted(_DTYPE_TAGS)}); "
+                "use the buffered save_splits path"
+            )
         self.boundaries = np.array(
             [s for s, _ in self.split_indices] + [self.split_indices[-1][1] + 1],
             dtype=np.int64,
@@ -147,6 +170,23 @@ class StreamingSplitWriter:
         if len(acts):
             self._put((module_path, locs, acts))
 
+    def abort(self):
+        """Close every open shard and remove the partial files (zeroed
+        headers + .acts sidecars) so a failed run leaves no unparseable
+        shards for a retry or rank-0 merge to trip over."""
+        for app in self._appenders.values():
+            for fh in (app.f, app.f_act):
+                try:
+                    fh.close()
+                except Exception:
+                    pass
+            for path in (app.path, app.path + ".acts"):
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        self._appenders.clear()
+
     def close(self, extra_modules: Sequence[str] = ()) -> Dict[str, int]:
         """Drain the queue, finalize every shard header (creating empty
         shards for splits a module never touched, like the buffered path),
@@ -157,9 +197,14 @@ class StreamingSplitWriter:
         created by actual data, and a hookpoint whose filtered features never
         fired would otherwise have no Rank files at all, breaking the rank-0
         merge (which iterates every cached module)."""
-        self._put(None)
+        try:
+            self._put(None)
+        except BaseException:
+            self.abort()
+            raise
         self._thread.join()
         if self._error:
+            self.abort()
             raise self._error[0]
         for module in set(self.modules()) | set(extra_modules):
             for split_i in range(len(self.split_indices)):

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -65,6 +66,7 @@ class ModuleShardedTrainer:
         mesh: Mesh,
         lr: float,
         auxk_alpha: float = 0.0,
+        seed: int = 0,
     ):
         assert mesh.shape["module"] == num_modules
         self.cfg = cfg
@@ -74,7 +76,7 @@ class ModuleShardedTrainer:
         self.auxk_alpha = auxk_alpha
         self.optimizer = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
-        keys = jax.random.split(jax.random.PRNGKey(0), num_modules)
+        keys = jax.random.split(jax.random.PRNGKey(seed), num_modules)
         params = jax.vmap(lambda k: init_params(k, d_in, cfg))(keys)
         opt_state = jax.vmap(self.optimizer.init)(params)
 
@@ -90,7 +92,13 @@ class ModuleShardedTrainer:
 
         def per_module_update(params, opt_state, hiddens, dead_mask):
             """Standard single-SAE update (renorm → grad → clip → project →
-            Adam), running on one device for its module."""
+            Adam), running on one device for its module.
+
+            Mirrors SaeTrainer's accumulate/apply_updates math
+            (train/trainer.py): any change to the loss weighting, clip
+            epsilon, or projection order there must land here too —
+            tests/test_module_sharded.py's independent-training parity test
+            is the drift tripwire."""
             if cfg.normalize_decoder:
                 params = set_decoder_norm_to_unit_norm(params)
 
@@ -149,6 +157,15 @@ class ModuleShardedTrainer:
                 over the global batch, batch-sharded over the mesh.
             dead_mask: (M, L) bool.
         Returns (fvu (M,), fired (M, L))."""
+        M, N = hiddens_stacked.shape[:2]
+        if M != self.num_modules or N % self.num_modules != 0:
+            # The P(None, 'module') sharding + tiled all_to_all need an
+            # (M, N, d) operand with M == num_modules and N divisible by it;
+            # violations otherwise surface as opaque partitioner errors.
+            raise ValueError(
+                f"hiddens_stacked must be (num_modules={self.num_modules}, "
+                f"N % {self.num_modules} == 0, d); got (M={M}, N={N}, ...)"
+            )
         params, opt_state, fvu, fired = self._step(
             self.state.params, self.state.opt_state, hiddens_stacked, dead_mask
         )
@@ -156,5 +173,16 @@ class ModuleShardedTrainer:
         return fvu, fired
 
     def module_params(self, m: int) -> dict:
-        """Unstacked parameters of module m (host-side convenience)."""
+        """Unstacked parameters of module m (host-side convenience).
+
+        Multi-host meshes shard the module axis across processes, so the
+        leaves are not fully addressable locally — gather them with a host
+        allgather instead of `device_get` (which raises there)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return jax.tree_util.tree_map(
+                lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True))[m],
+                self.state.params,
+            )
         return jax.tree_util.tree_map(lambda a: jax.device_get(a)[m], self.state.params)

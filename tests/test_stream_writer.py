@@ -192,3 +192,52 @@ def test_concate_raises_on_missing_rank_shards(tmp_path):
             os.remove(tmp_path / "layers.0" / f)
     with pytest.raises(FileNotFoundError, match="missing"):
         fc.concate_safetensors(N_SPLITS, str(tmp_path))
+
+
+def test_streaming_rejects_unserializable_dtype(tmp_path):
+    """An unsupported activation dtype must fail at enable time, not at
+    finalize after the whole run."""
+    from multimodal_sae_tpu.features.stream_writer import StreamingSplitWriter
+
+    with pytest.raises(TypeError, match="cannot serialize"):
+        StreamingSplitWriter(str(tmp_path), [(0, 7)], act_dtype=np.complex64)
+
+
+def test_streaming_f64_roundtrip(tmp_path):
+    """float64 shards (previously a KeyError at finalize) stream and parse."""
+    from safetensors.numpy import load_file
+
+    from multimodal_sae_tpu.features.stream_writer import StreamingSplitWriter
+
+    w = StreamingSplitWriter(str(tmp_path), [(0, 7)], act_dtype=np.float64)
+    locs = np.array([[0, 1, 2], [0, 3, 5]], np.int64)
+    acts = np.array([1.5, 2.5], np.float64)
+    w.submit("m", locs, acts)
+    counts = w.close()
+    assert counts == {"m": 2}
+    data = load_file(str(tmp_path / "m" / "Rank0_0_7.safetensors"))
+    assert data["activations"].dtype == np.float64
+    np.testing.assert_array_equal(data["activations"], acts)
+    np.testing.assert_array_equal(data["locations"], locs)
+
+
+def test_streaming_worker_error_aborts_cleanly(tmp_path):
+    """A worker failure must surface AND leave no partial zero-header shards
+    behind for a retry/merge to choke on."""
+    from multimodal_sae_tpu.features import stream_writer as swmod
+
+    w = swmod.StreamingSplitWriter(str(tmp_path), [(0, 7)])
+    locs = np.array([[0, 1, 2]], np.int64)
+    acts = np.array([1.0], np.float32)
+    w.submit("m", locs, acts)
+
+    # Inject a failure into the worker's append path for the next chunk.
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    w._append_chunk = boom
+    with pytest.raises(OSError, match="disk full"):
+        w.submit("m", locs, acts)
+        w.close()
+    leftovers = list(tmp_path.rglob("*.safetensors")) + list(tmp_path.rglob("*.acts"))
+    assert leftovers == [], leftovers
