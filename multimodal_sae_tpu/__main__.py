@@ -36,20 +36,15 @@ def load_artifacts(args: RunConfig):
             int8_matmul=args.int8_matmul,
             flash_attention=args.flash_attention,
             tp=args.tp,
+            hf_token=args.hf_token,
         )
 
     if args.dataset.endswith(".bin"):
         dataset = MemmapDataset(args.dataset, args.ctx_len, args.max_examples)
     else:
-        from datasets import Dataset, load_dataset
+        from .launch.utils import load_any_dataset
 
-        try:
-            dataset = load_dataset(args.dataset, split=args.split, trust_remote_code=True)
-        except ValueError as e:
-            if "load_from_disk" in str(e):
-                dataset = Dataset.load_from_disk(args.dataset, keep_in_memory=False)
-            else:
-                raise e
+        dataset = load_any_dataset(args.dataset, args.split)
 
         if "input_ids" not in dataset.column_names:
             assert tokenizer is not None, "synthetic model needs a tokenized dataset"
@@ -71,7 +66,7 @@ def load_artifacts(args: RunConfig):
         if limit := args.max_examples:
             dataset = dataset.select(range(limit))
 
-    return model, dataset
+    return model, dataset, tokenizer
 
 
 def run():
@@ -80,7 +75,7 @@ def run():
 
     args = parse_dataclass(RunConfig)
 
-    model, dataset = load_artifacts(args)
+    model, dataset, tokenizer = load_artifacts(args)
 
     world, rank = jax.process_count(), jax.process_index()
     if world > 1:
@@ -93,13 +88,14 @@ def run():
 
     collator = None
     if args.mm_data:
-        from transformers import AutoTokenizer
-
         from .train.collator import DataCollatorForImage
 
-        collator = DataCollatorForImage(
-            tokenizer=AutoTokenizer.from_pretrained(args.model)
-        )
+        if tokenizer is None:
+            raise ValueError(
+                "--mm_data needs the subject checkpoint's tokenizer for "
+                "padding; a synthetic:// subject has none"
+            )
+        collator = DataCollatorForImage(tokenizer=tokenizer)
 
     trainer = SaeTrainer(args, dataset, model, collator=collator)
     if args.resume:

@@ -16,7 +16,7 @@ from .constructors import (
     random_activation_windows,
     random_activations_image,
 )
-from .samplers import sample, sample_with_explanation
+from .samplers import SkipRecord, sample, sample_with_explanation
 
 __all__ = [
     "Example",

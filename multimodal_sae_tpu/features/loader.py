@@ -172,18 +172,23 @@ class FeatureDataset:
         (reference loader.py:201-259). Returns a generator of per-buffer
         record lists, or one flat list when `collate=True`."""
 
-        def _process(buffer_output: BufferOutput) -> FeatureRecord:
+        from .samplers import SkipRecord
+
+        def _process(buffer_output: BufferOutput) -> Optional[FeatureRecord]:
             record = FeatureRecord(buffer_output.feature)
-            if constructor is not None:
-                constructor(record=record, buffer_output=buffer_output)
-            if sampler is not None:
-                sampler(record)
-            if transform is not None:
-                transform(record)
+            try:
+                if constructor is not None:
+                    constructor(record=record, buffer_output=buffer_output)
+                if sampler is not None:
+                    sampler(record)
+                if transform is not None:
+                    transform(record)
+            except SkipRecord:
+                return None
             return record
 
         def _worker(buffer: TensorBuffer):
-            return [_process(out) for out in buffer]
+            return [r for out in buffer if (r := _process(out)) is not None]
 
         if collate:
             all_records = []

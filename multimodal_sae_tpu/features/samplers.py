@@ -20,6 +20,14 @@ from ..config import ExperimentConfig
 from .features import Example, FeatureRecord
 
 
+class SkipRecord(Exception):
+    """Raised by a constructor/sampler to drop a record from the loader
+    stream (FeatureDataset.load catches it).  Deviation from the reference:
+    its `sample_with_explanation` KeyErrors on a cached feature the explain
+    run never covered (reference samplers.py:86-90), aborting the whole
+    scoring pipeline; we skip the record with a warning instead."""
+
+
 def split_activation_quantiles(
     examples: List[Example], n_quantiles: int, n_samples: int, seed: int = 22
 ):
@@ -93,4 +101,13 @@ def sample_with_explanation(
 ):
     """Sample + attach a previously-saved explanation (reference samplers.py:86-90)."""
     sample(record, cfg)
-    record.explanation = explanations[f"{record.feature}"]
+    try:
+        record.explanation = explanations[f"{record.feature}"]
+    except KeyError:
+        from ..logger import logger
+
+        logger.warning(
+            f"No explanation for {record.feature}; skipping (was it excluded "
+            "from the explain run by filters/--selected_layers?)"
+        )
+        raise SkipRecord(f"{record.feature}") from None

@@ -27,6 +27,7 @@ def main(cfg: CacheConfig):
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
         tp=cfg.tp,
+        hf_token=cfg.hf_token,
     )
 
     logger.info(f"Load Dataset : {cfg.dataset}")

@@ -72,8 +72,12 @@ def main(args):
         client=client, tokenizer=tokenizer, verbose=True, activations=True
     )
     pipeline = Pipeline(loader, process_wrapper(explainer, postprocess=on_result))
-    asyncio.run(pipeline.run(max_processes=4))
-    client.clean()
+    try:
+        asyncio.run(pipeline.run(max_processes=4))
+    finally:
+        # Always reap the spawned serving subprocess, even when the
+        # pipeline raises (it holds every accelerator at tp=8).
+        client.clean()
 
 
 if __name__ == "__main__":

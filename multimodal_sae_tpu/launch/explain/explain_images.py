@@ -84,8 +84,10 @@ def main(args):
         loader,
         process_wrapper(ImageExplainer(client=client, verbose=True), postprocess=on_result),
     )
-    asyncio.run(pipeline.run(max_processes=4))
-    client.clean()
+    try:
+        asyncio.run(pipeline.run(max_processes=4))
+    finally:
+        client.clean()
 
 
 if __name__ == "__main__":

@@ -29,8 +29,10 @@ def parse_argument():
         help="The model name of your trained model",
     )
     parser.add_argument("--image-path", "-i", type=str, default=None)
-    parser.add_argument("--text", "-t", type=str, help="The prompt text")
-    parser.add_argument("--sae-path", type=str, help="SAE path, hub or local")
+    parser.add_argument("--text", "-t", type=str, required=True, help="The prompt text")
+    parser.add_argument(
+        "--sae-path", type=str, required=True, help="SAE path, hub or local"
+    )
     parser.add_argument(
         "--filters",
         type=str,

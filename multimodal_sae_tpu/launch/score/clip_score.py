@@ -51,7 +51,7 @@ def main():
     parser.add_argument("--refine-cache", type=str, default=None)
     parser.add_argument("--save-refine-path", type=str)
     parser.add_argument("--explanation_dir", type=str)
-    parser.add_argument("--save-score-path", type=str)
+    parser.add_argument("--save-score-path", type=str, required=True)
     parser.add_argument(
         "--evaluation_type",
         "-e",
@@ -60,6 +60,9 @@ def main():
         choices=["default", "random", "generated"],
     )
     args = parser.parse_args()
+    if args.refine_cache is None and args.save_refine_path is None:
+        # Fail at parse time, not after the refine LLM pass has run.
+        parser.error("--save-refine-path is required when no --refine-cache is given")
 
     scorer = build_scorer(args)
     ensure_refined(scorer, args)

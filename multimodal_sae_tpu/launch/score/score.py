@@ -86,8 +86,10 @@ def main(args):
         activations=True,
     )
     pipeline = Pipeline(loader, process_wrapper(scorer, postprocess=on_result))
-    asyncio.run(pipeline.run(max_processes=4))
-    client.clean()
+    try:
+        asyncio.run(pipeline.run(max_processes=4))
+    finally:
+        client.clean()
 
 
 if __name__ == "__main__":

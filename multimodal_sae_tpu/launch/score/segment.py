@@ -32,7 +32,7 @@ def parse_args():
     parser.add_argument("--segmentor", type=str, default="facebook/sam-vit-huge")
     parser.add_argument("--refine-cache", type=str, default=None)
     parser.add_argument("--save-refine-path", type=str)
-    parser.add_argument("--save-score-path", type=str)
+    parser.add_argument("--save-score-path", type=str, required=True)
     parser.add_argument("--eval-type", type=str, default="default", choices=["default", "random"])
     parser.add_argument("--filters", type=str, default=None)
     parser.add_argument(
@@ -41,7 +41,11 @@ def parse_args():
         default="model.layers.24",
         help="The layer of the model to be evaluated on, such as `model.layers.24`",
     )
-    return parser.parse_args()
+    args = parser.parse_args()
+    if args.refine_cache is None and args.save_refine_path is None:
+        # Fail at parse time, not after the refine LLM pass has run.
+        parser.error("--save-refine-path is required when no --refine-cache is given")
+    return args
 
 
 def main():
@@ -82,9 +86,11 @@ def main():
                 "Please refine your description first and use the cache result to do the scoring"
             )
         client = SRT(model="meta-llama/Llama-3.1-8B-Instruct", tp=2)
-        refiner = LabelRefiner(client, scorer.filtered_explanation)
-        scorer.refine(refiner, save_path=args.save_refine_path)
-        client.clean()
+        try:
+            refiner = LabelRefiner(client, scorer.filtered_explanation)
+            scorer.refine(refiner, save_path=args.save_refine_path)
+        finally:
+            client.clean()
     else:
         scorer.explanation = json.load(open(args.refine_cache, "r"))
 
@@ -92,9 +98,12 @@ def main():
     if args.eval_type == "default":
         scores = scorer()
     else:
+        # 10 random trials (reference segment.py:150-154).  Each scorer()
+        # call re-drains the loader, and random_activations_image draws a
+        # fresh unseeded sample per call, so no re-init is needed between
+        # trials.
         scores = []
-        for _ in range(10):  # 10 random trials (reference segment.py:150-154)
-            scorer._init_loader(tokens, processor)
+        for _ in range(10):
             scores.extend(scorer())
 
     # Rank-ordered all-gather of the per-rank score lists; rank 0 writes the

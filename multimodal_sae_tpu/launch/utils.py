@@ -13,6 +13,23 @@ import jax.numpy as jnp
 from ..utils.cli import add_dataclass_args, dataclass_from_namespace
 
 
+def _is_llava_checkpoint(model_name_or_path: str) -> bool:
+    """LLaVA detection.  The reference tests `"llava" in model_name`
+    (reference sae_auto_interp/utils.py:70) — fine for hub ids, but a local
+    checkpoint path can contain "llava" in an ancestor directory (or a LLaVA
+    checkpoint can live in a dir not named llava).  For local dirs, trust the
+    checkpoint's own config.json `model_type`; fall back to the name
+    heuristic otherwise."""
+    import json
+    import os
+
+    cfg_file = os.path.join(model_name_or_path, "config.json")
+    if os.path.isdir(model_name_or_path) and os.path.isfile(cfg_file):
+        with open(cfg_file) as f:
+            return "llava" in json.load(f).get("model_type", "")
+    return "llava" in model_name_or_path
+
+
 def load_subject_model(
     model_name_or_path: str,
     dtype=jnp.bfloat16,
@@ -21,10 +38,14 @@ def load_subject_model(
     flash_attention: bool = False,
     remat: bool = False,
     tp: int = 0,
+    hf_token: Optional[str] = None,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
-    sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the name contains
-    "llava", plain LLaMA otherwise.  Returns (model, processor, tokenizer).
+    sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the checkpoint is one
+    (config.json model_type, name substring for hub ids), plain LLaMA
+    otherwise.  Returns (model, processor, tokenizer).  `hf_token`
+    authenticates the tokenizer/processor fetch for gated hub repos
+    (reference passes it to every from_pretrained, utils.py:71-84).
 
     `load_in_8bit` quantizes the language-model weights to per-channel int8
     with dequant-on-use (models/quant.py) — the TPU equivalent of the
@@ -61,7 +82,7 @@ def load_subject_model(
 
     from ..models.quant import quantize_llama_params
 
-    if "llava" in model_name_or_path:
+    if _is_llava_checkpoint(model_name_or_path):
         from transformers import LlavaNextProcessor
 
         from ..models.llava_next import LlavaNextModel, load_llava_next
@@ -87,7 +108,9 @@ def load_subject_model(
             ),
         )
         model = LlavaNextModel(params, cfg)
-        processor = LlavaNextProcessor.from_pretrained(model_name_or_path)
+        processor = LlavaNextProcessor.from_pretrained(
+            model_name_or_path, token=hf_token
+        )
     else:
         from ..models.hf_loader import load_llama
         from ..models.llama import LlamaModel
@@ -102,7 +125,7 @@ def load_subject_model(
         from ..parallel import shard_subject_model
 
         model, _ = shard_subject_model(model, tp)
-    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path, token=hf_token)
     model.generation_config = _load_generation_config(model_name_or_path)
     return model, processor, tokenizer
 
@@ -155,6 +178,7 @@ def load_subject_or_synthetic(cfg):
         int8_matmul=cfg.int8_matmul,
         flash_attention=cfg.flash_attention,
         tp=getattr(cfg, "tp", 0),
+        hf_token=getattr(cfg, "hf_token", None),
     )
 
 
