@@ -51,6 +51,37 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _make_int8_init(lcfg):
+    """Jitted (init_quant_layer, init_quant_rest) pair for building an int8
+    llama param tree ON DEVICE one layer at a time.
+
+    Shared by every int8-subject bench so the init they measure against stays
+    identical.  Per-layer init matters twice here: an eager per-leaf init is
+    ~400 dispatches (minutes through the tunnel), and initializing the full
+    bf16 tree before quantizing holds both copies live (~17 GB) and OOMs the
+    16 GB chip once the SAE lands — callers vmap `init_quant_layer` over the
+    layer keys to land the stacked int8 tree directly."""
+    import dataclasses
+
+    from multimodal_sae_tpu.models.llama import init_llama_params
+    from multimodal_sae_tpu.models.quant import quantize_llama_params
+
+    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
+
+    @jax.jit
+    def init_quant_layer(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        return quantize_llama_params(p)["layers"][0]
+
+    @jax.jit
+    def init_quant_rest(key):
+        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
+        q = quantize_llama_params(p)
+        return {k: v for k, v in q.items() if k != "layers"}
+
+    return init_quant_layer, init_quant_rest
+
+
 def _time(step_fn, params, x, iters=10):
     """Time `iters` executions of step_fn inside ONE jitted fori_loop with a
     true data dependency between iterations, reading back a scalar checksum.
@@ -196,18 +227,7 @@ def full_depth_bench():
     )
     import dataclasses
 
-    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
-
-    @jax.jit
-    def init_quant_layer(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        return quantize_llama_params(p)["layers"][0]
-
-    @jax.jit
-    def init_quant_rest(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        q = quantize_llama_params(p)
-        return {k: v for k, v in q.items() if k != "layers"}
+    init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
 
     _log("initializing 32-layer int8 subject on device...")
     t0 = time.perf_counter()
@@ -290,7 +310,6 @@ def attribution_bench():
     quantized GPU model (reference attribution.py:116-189, SURVEY.md §3.5
     hot loop #4); here the clean forward is hoisted and the corrupted
     fwd+bwd rides vmap.  Reports features attributed/sec/chip."""
-    import dataclasses
 
     from multimodal_sae_tpu.features.patching.utils import get_logit_diff
     from multimodal_sae_tpu.models.llama import (
@@ -325,18 +344,7 @@ def attribution_bench():
         remat=False,
         flash_attention=long,
     )
-    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
-
-    @jax.jit
-    def init_quant_layer(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        return quantize_llama_params(p)["layers"][0]
-
-    @jax.jit
-    def init_quant_rest(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        q = quantize_llama_params(p)
-        return {k: v for k, v in q.items() if k != "layers"}
+    init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
 
     _log("initializing 32-layer int8 subject on device...")
     t0 = time.perf_counter()
@@ -438,6 +446,16 @@ def attribution_bench():
             best = (rate, F, dt)
 
     rate, F, dt = best
+    if F is None and 1 not in sweep:
+        # Every swept width OOMed; try the minimal width once before giving
+        # up so a memory-tight chip still yields a (slow) measurement.
+        _log("  all swept widths OOMed; falling back to F=1")
+        try:
+            r1, d1 = timed_rate(1)
+            best = (r1, 1, d1)
+        except Exception as e:  # noqa: BLE001
+            _log(f"  F=1 also failed ({str(e)[:80]})")
+        rate, F, dt = best
     if F is None:
         raise RuntimeError("every feature-batch width OOMed — see stderr log")
     print(
@@ -464,7 +482,6 @@ def llava_image_bench():
     ~2.3k packed image tokens through the subject, so honest images/s is
     tokens/s ÷ ~2342, NOT ÷ ctx 64 (the reference's ctx_len is "meaningless
     for images", reference README.md:45)."""
-    import dataclasses
 
     from PIL import Image
 
@@ -490,18 +507,7 @@ def llava_image_bench():
     # CLIP-L/14 @ 336 — the llava-next tower (opt-in int8 MXU matmuls)
     vcfg = ClipVisionConfig(int8_matmul=int8_vision)
     cfg = LlavaNextConfig(text_config=lcfg, vision_config=vcfg)
-    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
-
-    @jax.jit
-    def init_quant_layer(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        return quantize_llama_params(p)["layers"][0]
-
-    @jax.jit
-    def init_quant_rest(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        q = quantize_llama_params(p)
-        return {k: v for k, v in q.items() if k != "layers"}
+    init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
 
     def init_vision(key):
         D, I, P = vcfg.hidden_size, vcfg.intermediate_size, vcfg.patch_size
@@ -591,7 +597,6 @@ def llava_image_bench():
         _anyres_geometry_sweep(model, sae_params, sae_cfg, hook, prompt, topk)
         return
 
-    import numpy as _np
 
     # Host prep + pixel upload staged once: PIL preprocessing is host CPU
     # (overlappable with device work in the real pipeline) and this platform
@@ -713,7 +718,6 @@ def steering_bench():
     ride the batch axis (features/steering.py clamp_features_max_batched).
     Reports steered generations/s/chip; vs_baseline = the measured batching
     speedup (F=8 batched vs 8x the F=1 path)."""
-    import dataclasses
 
     from multimodal_sae_tpu.features.steering import clamp_features_max_batched
     from multimodal_sae_tpu.models.llama import (
@@ -734,18 +738,7 @@ def steering_bench():
         tie_word_embeddings=True,
         int8_matmul=True,
     )
-    one_layer = dataclasses.replace(lcfg, num_hidden_layers=1)
-
-    @jax.jit
-    def init_quant_layer(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        return quantize_llama_params(p)["layers"][0]
-
-    @jax.jit
-    def init_quant_rest(key):
-        p = init_llama_params(key, one_layer, dtype=jnp.bfloat16)
-        q = quantize_llama_params(p)
-        return {k: v for k, v in q.items() if k != "layers"}
+    init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
 
     _log("initializing 32-layer int8 subject on device...")
     keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
@@ -825,9 +818,11 @@ def steering_bench():
             best = (F / dt, F, dt)
     rate, F, dt_b = best
     if F is None:
-        raise RuntimeError(
-            "steering sweep: every feature-batch width OOMed — no measurement"
-        )
+        # The whole sweep OOMed, but the sequential F=1 measurement was taken
+        # FIRST (precisely for this case) and is valid — report it rather
+        # than discarding the ~10-min init + measurement.
+        _log("  steering sweep: every batched width OOMed; reporting F=1")
+        rate, F, dt_b = 1.0 / dt_1, 1, dt_1
     print(
         json.dumps(
             {

@@ -9,12 +9,16 @@ reduction (4.3 GB -> ~1.1 GB at flagship shape).  Each step dequantizes,
 applies the standard bias-corrected Adam update, and requantizes — all
 in-jit, so the fp32 moments exist only as fused temporaries.
 
-bitsandbytes uses a non-linear dynamic quantization map; this uses linear
-symmetric quantization, which is simpler, exactly representable on the VPU,
-and within the same error regime at block=2048 (relative error <= 1/254 of
-the block absmax per step).  Like bitsandbytes (`min_8bit_size=4096`),
-leaves smaller than 4096 elements keep fp32 moments — quantization noise
-dominates tiny problems while saving nothing.
+bitsandbytes uses a non-linear dynamic quantization map; this uses power
+companding (cube-root for the signed m, 4th-root for the non-negative v),
+which is VPU-cheap and — unlike a LINEAR int8 map — keeps coordinates whose
+moment is small relative to the block absmax from underflowing to zero.
+That matters: with a linear map, any |m| < absmax/254 requantizes to 0
+every step, so latents sharing a block with one large-gradient outlier
+never accumulate momentum and their Adam update collapses (~10x too small,
+measured vs `optax.scale_by_adam`).  Like bitsandbytes
+(`min_8bit_size=4096`), leaves smaller than 4096 elements keep fp32
+moments — quantization noise dominates tiny problems while saving nothing.
 """
 
 from __future__ import annotations
@@ -33,12 +37,17 @@ def _pad_len(n: int) -> int:
 
 
 def _quant_signed(x: jax.Array):
-    """f32 (nb, B) -> (int8, scale (nb,))."""
+    """f32 (nb, B) -> (int8, absmax (nb,)) with cube-root companding.
+
+    q = round(127 * cbrt(m/absmax)): the smallest representable nonzero
+    |m| is (0.5/127)^3 * absmax ~ 6e-8 * absmax (vs absmax/254 linear),
+    so small-momentum coordinates keep updating even when their block
+    holds a large-gradient outlier."""
     absmax = jnp.max(jnp.abs(x), axis=1)
-    scale = absmax / 127.0
-    safe = jnp.where(scale == 0, 1.0, scale)
-    q = jnp.clip(jnp.round(x / safe[:, None]), -127, 127).astype(jnp.int8)
-    return q, scale
+    safe = jnp.where(absmax == 0, 1.0, absmax)
+    r = x / safe[:, None]
+    q = jnp.clip(jnp.round(127.0 * jnp.cbrt(r)), -127, 127).astype(jnp.int8)
+    return q, absmax
 
 
 def _quant_unsigned(x: jax.Array):
@@ -77,8 +86,9 @@ def _unblocked(x2: jax.Array, shape) -> jax.Array:
     return x2.reshape(-1)[:n].reshape(shape)
 
 
-def _deq(q: jax.Array, scale: jax.Array) -> jax.Array:
-    return q.astype(jnp.float32) * scale[:, None]
+def _deq(q: jax.Array, absmax: jax.Array) -> jax.Array:
+    r = q.astype(jnp.float32) / 127.0
+    return (r * r * r) * absmax[:, None]
 
 
 class ScaleByAdam8bitState(NamedTuple):
@@ -135,6 +145,12 @@ def scale_by_adam8bit(
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1**c
         bc2 = 1.0 - b2**c
+        # Exact Adam's per-step update is bounded by max(1, (1-b1)/sqrt(1-b2))
+        # (Kingma & Ba §2.1).  Requantization noise can violate it — e.g. v
+        # underflowing its uint8 floor while m lands on its lowest nonzero
+        # level gives m/eps-style spikes (measured 28x) — so the quantized
+        # path clips to the bound exact Adam already satisfies.
+        u_bound = max(1.0, (1.0 - b1) / (1.0 - b2) ** 0.5)
 
         def upd_leaf(g, mq, ms, vq, vs):
             if g.size < min_8bit_size:  # fp32 path for small leaves
@@ -147,6 +163,7 @@ def scale_by_adam8bit(
             m = b1 * _deq(mq, ms) + (1.0 - b1) * g2
             v = b2 * _deq_unsigned(vq, vs) + (1.0 - b2) * g2 * g2
             u2 = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            u2 = jnp.clip(u2, -u_bound, u_bound)
             mq2, ms2 = _quant_signed(m)
             vq2, vs2 = _quant_unsigned(v)
             return _unblocked(u2, g.shape).astype(g.dtype), mq2, ms2, vq2, vs2

@@ -84,7 +84,12 @@ def _use_pallas() -> bool:
     if os.environ.get("MMSAE_ENABLE_PALLAS") != "1":
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # TPU devices only (same detection as pallas_topk._on_tpu): the
+        # Mosaic kernel does not lower on GPU, and silently falling into
+        # interpret mode there would be a perf trap — non-TPU platforms take
+        # the jnp.take path instead.  (Tests drive interpret mode by calling
+        # `pallas_gather_rows(..., interpret=True)` directly.)
+        return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
 

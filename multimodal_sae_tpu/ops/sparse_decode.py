@@ -148,7 +148,7 @@ sparse_decode.defvjp(_sparse_decode_fwd, _sparse_decode_bwd)
 
 def topk_mask_decode(
     pre_acts: jax.Array, W_dec: jax.Array, k: int
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Training fast path: decode the top-k of `pre_acts` without ever
     materializing (vals, idx).
 

@@ -153,6 +153,28 @@ def _one_hot_gather_int(table: jax.Array, pos: jax.Array) -> jax.Array:
     return out.astype(table.dtype)
 
 
+def _permute_payload_bits(vals: jax.Array, oh: jax.Array) -> jax.Array:
+    """Apply a one-hot permutation to payloads BIT-EXACTLY for any value.
+
+    Multiplying payload *values* into the one-hot breaks on non-finite
+    entries (0 * -inf = NaN), so the raw bits move instead, as 16-bit
+    planes through f32 one-hot matmuls (each plane < 2^16, exact in f32),
+    then bitcast back.  Exact for ±inf and NaN payloads too."""
+    hp = jax.lax.Precision.HIGHEST
+    if vals.dtype.itemsize == 2:
+        bits = jax.lax.bitcast_convert_type(vals, jnp.uint16)
+        p = jnp.einsum("...k,...kj->...j", bits.astype(jnp.float32), oh,
+                       precision=hp)
+        return jax.lax.bitcast_convert_type(p.astype(jnp.uint16), vals.dtype)
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    lo = (bits & 0xFFFF).astype(jnp.float32)
+    hi = (bits >> 16).astype(jnp.float32)
+    lo_s = jnp.einsum("...k,...kj->...j", lo, oh, precision=hp)
+    hi_s = jnp.einsum("...k,...kj->...j", hi, oh, precision=hp)
+    out = (hi_s.astype(jnp.uint32) << 16) | lo_s.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(out, vals.dtype)
+
+
 def sort_pairs_by_index(
     idx: jax.Array, vals: jax.Array, max_index: Optional[int] = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -161,14 +183,16 @@ def sort_pairs_by_index(
     For the (n, k<=1024) unique-int-index case (top-k output), a rank
     permutation applied with one-hot MXU matmuls: rank_i = #{j: idx_j <
     idx_i} is exact for *unique* indices (top-k positions always are), and
-    the permutation matmul copies payloads bit-for-bit (1.0 * v with HIGHEST
-    precision).  XLA's `sort_key_val` lowering costs ~20 ms composed after
-    the blockmax pipeline at (4096, 256) on v5e; this costs <1 ms.  Falls
-    back to `lax.sort_key_val` when the exactness preconditions don't hold:
-    wide k, f64 payloads, or index values not provably < 2^24 (pass
+    the permutation moves payload BITS as 16-bit planes (exact f32
+    matmuls), so ±inf/NaN payloads survive bit-for-bit — a value-multiply
+    formulation would NaN them (0 * -inf).  XLA's `sort_key_val` lowering
+    costs ~20 ms composed after the blockmax pipeline at (4096, 256) on
+    v5e; this costs <1 ms.  Falls back to `lax.sort_key_val` when the
+    exactness preconditions don't hold: wide k, payload itemsize not
+    2/4 bytes (e.g. f64), or index values not provably < 2^24 (pass
     `max_index` — e.g. the top-k width — to assert that bound)."""
     k = idx.shape[-1]
-    if k > 1024 or vals.dtype == jnp.float64 or (
+    if k > 1024 or vals.dtype.itemsize not in (2, 4) or (
         max_index is None or max_index >= 1 << 24
     ):
         i, v = jax.lax.sort_key_val(idx, vals, dimension=-1)
@@ -177,12 +201,7 @@ def sort_pairs_by_index(
         (idx[..., None, :] < idx[..., :, None]).astype(jnp.int32), axis=-1
     )
     oh = jax.nn.one_hot(ranks, k, dtype=jnp.float32)
-    vals_s = jnp.einsum(
-        "...k,...kj->...j",
-        vals.astype(jnp.float32),
-        oh,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(vals.dtype)
+    vals_s = _permute_payload_bits(vals, oh)
     idx_s = jnp.einsum(
         "...k,...kj->...j",
         idx.astype(jnp.float32),
@@ -261,9 +280,15 @@ def blockmax_top_k(
 
 def _monotone_key(x: jax.Array) -> jax.Array:
     """float -> unsigned int of the same width with key(a) < key(b) iff a < b
-    (NaNs unspecified). f32 -> uint32, bf16/f16 -> uint16."""
+    (NaNs unspecified). f64 -> uint64, f32 -> uint32, bf16/f16 -> uint16.
+
+    The sign-flip transform is IEEE-float-specific (two's-complement ints
+    would need bits ^ sign instead), so non-float inputs raise rather than
+    silently mis-rank."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(f"kth_value requires a float dtype, got {x.dtype}")
     nbits = x.dtype.itemsize * 8
-    udtype = jnp.uint32 if nbits == 32 else jnp.uint16
+    udtype = {16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[nbits]
     sign = udtype(1 << (nbits - 1))
     bits = jax.lax.bitcast_convert_type(x, udtype)
     return jnp.where(bits & sign != 0, ~bits, bits | sign)

@@ -25,9 +25,53 @@ def test_quant_roundtrip_error_bound():
     x = jnp.asarray(rng.normal(size=(4, 2048)).astype(np.float32))
     q, s = _quant_signed(x)
     err = np.abs(np.asarray(_deq(q, s)) - np.asarray(x))
-    # Linear symmetric int8: error <= absmax / 254 per block.
-    bound = np.asarray(jnp.max(jnp.abs(x), axis=1)) / 254.0
+    # Cube-root companding: |error| <= half a quantization step, widest at
+    # the top of the range: 3 * absmax / 254 per block.
+    bound = 3.0 * np.asarray(jnp.max(jnp.abs(x), axis=1)) / 254.0
     assert (err <= bound[:, None] + 1e-7).all()
+
+
+def test_signed_companding_preserves_small_m():
+    """Small first-moment coordinates sharing a block with a large-gradient
+    outlier must NOT requantize to zero — the linear-map failure mode that
+    froze their Adam update (measured ~10x-too-small updates)."""
+    amax = 4.0
+    m = np.array(
+        [amax * 10.0**-k for k in range(0, 6)] + [-amax * 1e-5, 0.0],
+        np.float32,
+    )[None, :]
+    q, s = _quant_signed(jnp.asarray(m))
+    back = np.asarray(_deq(q, s))[0]
+    for o, b in zip(m[0, :-1], back[:-1]):  # down to 1e-5 * absmax
+        assert b != 0.0 and np.sign(b) == np.sign(o), (o, b)
+        assert abs(b - o) <= 0.8 * abs(o), (o, b)
+    assert back[-1] == 0.0  # exact zero stays zero
+
+
+def test_small_gradient_coords_keep_updating():
+    """Coordinates with |g| far below their block's absmax must receive
+    ~full-size Adam updates (vs optax), and requantization noise must never
+    exceed exact Adam's per-step bound max(1, (1-b1)/sqrt(1-b2))."""
+    key = jax.random.PRNGKey(0)
+    n = 8192
+    # grads spanning 8 decades plus a per-block outlier
+    g = jax.random.normal(key, (n,)) * jnp.exp(
+        jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=-18, maxval=0)
+    )
+    g = g.at[::2048].set(5.0)
+    grads = {"w": g}
+    params = {"w": jnp.zeros((n,))}
+    ref, q8 = optax.scale_by_adam(), scale_by_adam8bit()
+    rs, qs = ref.init(params), q8.init(params)
+    for _ in range(20):
+        ur, rs = ref.update(grads, rs)
+        uq, qs = q8.update(grads, qs)
+    ur, uq = np.asarray(ur["w"]), np.asarray(uq["w"])
+    small = np.abs(np.asarray(g)) < 5.0 / 254
+    # the linear-map regression gave mean |u| ~ 0.11 here (ref ~ 1.0)
+    assert np.abs(uq[small]).mean() > 0.5 * np.abs(ur[small]).mean()
+    bound = max(1.0, 0.1 / np.sqrt(0.001))
+    assert np.abs(uq).max() <= bound + 1e-5
 
 
 def test_unsigned_companding_precision_across_decades():

@@ -2,6 +2,7 @@
 (reference train/sae/tests/test_decode.py:6-20): every custom formulation is
 checked against the straightforward eager implementation."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,3 +182,73 @@ def test_geometric_median_identical_points_no_nan():
     med = geometric_median(jnp.ones((8, 4)) * 3.5)
     np.testing.assert_allclose(np.asarray(med), 3.5, atol=1e-5)
     assert np.isfinite(np.asarray(med)).all()
+
+
+def test_sort_pairs_by_index_nonfinite_payloads():
+    """The MXU rank-permutation path must move payload BITS, not values:
+    a value-multiply formulation NaNs every output when any payload is
+    non-finite (0 * -inf).  Exercises -inf, NaN, bf16, and the composed
+    blockwise_top_k-on-a-masked-row case from the cache step."""
+    from multimodal_sae_tpu.ops import sort_pairs_by_index
+
+    idx = jnp.array([[5, 2, 9, 1]])
+    vals = jnp.array([[1.0, -jnp.inf, jnp.nan, 2.0]])
+    for dt in (jnp.float32, jnp.bfloat16):
+        i, v = sort_pairs_by_index(idx, vals.astype(dt), max_index=100)
+        ri, rv = jax.lax.sort_key_val(idx, vals.astype(dt), dimension=-1)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(
+            np.asarray(v, np.float32), np.asarray(rv, np.float32)
+        )
+
+    # masked row through the documented -inf-capable top-k, then the sort
+    x = jnp.full((1, 512), -jnp.inf).at[0, :8].set(jnp.arange(8.0))
+    bv, bi = blockwise_top_k(x, 128)
+    si, sv = sort_pairs_by_index(bi, bv, max_index=512)
+    assert int(jnp.isnan(sv).sum()) == 0
+    assert int(jnp.isinf(sv).sum()) == 120  # the 120 masked winners stay -inf
+
+    # random unique-index parity sweep (finite + one -inf per row)
+    key = jax.random.PRNGKey(0)
+    for n, k in [(16, 256), (4, 1024), (7, 33)]:
+        perm = jax.vmap(
+            lambda s: jax.random.permutation(jax.random.fold_in(key, s), 1 << 20)[:k]
+        )(jnp.arange(n))
+        vs = jax.random.normal(jax.random.fold_in(key, 99), (n, k)).at[:, 0].set(-jnp.inf)
+        ai, av = sort_pairs_by_index(perm, vs, max_index=1 << 20)
+        bi_, bv_ = jax.lax.sort_key_val(perm, vs, dimension=-1)
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi_))
+        np.testing.assert_array_equal(np.asarray(av), np.asarray(bv_))
+
+
+def test_kth_value_f64_and_int_guard():
+    """f64 keys ride a uint64 monotone key (the old uint16 fallback bitcast
+    appended a trailing dim and broke shapes under x64); int inputs raise
+    rather than silently mis-ranking through the IEEE sign-flip."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "from multimodal_sae_tpu.ops import kth_value;"
+        "x = jax.random.normal(jax.random.PRNGKey(3), (5, 1000), dtype=jnp.float64);"
+        "assert x.dtype == jnp.float64;"
+        "ref = jnp.sort(x, axis=-1)[:, -17][:, None];"
+        "assert (kth_value(x, 17) == ref).all()"
+    )
+    env = {
+        "JAX_ENABLE_X64": "1",
+        "JAX_PLATFORMS": "cpu",
+        "PATH": os.environ.get("PATH", ""),
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+    from multimodal_sae_tpu.ops import kth_value
+
+    with pytest.raises(TypeError):
+        kth_value(jnp.arange(10)[None], 3)
