@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import asyncio
 import os
+import re
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -121,7 +122,7 @@ class SegmentScorer:
         self.detect_fn = detect_fn
         self.segment_fn = segment_fn
         self.detect_batch_size = detect_batch_size
-        self._shard_features(filters=filters)
+        self._shard_features(filters=filters, selected_layer=selected_layer)
         self._build_dataset(activation_dir, width, n_splits, selected_layer)
         self._constructor = pool_max_activations_windows_image
         self._loader_tokens = tokens
@@ -146,19 +147,43 @@ class SegmentScorer:
             features=self.filters,
         )
 
-    def _shard_features(self, filters=None):
+    def _shard_features(self, filters=None, selected_layer=None):
         """Split the natsorted explained-feature list over processes
-        (replaces the reference's DDP tensor_split, segment_scorer.py:85-108)."""
+        (replaces the reference's DDP tensor_split, segment_scorer.py:85-108).
+
+        Deliberate fix vs the reference: it sharded POSITIONS (an arange over
+        the key count — using only `len(filters)`) and handed those to
+        FeatureDataset as feature *ids*, which is correct only when the
+        explanations cover the contiguous id range 0..N-1 and ignores the
+        values of `filters` entirely (a probe-generated filter like
+        [523, 8812] would load features 0 and 1).  Here the actual ids are
+        parsed from the explanation keys, intersected with `filters` when
+        given, and THOSE ids are sharded and passed to the loader."""
         self.rank, world = process_index(), process_count()
-        self.features = natsorted(self.explanation.keys())
-        chunk_size = len(self.features) if filters is None else len(filters)
-        self.feature_idx = np.array_split(np.arange(chunk_size), world)[self.rank]
+        keys = natsorted(self.explanation.keys())
+        if selected_layer is not None:
+            scoped = [k for k in keys if k.startswith(f"{selected_layer}_")]
+            # Fall back to every key when none carry the module prefix
+            # (nonstandard explanation files); otherwise scope to the layer.
+            keys = scoped or keys
+        ids = {}
+        for k in keys:
+            m = re.search(r"feature(\d+)$", k)
+            if m is None:
+                logger.warning(f"explanation key {k!r} has no feature id; skipped")
+                continue
+            ids[k] = int(m.group(1))
+        keys = [k for k in keys if k in ids]
+        if filters is not None:
+            requested = {int(f) for f in np.asarray(filters).ravel().tolist()}
+            keys = [k for k in keys if ids[k] in requested]
+        shard = np.array_split(np.arange(len(keys)), world)[self.rank]
+        self.features = [keys[i] for i in shard.tolist()]
+        self.feature_idx = np.asarray(
+            [ids[k] for k in self.features], dtype=np.int64
+        )
         self.filters = self.feature_idx
-        keep = set(self.feature_idx.tolist())
-        self.features = [f for i, f in enumerate(self.features) if i in keep]
-        self.filtered_explanation = {
-            k: v for k, v in self.explanation.items() if k in self.features
-        }
+        self.filtered_explanation = {k: self.explanation[k] for k in self.features}
 
     def refine(self, refiner: LabelRefiner, save_path):
         """Run the label refiner first (reference segment_scorer.py:121-124)."""
@@ -221,9 +246,14 @@ class SegmentScorer:
                 for i, example in enumerate(record.examples):
                     image = example.image.resize(example.mask.size).convert("RGB")
                     work.append(_WorkItem(feature, i, image, example.mask, label))
-            if len(work) >= max_items:
-                yield ordered, sentinels, work
-                work, ordered, sentinels = [], [], {}
+                # Flush at RECORD boundaries (keeps a feature's examples
+                # together) but check after every record, not per split: one
+                # coarse split (n_splits=8 at width 131k) holds ~16k features,
+                # and a per-split check would decode tens of GB of RGB images
+                # before ever flushing.
+                if len(work) >= max_items:
+                    yield ordered, sentinels, work
+                    work, ordered, sentinels = [], [], {}
         if ordered or work:
             yield ordered, sentinels, work
 

@@ -149,6 +149,43 @@ def _load_generation_config(model_name_or_path: str) -> dict:
     }
 
 
+def prepare_prompt_batch(
+    model,
+    processor,
+    tokenizer,
+    text: Optional[str],
+    image=None,
+    use_chat_template: bool = True,
+    raw_prompt: Optional[str] = None,
+):
+    """Build the (tok, prompt_ids, batch) triple shared by the probing and
+    steering tools (tools/probe_activations.py, tools/model_steering.py):
+    chat-template the text (+ optional image) through the processor — the
+    tokenizer carries the template for text-only subjects — tokenize, and
+    run `prepare_inputs` when an image is present.
+
+    With `use_chat_template=False`, `raw_prompt` is tokenized verbatim."""
+    if use_chat_template:
+        conversation = [
+            {"role": "user", "content": [{"type": "text", "text": text}]}
+        ]
+        if image is not None:
+            conversation[0]["content"].append({"type": "image"})
+        templater = processor if processor is not None else tokenizer
+        prompt = templater.apply_chat_template(
+            conversation, add_generation_prompt=True, tokenize=False
+        )
+    else:
+        prompt = raw_prompt
+    tok = getattr(processor, "tokenizer", tokenizer)
+    prompt_ids = tok(prompt)["input_ids"]
+    if image is not None:
+        batch = model.prepare_inputs(images=[image], prompt_ids=[prompt_ids])
+    else:
+        batch = {"input_ids": [prompt_ids]}
+    return tok, prompt_ids, batch
+
+
 def load_any_dataset(name_or_path: str, split: str = "train"):
     """HF hub dataset, or a local `Dataset.save_to_disk` directory (the
     reference always pulls from the hub; this environment has no egress, so

@@ -77,7 +77,11 @@ def _load():
     _tried = True
     if os.environ.get("MMSAE_DISABLE_NATIVE") == "1":
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    # A shipped .so without its source (binary-only install) is usable as-is;
+    # rebuild only when the source exists and is newer than the binary.
+    if not _LIB.exists() or (
+        _SRC.exists() and _LIB.stat().st_mtime < _SRC.stat().st_mtime
+    ):
         if not _build():
             return None
     try:

@@ -60,8 +60,8 @@ def pallas_gather_rows(W: jax.Array, idx: jax.Array, *, interpret: bool = False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # W stays in HBM
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # gather straight to HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # W stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # gather straight to HBM
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((_ROWS_PER_TILE,)),
         ],

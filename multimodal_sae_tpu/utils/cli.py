@@ -56,12 +56,15 @@ def add_dataclass_args(
             parser.add_argument(name, nargs="?", default=default, help=_field_doc(cls, name))
             continue
 
-        flag = f"--{name}"
+        # Register both spellings (argparse does not treat - and _ as
+        # interchangeable): --expansion_factor and --expansion-factor.
+        dashed = f"--{name.replace('_', '-')}"
+        flags = (f"--{name}",) if dashed == f"--{name}" else (f"--{name}", dashed)
         origin = get_origin(tp)
         if tp is bool:
             group = parser.add_mutually_exclusive_group()
             group.add_argument(
-                flag, dest=name, action="store_true", default=default
+                *flags, dest=name, action="store_true", default=default
             )
             group.add_argument(
                 f"--no-{name.replace('_', '-')}",
@@ -71,15 +74,20 @@ def add_dataclass_args(
             )
         elif origin in (list, typing.List) or tp in (list,):
             elem = (get_args(tp) or (str,))[0]
-            parser.add_argument(flag, dest=name, nargs="*", type=elem, default=default)
+            parser.add_argument(*flags, dest=name, nargs="*", type=elem, default=default)
         elif tp in (int, float, str):
-            parser.add_argument(flag, dest=name, type=tp, default=default)
+            parser.add_argument(*flags, dest=name, type=tp, default=default)
         elif get_origin(tp) is typing.Literal:
             choices = get_args(tp)
-            parser.add_argument(flag, dest=name, choices=choices, default=default)
+            # argv tokens are strings: convert through the member type so
+            # non-string Literals (e.g. Literal[64, 128]) remain matchable.
+            conv = type(choices[0]) if choices and not isinstance(choices[0], str) else None
+            parser.add_argument(
+                *flags, dest=name, choices=choices, default=default, type=conv
+            )
         else:
             # Fallback: parse as string.
-            parser.add_argument(flag, dest=name, type=str, default=default)
+            parser.add_argument(*flags, dest=name, type=str, default=default)
 
 
 def _resolve(cls, annotation: str):

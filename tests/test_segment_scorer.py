@@ -303,3 +303,73 @@ def test_segment_scorer_with_real_models(tmp_path, tiny_zero_shot_pipeline, tiny
     assert ok["k"] == 2 and len(ok["iou_scores"]) == 2
     for iou in ok["iou_scores"]:
         assert -1 <= iou <= 1
+
+
+def _make_sparse_cache(tmp_path, module="model.layers.24", width=64, feats=(5, 9)):
+    """COO cache whose firing features have NON-contiguous ids."""
+    fc = FeatureCache.__new__(FeatureCache)
+    from multimodal_sae_tpu.features.cache import Cache
+
+    fc.cache = Cache(shard_size=0, batch_size=4)
+    fc.width = width
+    rng = np.random.default_rng(0)
+    locs, acts = [], []
+    for img in range(6):
+        for feat in feats:
+            for pos in range(0, 2):
+                locs.append([img, pos, feat])
+                acts.append(3.0 + rng.random())
+    fc.cache.feature_locations[module] = np.asarray(locs, dtype=np.int64)
+    fc.cache.feature_activations[module] = np.asarray(acts, dtype=np.float32)
+    fc.save_splits(1, str(tmp_path / "acts"), rank=0)
+    fc.concate_safetensors(1, str(tmp_path / "acts"))
+    return tmp_path / "acts"
+
+
+def test_segment_scorer_loads_actual_feature_ids(tmp_path):
+    """Regression: the scorer must load the feature ids named by the
+    explanations/filters, not positional arange indices (the reference
+    sharded positions, so explanations for features {5, 9} made it load
+    features 0 and 1 and crash on the explanation lookup)."""
+    acts_dir = _make_sparse_cache(tmp_path)
+    expl_dir = tmp_path / "expl"
+    expl_dir.mkdir()
+    (expl_dir / "model.layers.24.json").write_text(
+        json.dumps(
+            [
+                {"model.layers.24_feature5": "the top half region"},
+                {"model.layers.24_feature9": "Unable to produce descriptions"},
+            ]
+        )
+    )
+    rng = np.random.default_rng(1)
+    tokens = [
+        {"image": Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)), "id": i}
+        for i in range(6)
+    ]
+    common = dict(
+        explanation_dir=str(expl_dir),
+        activation_dir=str(acts_dir),
+        tokens=tokens,
+        processor=None,
+        selected_layer="model.layers.24",
+        width=64,
+        n_splits=1,
+        num_image_tokens=4,
+        min_examples=1,
+        max_examples=2,
+        detect_fn=_top_half_detect,
+        segment_fn=_box_fill_segment,
+    )
+    scores = SegmentScorer(**common)()
+    by_feature = {s["feature"]: s for s in scores}
+    assert set(by_feature) == {
+        "model.layers.24_feature5",
+        "model.layers.24_feature9",
+    }
+    assert by_feature["model.layers.24_feature9"]["avg_iou"] == -1
+    assert by_feature["model.layers.24_feature5"]["k"] == 2
+
+    # filters select by VALUE: [5] must score feature 5, not feature 0.
+    scores = SegmentScorer(**common, filters=[5])()
+    assert [s["feature"] for s in scores] == ["model.layers.24_feature5"]

@@ -51,7 +51,13 @@ def main():
     image_token = tokenizer.convert_tokens_to_ids("<image>")
     prev, after = get_llava_image_pos(tokens, image_token)
     completion_tokens = tokens_str[after:]
-    if "<|eot_id|>" in completion_tokens:
+    # One condition for BOTH the token list and the activation columns: the
+    # reference tested the whole prompt for the marker when trimming text_act
+    # but only the completion span when trimming the tokens, so a prompt with
+    # an <|eot_id|> BEFORE the image (any system turn) desynced the two by 4
+    # and the saliency loop below crashed on the last tokens.
+    trim_eot = "<|eot_id|>" in completion_tokens
+    if trim_eot:
         completion_tokens = completion_tokens[:-4]
 
     pool = (lambda x: x.mean(axis=1)) if args.pool == "avg" else (lambda x: x.max(axis=1))
@@ -64,7 +70,7 @@ def main():
         attribution_act = np.asarray(attribution_act)
         image_act = attribution_act[:, prev:after]
         text_act = attribution_act[:, after:]
-        if "<|eot_id|>" in tokens_str:
+        if trim_eot:
             text_act = text_act[:, :-4]
 
         image_attribution = pool(image_act)

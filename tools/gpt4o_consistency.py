@@ -97,7 +97,10 @@ def main():
         tasks = [
             asyncio.create_task(_generate(feature))
             for feature in sampled_features
-            if feature not in consistency_score
+            # Also retry features whose previous attempt failed (-1): a
+            # transient API burst must not permanently poison the resume
+            # cache (the -1 written below keeps mid-run crash progress).
+            if consistency_score.get(feature, -1) == -1
         ]
         for completed in asyncio.as_completed(tasks):
             feature, result = await completed

@@ -9,7 +9,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from multimodal_sae_tpu.features.steering import clamp_features_max
 from multimodal_sae_tpu.interp_utils import load_single_sae
-from multimodal_sae_tpu.launch.utils import load_subject_model
+from multimodal_sae_tpu.launch.utils import load_subject_model, prepare_prompt_batch
 
 
 def parse_argument():
@@ -43,23 +43,15 @@ def main():
     image = Image.open(args.image_path) if args.image_path is not None else None
     text = args.text
 
-    if not args.pure_text:
-        conversation = [{"role": "user", "content": [{"type": "text", "text": text}]}]
-        if image is not None:
-            conversation[0]["content"].append({"type": "image"})
-        templater = processor if processor is not None else tokenizer
-        prompt = templater.apply_chat_template(
-            conversation, add_generation_prompt=True, tokenize=False
-        )
-    else:
-        prompt = text if image is None else "<image>\n" + text
-
-    tok = getattr(processor, "tokenizer", tokenizer)
-    prompt_ids = tok(prompt)["input_ids"]
-    if image is not None:
-        batch = model.prepare_inputs(images=[image], prompt_ids=[prompt_ids])
-    else:
-        batch = {"input_ids": [prompt_ids]}
+    tok, _, batch = prepare_prompt_batch(
+        model,
+        processor,
+        tokenizer,
+        text,
+        image,
+        use_chat_template=not args.pure_text,
+        raw_prompt=text if image is None else "<image>\n" + text,
+    )
 
     def decode(output):
         import numpy as np

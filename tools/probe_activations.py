@@ -14,7 +14,7 @@ import numpy as np
 
 from multimodal_sae_tpu.features.features import upsample_mask
 from multimodal_sae_tpu.interp_utils import load_single_sae
-from multimodal_sae_tpu.launch.utils import load_subject_model
+from multimodal_sae_tpu.launch.utils import load_subject_model, prepare_prompt_batch
 
 
 def parse_argument():
@@ -51,25 +51,15 @@ def main():
         [int(i) for i in args.interval.split("-")] if args.interval else [0, args.top_k]
     )
 
-    if text is not None:
-        conversation = [{"role": "user", "content": [{"type": "text", "text": text}]}]
-        if image is not None:
-            conversation[0]["content"].append({"type": "image"})
-        # Text-only subject models have no processor; the tokenizer carries
-        # the chat template then (AutoProcessor falls back the same way).
-        templater = processor if processor is not None else tokenizer
-        prompt = templater.apply_chat_template(
-            conversation, add_generation_prompt=True, tokenize=False
-        )
-    else:
-        prompt = "<image>"
-
-    tok = getattr(processor, "tokenizer", tokenizer)
-    prompt_ids = tok(prompt)["input_ids"]
-    if image is not None:
-        batch = model.prepare_inputs(images=[image], prompt_ids=[prompt_ids])
-    else:
-        batch = {"input_ids": [prompt_ids]}
+    tok, _, batch = prepare_prompt_batch(
+        model,
+        processor,
+        tokenizer,
+        text,
+        image,
+        use_chat_template=text is not None,
+        raw_prompt="<image>",
+    )
 
     hiddens = model.capture(batch, [args.module_name])[args.module_name]
     latents = np.asarray(sae.pre_acts(hiddens))
