@@ -601,7 +601,16 @@ class SaeTrainer:
             save_file(flat, f"{path}/optimizer_{_safe(name)}.safetensors")
         with open(f"{path}/state.json", "w") as f:
             json.dump(
-                {"global_step": self.global_step, "opt_step": self.opt_step}, f
+                {
+                    "global_step": self.global_step,
+                    "opt_step": self.opt_step,
+                    # Bumped when the 8-bit moment encoding changes; v2 =
+                    # cube-root-companded m with raw-absmax scales
+                    # (ops/adam8bit.py). Lets resume fail loudly instead of
+                    # silently misreading old moments.
+                    "adam8bit_format": 2,
+                },
+                f,
             )
         with open(f"{path}/config.json", "w") as f:
             json.dump(asdict(self.cfg), f)
@@ -614,6 +623,13 @@ class SaeTrainer:
 
         with open(f"{path}/state.json") as f:
             st = json.load(f)
+        if self.cfg.adam_8bit and st.get("adam8bit_format", 1) != 2:
+            raise ValueError(
+                f"checkpoint at '{path}' stores 8-bit Adam moments in format "
+                f"{st.get('adam8bit_format', 1)}; this build reads format 2 "
+                "(cube-root-companded m, raw-absmax scales — ops/adam8bit.py)."
+                " Resume with the build that wrote it, or restart the run."
+            )
         self.global_step = st["global_step"]
         self.opt_step = st.get("opt_step", self.global_step)
         rank0_print(

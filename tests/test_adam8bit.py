@@ -184,3 +184,35 @@ def test_trainer_adam8bit_step_and_checkpoint(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     restored.step({"input_ids": np.stack([r["input_ids"] for r in ds[:8]])})
+
+
+def test_old_adam8bit_checkpoint_rejected(tmp_path):
+    """A v1 (linear-quantized) optimizer checkpoint must fail loudly on
+    resume rather than silently misreading the companded v2 encoding."""
+    import json
+
+    from multimodal_sae_tpu.config import SaeConfig, TrainConfig
+    from multimodal_sae_tpu.models import SyntheticActivationSource
+    from multimodal_sae_tpu.train import SaeTrainer
+
+    rng = np.random.default_rng(4)
+    ds = [{"input_ids": rng.integers(0, 128, size=16)} for _ in range(16)]
+    cfg = TrainConfig(
+        sae=SaeConfig(expansion_factor=4, k=4),
+        batch_size=8,
+        log_to_wandb=False,
+        hookpoints=["layers.1"],
+        adam_8bit=True,
+        run_name=str(tmp_path / "run"),
+    )
+    model = SyntheticActivationSource(d_model=32, n_layers=2)
+    trainer = SaeTrainer(cfg, ds, model)
+    trainer.save()
+
+    state_path = tmp_path / "run" / "state.json"
+    st = json.loads(state_path.read_text())
+    assert st["adam8bit_format"] == 2  # current format is stamped
+    del st["adam8bit_format"]  # simulate a pre-companding checkpoint
+    state_path.write_text(json.dumps(st))
+    with pytest.raises(ValueError, match="format 1"):
+        SaeTrainer(cfg, ds, model).load_state(cfg.run_name)
