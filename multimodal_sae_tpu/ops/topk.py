@@ -236,6 +236,12 @@ def blockmax_top_k(
     """
     width = x.shape[-1]
     lead = x.shape[:-1]
+    if k * block > width + (-width) % block:
+        # Fewer block maxima than k: level-1 filtering cannot pick k blocks
+        # (lax.top_k over the maxima would reject k > num_blocks). Fall back
+        # to the generic two-pass selection — exact, and these are small
+        # widths where blockmax has no advantage anyway.
+        return blockwise_top_k(x, k)
     # -inf inputs (common masking pattern) are handled by clamping the
     # one-hot gather operand inside `_block_filter` (0 * -inf = NaN there);
     # returned *values* for -inf entries therefore read finfo.min instead of
