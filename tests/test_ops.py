@@ -300,3 +300,49 @@ def test_topk_ops_randomized_property_sweep():
         np.testing.assert_array_equal(
             np.asarray(sv, np.float32), np.asarray(rv, np.float32)
         )
+
+
+def test_decode_randomized_property_sweep():
+    """Seeded fuzz over the decode family vs the eager oracle: random
+    (n, k, L, d) incl. k=1, k=L, duplicate-value ties, all-zero rows, and
+    grads through both value and weight inputs."""
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        n = int(rng.integers(1, 40))
+        L = int(rng.integers(8, 300))
+        k = int(rng.integers(1, L + 1)) if trial % 4 else L  # hit k == L too
+        d = int(rng.integers(4, 96))
+        key = jax.random.PRNGKey(trial)
+        pre = jax.nn.relu(jax.random.normal(key, (n, L)))
+        if trial % 3 == 1:  # heavy ties + dead rows
+            pre = jnp.round(pre * 2) / 2
+            pre = pre.at[0].set(0.0)
+        vals, idx = jax.lax.top_k(pre, k)
+        W = jax.random.normal(jax.random.fold_in(key, 1), (L, d)) / (d**0.5)
+
+        y_e = eager_decode(idx, vals, W)
+        for fn in (gather_decode, sparse_decode):
+            np.testing.assert_allclose(
+                np.asarray(fn(idx, vals, W)), np.asarray(y_e),
+                rtol=2e-5, atol=2e-5, err_msg=f"{fn.__name__} {trial}",
+            )
+
+        # topk_mask_decode includes EVERY latent tied at the k-th value (its
+        # documented contract), so compare only rows without a boundary tie.
+        y_m, _, _ = topk_mask_decode(pre, W, k)
+        srt = np.sort(np.asarray(pre), axis=-1)[:, ::-1]
+        no_tie = (srt[:, k - 1] > srt[:, k]) if k < L else np.ones(n, bool)
+        np.testing.assert_allclose(
+            np.asarray(y_m)[no_tie], np.asarray(y_e)[no_tie],
+            rtol=2e-5, atol=2e-5, err_msg=f"mask {trial}",
+        )
+
+        gs = jax.grad(lambda v, w: jnp.sum(sparse_decode(idx, v, w) ** 2),
+                      argnums=(0, 1))(vals, W)
+        ge = jax.grad(lambda v, w: jnp.sum(eager_decode(idx, v, w) ** 2),
+                      argnums=(0, 1))(vals, W)
+        for a, b in zip(gs, ge):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"grad {trial}",
+            )
