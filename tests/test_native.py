@@ -75,3 +75,46 @@ def test_fallback_matches_native(monkeypatch):
     loc_f, act_f = coo_extract_topk(vals, idx)
     np.testing.assert_array_equal(loc_n, loc_f)
     np.testing.assert_array_equal(act_n, act_f)
+
+
+def test_native_randomized_property_sweep():
+    """Seeded fuzz vs the numpy oracle: random shapes, thresholds (incl.
+    everything-filtered and everything-kept), negative activations (the
+    threshold is on |v|), empty/full filters, and uneven split boundaries
+    with empty buckets."""
+    if not native_available():
+        pytest.skip("native build unavailable")
+    rng = np.random.default_rng(42)
+    for trial in range(16):
+        B = int(rng.integers(1, 6))
+        S = int(rng.integers(1, 12))
+        K = int(rng.integers(1, 24))
+        L = int(rng.integers(K, 800))
+        vals = rng.normal(size=(B, S, K)).astype(np.float32)
+        if trial % 3 == 0:
+            vals[vals < 0] = 0.0  # post-relu
+        thresh = [0.0, 1e-5, 0.5, 10.0][trial % 4]  # 10.0 -> usually empty
+        idx = rng.integers(0, L, size=(B, S, K)).astype(np.int64)
+        filt = None
+        if trial % 2:
+            nf = int(rng.integers(1, L))
+            filt = rng.choice(L, size=nf, replace=False).astype(np.int64)
+        off = int(rng.integers(0, 1000))
+
+        loc_n, act_n = coo_extract_topk(vals, idx, thresh, filt, row_offset=off)
+        loc_r, act_r = _numpy_extract(vals, idx, thresh, filt, off)
+        np.testing.assert_array_equal(loc_n, loc_r, err_msg=str(trial))
+        np.testing.assert_array_equal(act_n, act_r, err_msg=str(trial))
+
+        if loc_n.shape[0]:
+            nb = int(rng.integers(1, 6))
+            cuts = np.unique(rng.integers(0, L, size=nb))
+            boundaries = np.concatenate([[0], cuts, [L]]).astype(np.int64)
+            boundaries = np.unique(boundaries)
+            parts = coo_partition_splits(loc_n, act_n, boundaries)
+            feats = loc_n[:, 2]
+            assert len(parts) == len(boundaries) - 1
+            for i in range(len(parts)):
+                m = (feats >= boundaries[i]) & (feats < boundaries[i + 1])
+                np.testing.assert_array_equal(parts[i][0], loc_n[m], err_msg=str(trial))
+                np.testing.assert_array_equal(parts[i][1], act_n[m], err_msg=str(trial))
