@@ -44,8 +44,6 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
-    attention_bias: bool = False
-    mlp_bias: bool = False
     rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
     """HF rope_scaling config as a sorted (key, value) tuple (hashable; use
     `rope_scaling_dict`). Only the Llama-3.1 'llama3' variant is implemented;
@@ -97,6 +95,14 @@ class LlamaConfig:
                 )
             kw["rope_scaling"] = tuple(
                 sorted((k, v) for k, v in rs.items() if isinstance(v, (int, float)))
+            )
+        if d.get("attention_bias") or d.get("mlp_bias"):
+            # decoder_layer applies no projection biases and the loader
+            # drops *.bias tensors — same loud-failure policy as the
+            # rope_scaling check above.
+            raise NotImplementedError(
+                "attention_bias/mlp_bias checkpoints are not implemented; "
+                "activations would be silently wrong without the biases"
             )
         return cls(**kw)
 
@@ -515,7 +521,7 @@ def llama_forward(
         # Scan path: one traced layer body regardless of depth. Interventions
         # become lax.cond on the layer index (only the taken branch executes).
         iv_by_idx = (
-            {int(k.rsplit(".", 1)[-1]): fn for k, fn in interventions.items()}
+            {_hookpoint_layer_idx(k): fn for k, fn in interventions.items()}
             if interventions
             else {}
         )
@@ -553,9 +559,18 @@ def llama_forward(
             h, _ = jax.lax.scan(body, h, (layers, *zero_kv, idxs))
             new_k = new_v = None
     else:
+        # Key both interventions and capture by layer INDEX so either
+        # spelling ('layers.24' or the reference's 'model.layers.24') works —
+        # the scan path above already parses indices the same way; a
+        # spelling-sensitive match here silently dropped hooks.
+        iv_by_idx = (
+            {_hookpoint_layer_idx(k): fn for k, fn in interventions.items()}
+            if interventions
+            else {}
+        )
+        cap_by_idx = {_hookpoint_layer_idx(c): c for c in capture}
         new_k_list, new_v_list = [], []
         for i in range(start_layer, cfg.num_hidden_layers):
-            name = f"layers.{i}"
             kv = (cache.k[i], cache.v[i]) if cache is not None else None
             h, (k_full, v_full) = layer_fn(
                 _layer_slice(layers, i),
@@ -568,10 +583,10 @@ def llama_forward(
                 cache_offset=offset if cache is not None else None,
                 pad_mask=pad_mask,
             )
-            if interventions and name in interventions:
-                h = interventions[name](h)
-            if name in capture:
-                captured[name] = h
+            if i in iv_by_idx:
+                h = iv_by_idx[i](h)
+            if i in cap_by_idx:
+                captured[cap_by_idx[i]] = h
             if cache is not None:
                 new_k_list.append(k_full)
                 new_v_list.append(v_full)
@@ -608,8 +623,14 @@ def lm_head_logits(params: dict, cfg: LlamaConfig, h_final: jax.Array) -> jax.Ar
 
 
 def _hookpoint_layer_idx(hookpoint: str) -> int:
-    """'model.layers.24' / 'layers.24' -> 24."""
-    return int(hookpoint.rsplit(".", 1)[-1])
+    """'model.layers.24' / 'layers.24' -> 24 (loud on anything else)."""
+    tail = hookpoint.rsplit(".", 1)[-1]
+    if not tail.isdigit():
+        raise ValueError(
+            f"unsupported hookpoint {hookpoint!r}: only decoder-layer outputs "
+            "('layers.N' / 'model.layers.N') can be captured or intervened on"
+        )
+    return int(tail)
 
 
 def suffix_params_above(params: dict, layer_idx: int) -> dict:
@@ -659,7 +680,20 @@ def forward_from_layer_above(
         return_hidden=last_logit_only,
     )
     if last_logit_only:
-        return lm_head_logits(run_params, run_cfg, out["hidden"][:, -1:])
+        h = out["hidden"]
+        if attention_mask is not None:
+            # Per-row LAST attended position: [:, -1] is only correct for
+            # left-padded (or dense) rows; a right-padded batch would read
+            # pad-position logits. argmax over the reversed mask finds the
+            # last 1 regardless of padding side.
+            am = jnp.asarray(attention_mask)
+            last = am.shape[1] - 1 - jnp.argmax(am[:, ::-1], axis=1)
+            h = jnp.take_along_axis(
+                h, last[:, None, None].astype(jnp.int32), axis=1
+            )
+        else:
+            h = h[:, -1:]
+        return lm_head_logits(run_params, run_cfg, h)
     return out["logits"]
 
 
@@ -932,6 +966,12 @@ def greedy_generate(
         has_top_p=has_top_p,
     )
     if do_sample:
+        if float(temperature) <= 0:
+            # HF generate raises the same; logits/0 would sample garbage.
+            raise ValueError(
+                "do_sample=True requires temperature > 0; use "
+                "do_sample=False for greedy decoding"
+            )
         key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
         sample_args = (
             jnp.asarray(temperature, jnp.float32),
@@ -1083,11 +1123,17 @@ def _generate_fns(
             cache=cache,
             capture=(),
             interventions=_rebuild_interventions(iv_spec, iv_args),
+            return_logits=False,
+            return_hidden=True,
         )
         temperature, top_p, key = sample_args
+        # Project ONLY the last position (left-padding guarantees it is the
+        # final real token): full-sequence vocab logits are a (B, S, V)
+        # transient — ~4.9 GB bf16 at B=8, S~2400 — plus wasted MXU work.
+        last_logits = lm_head_logits(params, cfg, out["hidden"][:, -1:, :])
         # Step-0 subkey; decode steps fold in their own step index below.
         next_tok = next_token(
-            out["logits"][:, -1, :],
+            last_logits[:, 0, :],
             (temperature, top_p, jax.random.fold_in(key, 0)),
         )
         return out["cache"], next_tok

@@ -550,3 +550,84 @@ def test_flash_block_sizes_construct():
         block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
     )
     assert bs.block_q == 512 and bs.block_k_major == 512
+
+
+def test_hookpoint_spelling_consistent_across_paths(tiny):
+    """'model.layers.N' (the reference's spelling) and 'layers.N' must behave
+    identically for interventions AND capture on the unrolled path — the
+    spelling-sensitive match silently dropped 'model.'-prefixed hooks when
+    capture forced the unrolled path."""
+    _, cfg, params = tiny
+    ids = jnp.array([[1, 2, 3, 4]])
+
+    def bump(h):
+        return h + 1.0
+
+    a = llama_forward(
+        params, cfg, ids,
+        interventions={"layers.1": bump}, capture=("layers.1",),
+    )
+    b = llama_forward(
+        params, cfg, ids,
+        interventions={"model.layers.1": bump}, capture=("model.layers.1",),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["logits"]), np.asarray(b["logits"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["captured"]["layers.1"]),
+        np.asarray(b["captured"]["model.layers.1"]),
+    )
+    # Non-layer hookpoints fail loudly instead of silently not capturing.
+    with pytest.raises(ValueError, match="unsupported hookpoint"):
+        llama_forward(params, cfg, ids, capture=("norm",))
+
+
+def test_suffix_forward_last_logit_respects_padding(tiny):
+    """forward_from_layer_above(last_logit_only=True) must read each row's
+    LAST ATTENDED position: right-padded rows previously got pad-position
+    logits."""
+    from multimodal_sae_tpu.models.llama import forward_from_layer_above
+
+    _, cfg, params = tiny
+    ids_short = jnp.array([[5, 6, 7]])
+    out = llama_forward(params, cfg, ids_short, capture=("layers.0",))
+    h_short = out["captured"]["layers.0"]
+    ref = forward_from_layer_above(params, cfg, h_short, 0)  # (1, 1, V)
+
+    # Right-pad the captured hidden (pad embeds vary; zeros suffice — they
+    # must not influence the answer once masked).
+    h_pad = jnp.concatenate([h_short, jnp.zeros((1, 2, cfg.hidden_size))], axis=1)
+    mask = jnp.array([[1, 1, 1, 0, 0]])
+    got = forward_from_layer_above(params, cfg, h_pad, 0, attention_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[0, 0], np.asarray(ref)[0, 0], rtol=1e-4, atol=1e-5
+    )
+
+    # Left-padded rows keep selecting the final column (the previous, correct
+    # behavior for the left-padded attribution batches).
+    h_lpad = jnp.concatenate([jnp.zeros((1, 2, cfg.hidden_size)), h_short], axis=1)
+    lmask = jnp.array([[0, 0, 1, 1, 1]])
+    got_l = forward_from_layer_above(params, cfg, h_lpad, 0, attention_mask=lmask)
+    full_l = forward_from_layer_above(
+        params, cfg, h_lpad, 0, attention_mask=lmask, last_logit_only=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_l)[0, 0], np.asarray(full_l)[0, -1], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_do_sample_zero_temperature_raises(tiny):
+    _, cfg, params = tiny
+    with pytest.raises(ValueError, match="temperature > 0"):
+        greedy_generate(
+            params, cfg, jnp.array([[1, 2, 3]]), max_new_tokens=2,
+            do_sample=True, temperature=0.0,
+        )
+
+
+def test_bias_checkpoint_config_raises():
+    with pytest.raises(NotImplementedError, match="bias"):
+        LlamaConfig.from_hf({"hidden_size": 64, "attention_bias": True})
+    with pytest.raises(NotImplementedError, match="bias"):
+        LlamaConfig.from_hf({"hidden_size": 64, "mlp_bias": True})
