@@ -62,9 +62,7 @@ def clip_text_forward(params: dict, cfg: ClipTextConfig, input_ids: jax.Array):
     for lp in params["layers"]:
         residual = h
         x = layer_norm(h, lp["ln1"], lp["ln1_bias"], cfg.layer_norm_eps)
-        h = residual + clip_attention(
-            x, lp, cfg.num_attention_heads, cfg.layer_norm_eps, mask=causal
-        )
+        h = residual + clip_attention(x, lp, cfg.num_attention_heads, mask=causal)
         residual = h
         x = layer_norm(h, lp["ln2"], lp["ln2_bias"], cfg.layer_norm_eps)
         x = quick_gelu(x @ lp["fc1"] + lp["fc1_bias"])

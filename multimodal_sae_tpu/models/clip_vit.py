@@ -36,6 +36,10 @@ class ClipVisionConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-5
     projection_dim: int = 768
+    hidden_act: str = "quick_gelu"
+    """MLP activation from the checkpoint config: CLIP-L ships quick_gelu;
+    some towers use exact 'gelu'. Anything else raises in `_activation`
+    rather than silently running the wrong nonlinearity."""
 
     int8_matmul: bool = False
     """Run quantized tower weights through native int8xint8 MXU matmuls with
@@ -63,6 +67,22 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _activation(name: str):
+    """hidden_act -> callable (HF ACT2FN parity for the variants CLIP towers
+    use: 'gelu' is the exact erf GELU there, not jax.nn.gelu's tanh
+    default)."""
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name in ("gelu_new", "gelu_pytorch_tanh"):
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise NotImplementedError(
+        f"hidden_act {name!r} is not implemented; activations would be "
+        "silently wrong with a substitute"
+    )
+
+
 def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     """(B, 3, H, W) -> (B, (H/p)*(W/p), 3*p*p) with (channel, ph, pw) ordering
     matching conv2d weight layout (out, in, kh, kw)."""
@@ -73,7 +93,7 @@ def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     return x.reshape(B, gh * gw, C * patch * patch)
 
 
-def clip_attention(x, lp, num_heads, eps, mask=None, int8=False):
+def clip_attention(x, lp, num_heads, mask=None, int8=False):
     from .quant import qmatmul
 
     B, S, D = x.shape
@@ -122,16 +142,15 @@ def clip_vision_forward(
         h, params["pre_layrnorm"], params["pre_layrnorm_bias"], cfg.layer_norm_eps
     )
 
+    act = _activation(cfg.hidden_act)
     hidden_states: List[jax.Array] = [h]
     for lp in params["layers"]:
         residual = h
         x = layer_norm(h, lp["ln1"], lp["ln1_bias"], cfg.layer_norm_eps)
-        h = residual + clip_attention(
-            x, lp, cfg.num_attention_heads, cfg.layer_norm_eps, int8=i8
-        )
+        h = residual + clip_attention(x, lp, cfg.num_attention_heads, int8=i8)
         residual = h
         x = layer_norm(h, lp["ln2"], lp["ln2_bias"], cfg.layer_norm_eps)
-        x = quick_gelu(qmatmul(x, lp["fc1"], int8=i8) + lp["fc1_bias"])
+        x = act(qmatmul(x, lp["fc1"], int8=i8) + lp["fc1_bias"])
         h = residual + (qmatmul(x, lp["fc2"], int8=i8) + lp["fc2_bias"])
         hidden_states.append(h)
 

@@ -368,6 +368,14 @@ class LlavaNextModel:
         """
         if images is None:
             return {"input_ids": np.asarray(input_ids)}
+        if prompt_ids is not None and len(prompt_ids) != len(images):
+            # zip() below would silently truncate to the shorter list,
+            # dropping prompt rows (or failing later with an opaque
+            # IndexError when images outnumber rows).
+            raise ValueError(
+                f"prompt_ids rows ({len(prompt_ids)}) != images "
+                f"({len(images)}): prepare_inputs pairs one image per row"
+            )
         pixel_list, sizes, counts = [], [], []
         for im in images:
             pv, size = preprocess_anyres(im, self.cfg)
@@ -551,7 +559,11 @@ class LlavaNextModel:
         embeds = self._embed_multimodal(batch)
         amask = batch.get("attention_mask")
         B, S = embeds.shape[:2]
-        cap = tuple(self._strip(c) for c in capture)
+        # Canonicalize (sorted) so permuted hookpoint orders share one
+        # compiled program; remember the caller's spelling to round-trip the
+        # captured keys exactly as passed ('layers.N' or 'model.layers.N').
+        orig_by_stripped = {self._strip(c): c for c in capture}
+        cap = tuple(sorted(orig_by_stripped))
         iv = (
             {self._strip(k): v for k, v in interventions.items()}
             if interventions
@@ -620,7 +632,7 @@ class LlavaNextModel:
             if "hidden" in out:
                 out["hidden"] = out["hidden"][:, :S]
         out["captured"] = {
-            f"{self.HOOK_PREFIX}{k}": v for k, v in out["captured"].items()
+            orig_by_stripped[k]: v for k, v in out["captured"].items()
         }
         return out
 
@@ -678,7 +690,17 @@ class LlavaNextModel:
         import numpy as _np
 
         ids = batch["input_ids"]
-        prompt_ids = [list(_np.asarray(r).reshape(-1)) for r in ids]
+        rows = [_np.asarray(r).reshape(-1) for r in ids]
+        amask = batch.get("attention_mask")
+        if amask is not None:
+            # Pre-padded raw batches: keep only the attended tokens per row
+            # (works for either padding side) — re-preparing the full padded
+            # rows would mark former pad tokens as real prompt tokens and
+            # silently corrupt the captured activations.
+            am = _np.asarray(amask).astype(bool)
+            prompt_ids = [list(r[m[: len(r)]]) for r, m in zip(rows, am)]
+        else:
+            prompt_ids = [list(r) for r in rows]
         return self.prepare_inputs(images=list(images), prompt_ids=prompt_ids)
 
     def generate(

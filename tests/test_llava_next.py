@@ -253,3 +253,90 @@ def test_capture_with_int8_tower(tiny, images):
     got = np.asarray(qmodel.capture(batch, ["model.layers.1"])["model.layers.1"])
     rel = np.linalg.norm(got.astype(np.float32) - ref) / np.linalg.norm(ref)
     assert np.isfinite(got).all() and rel < 0.15, rel
+
+
+def test_capture_roundtrips_caller_spelling(tiny, images):
+    """Captured keys must come back under the SPELLING the caller passed —
+    'layers.N' worked on input (index-matched) but was returned only as
+    'model.layers.N', breaking the capture(batch, [hook])[hook] pattern."""
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    batch = model.prepare_inputs(images=[images[0]], prompt_ids=[[1, IMG_TOKEN]])
+    caps_a = model.capture(batch, ["layers.1"])
+    caps_b = model.capture(batch, ["model.layers.1"])
+    assert list(caps_a) == ["layers.1"] and list(caps_b) == ["model.layers.1"]
+    np.testing.assert_array_equal(
+        np.asarray(caps_a["layers.1"]), np.asarray(caps_b["model.layers.1"])
+    )
+
+
+def test_maybe_prepare_strips_padding(tiny, images):
+    """A raw pre-padded batch (input_ids + attention_mask + images) must
+    capture identically to its unpadded form — re-preparing padded rows used
+    to mark former pad tokens as real prompt tokens."""
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    prompt = [1, IMG_TOKEN, 7, 8]
+    ref = model.capture(
+        {"input_ids": np.array([prompt]), "images": [images[0]]},
+        ["model.layers.1"],
+    )["model.layers.1"]
+    padded = model.capture(
+        {
+            "input_ids": np.array([prompt + [0, 0, 0]]),
+            "attention_mask": np.array([[1, 1, 1, 1, 0, 0, 0]]),
+            "images": [images[0]],
+        },
+        ["model.layers.1"],
+    )["model.layers.1"]
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_prepare_inputs_row_image_mismatch_raises(tiny, images):
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    with pytest.raises(ValueError, match="one image per row"):
+        model.prepare_inputs(
+            images=[images[0]],
+            prompt_ids=[[1, IMG_TOKEN], [2, IMG_TOKEN]],
+        )
+
+
+def test_clip_tower_honors_gelu_act():
+    """hidden_act from the checkpoint config must be applied (exact erf
+    'gelu' vs the quick_gelu CLIP-L default)."""
+    from multimodal_sae_tpu.models.clip_vit import (
+        ClipVisionConfig,
+        clip_params_from_state_dict,
+        clip_vision_forward,
+    )
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=48,
+        intermediate_size=96,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=16,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(1)
+    hf = transformers.CLIPVisionModel(hf_cfg).eval().to(torch.float32)
+    cfg = ClipVisionConfig.from_hf(hf_cfg.to_dict())
+    assert cfg.hidden_act == "gelu"
+    params = clip_params_from_state_dict(hf.state_dict(), cfg, dtype=jnp.float32)
+    pv = np.random.default_rng(3).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(pv), output_hidden_states=True).hidden_states[-2]
+    got = clip_vision_forward(params, cfg, jnp.asarray(pv))["features"]
+    np.testing.assert_allclose(
+        np.asarray(got), ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+    with pytest.raises(NotImplementedError):
+        clip_vision_forward(
+            params,
+            ClipVisionConfig.from_hf({**hf_cfg.to_dict(), "hidden_act": "silu"}),
+            jnp.asarray(pv),
+        )
