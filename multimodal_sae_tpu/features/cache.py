@@ -99,12 +99,19 @@ class _Arena:
 
     def append(self, locations: np.ndarray, activations: np.ndarray):
         k = len(activations)
+        if k == 0:
+            # reserve(0) on a fresh arena never allocates — indexing the
+            # still-None buffers would crash a run whose first batch has no
+            # above-threshold entries.
+            return
         self.reserve(k, act_dtype=activations.dtype)
         np.copyto(self.loc[self.n : self.n + k], locations)
         np.copyto(self.act[self.n : self.n + k], activations)
         self.n += k
 
     def views(self):
+        if self.loc is None:  # nothing ever appended
+            return np.empty((0, 3), np.int64), np.empty((0,), np.float32)
         return self.loc[: self.n], self.act[: self.n]
 
 
@@ -353,13 +360,21 @@ class FeatureCache:
         # batch N-1 while N executes (the host-side COO extraction and the
         # subject forward otherwise strictly serialize).
         pending = None
-        for batch_number, batch in enumerate(iterator):
-            dev = self._device_step(batch, skip_bos)
+        try:
+            for batch_number, batch in enumerate(iterator):
+                dev = self._device_step(batch, skip_bos)
+                if pending is not None:
+                    self._host_step(*pending)
+                pending = (dev, batch_number, _batch_rows(batch))
             if pending is not None:
                 self._host_step(*pending)
-            pending = (dev, batch_number, _batch_rows(batch))
-        if pending is not None:
-            self._host_step(*pending)
+        except BaseException:
+            if self._stream is not None:
+                # Drop partial shards (zeroed headers are unparseable and
+                # would poison a later concate) and stop the worker thread.
+                self._stream.abort()
+                self._stream = None
+            raise
         self.cache.save()
 
     # ---- persistence (format identical to the reference) -------------------

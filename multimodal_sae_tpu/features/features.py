@@ -169,4 +169,17 @@ def _json_default(o):
         return int(o)
     if isinstance(o, (np.floating,)):
         return float(o)
+    try:
+        from PIL.Image import Image as _PILImage
+    except ImportError:  # pragma: no cover
+        _PILImage = None
+    if _PILImage is not None and isinstance(o, _PILImage):
+        # ImageExample records carry PIL images; the reference's orjson
+        # crashed on them too — serialize as base64 PNG instead.
+        import base64
+        import io
+
+        buf = io.BytesIO()
+        o.save(buf, format="PNG")
+        return {"__pil_png_b64__": base64.b64encode(buf.getvalue()).decode()}
     raise TypeError(f"not JSON serializable: {type(o)}")

@@ -136,11 +136,15 @@ class FeatureDataset:
                 )
 
     def _build_selected(
-        self, raw_dir: str, modules: List[str], features: Dict[str, np.ndarray]
+        self, raw_dir: str, modules: Optional[List[str]], features: Dict[str, np.ndarray]
     ):
         """Only build buffers for splits containing requested features,
         bucketized over the split edges (reference loader.py:164-196)."""
         edges = self._edges()
+        if modules is None:
+            # The signature advertises modules as optional; the feature dict
+            # names the modules it wants.
+            modules = list(features)
         for module in modules:
             selected = np.asarray(features[module])
             # torch.bucketize(right=True) == searchsorted(side="right").

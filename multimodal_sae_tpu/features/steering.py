@@ -177,6 +177,12 @@ class SteeringController:
         templated = processor.apply_chat_template(
             conversation, add_generation_prompt=True, tokenize=False
         )
+        # Deliberately plain tokenization (default add_special_tokens), like
+        # the reference's `processor(text=templated)` (reference
+        # features/steering.py:62-67): on checkpoints whose chat template
+        # already emits <|begin_of_text|> AND whose tokenizer prepends BOS,
+        # both paths produce the same duplicated BOS — steered/original
+        # pairs stay comparable to reference outputs.
         prompt_ids = tokenizer(templated)["input_ids"]
 
         if image is not None:

@@ -78,7 +78,9 @@ def _load_safetensors_numpy(filename: str) -> Dict[str, np.ndarray]:
         out = {}
         for k, v in torch_load_file(filename).items():
             if v.dtype == torch.bfloat16:
-                out[k] = v.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+                # int16 view: bit-identical to uint16 (which torch < 2.3
+                # lacks — using it would crash the fallback itself).
+                out[k] = v.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
             else:
                 out[k] = v.numpy()
         return out

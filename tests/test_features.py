@@ -342,3 +342,51 @@ def test_split_activation_quantiles_descending_input():
         hi = 9.0 * (qi + 1) / 4 if qi < 3 else np.inf
         for e in q:
             assert lo <= e.max_activation < hi or (qi == 3 and e.max_activation == 9.0)
+
+
+def test_feature_record_save_image_examples(tmp_path):
+    """ImageExample records carry PIL images; save(save_examples=True) must
+    serialize them (base64 PNG) instead of crashing — the reference's orjson
+    raised on PIL objects too."""
+    img = Image.new("RGB", (640, 480), (0, 128, 255))
+    flat = np.zeros(8000, dtype=np.float32)
+    flat[:10] = 2.0
+    examples = prepare_image_examples(
+        np.zeros((1, 8000)), [flat], [img], num_image_tokens=576
+    )
+    rec = FeatureRecord(Feature("layers.1", 9))
+    rec.explanation = "blue regions"
+    rec.examples = examples
+    rec.train = rec.test = []
+    rec.save(str(tmp_path), save_examples=True)
+    with open(tmp_path / "layers.1_feature9.json") as f:
+        data = json.load(f)
+    import base64
+    import io
+
+    blob = data["examples"][0]["image"]["__pil_png_b64__"]
+    back = Image.open(io.BytesIO(base64.b64decode(blob)))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_cache_zero_entry_first_batch():
+    """A module whose FIRST batch has no above-threshold entries must not
+    crash the arena (reserve(0) never allocates), and must stay appendable."""
+    from multimodal_sae_tpu.features.cache import Cache
+
+    c = Cache(shard_size=0, batch_size=2)
+    c.add_topk(
+        np.zeros((1, 2, 3), np.float16),  # all below threshold
+        np.zeros((1, 2, 3), np.int64),
+        batch_number=0,
+        module_path="m",
+    )
+    c.add_topk(
+        np.full((1, 2, 3), 2.0, np.float16),
+        np.tile(np.arange(3), (1, 2, 1)).astype(np.int64),
+        batch_number=1,
+        module_path="m",
+    )
+    c.save()
+    assert c.feature_locations["m"].shape[0] == 6
+    assert c.feature_activations["m"].dtype == np.float16

@@ -241,3 +241,27 @@ def test_streaming_worker_error_aborts_cleanly(tmp_path):
         w.close()
     leftovers = list(tmp_path.rglob("*.safetensors")) + list(tmp_path.rglob("*.acts"))
     assert leftovers == [], leftovers
+
+
+def test_run_failure_aborts_streaming(tmp_path):
+    """An exception inside FeatureCache.run must abort the streaming writer:
+    partial shards with zeroed (unparseable) headers would otherwise poison
+    a later concate pass."""
+    sae = _make_sae()
+    fc = FeatureCache(
+        lambda b: {"layers.0": b["h"]}, {"layers.0": sae}, batch_size=2, shard_size=0
+    )
+    fc.enable_streaming(str(tmp_path), N_SPLITS, rank=0)
+
+    batches = [
+        {"h": jax.random.normal(jax.random.PRNGKey(1), (2, 8, D_IN))},
+        "poison",  # _device_step blows up on the second batch
+    ]
+    with pytest.raises(Exception):
+        fc.run(0, batches, progress=False)
+    leftover = [
+        f
+        for f in os.listdir(tmp_path / "layers.0")
+        if f.startswith("Rank") or f.endswith(".acts")
+    ] if (tmp_path / "layers.0").exists() else []
+    assert leftover == [], leftover
