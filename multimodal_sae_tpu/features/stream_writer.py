@@ -146,6 +146,7 @@ class StreamingSplitWriter:
         self._appenders: Dict[Tuple[str, int], _SplitAppender] = {}
         self._queue: "queue.Queue" = queue.Queue(maxsize=4)
         self._error: List[BaseException] = []
+        self._aborted = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -173,7 +174,23 @@ class StreamingSplitWriter:
     def abort(self):
         """Close every open shard and remove the partial files (zeroed
         headers + .acts sidecars) so a failed run leaves no unparseable
-        shards for a retry or rank-0 merge to trip over."""
+        shards for a retry or rank-0 merge to trip over.
+
+        The worker is stopped and joined BEFORE any file is removed: it may
+        be mid-chunk (or have chunks still queued) when the producer aborts,
+        and an append after removal would silently recreate partial shards
+        that then escape cleanup."""
+        self._aborted = True
+        try:  # drop queued chunks so the worker stops after its current one
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        try:
+            self._queue.put_nowait(None)  # wake a get()-blocked worker
+        except queue.Full:
+            pass
+        self._thread.join(timeout=30)
         for app in self._appenders.values():
             for fh in (app.f, app.f_act):
                 try:
@@ -222,7 +239,7 @@ class StreamingSplitWriter:
         try:
             while True:
                 item = self._queue.get()
-                if item is None:
+                if item is None or self._aborted:
                     return
                 module, locs, acts = item
                 self._append_chunk(module, locs, acts)

@@ -243,6 +243,38 @@ def test_streaming_worker_error_aborts_cleanly(tmp_path):
     assert leftovers == [], leftovers
 
 
+def test_abort_joins_inflight_worker_before_removing_files(tmp_path):
+    """abort() must stop+join the worker BEFORE deleting shard files: a
+    worker mid-chunk (or with chunks still queued) at abort time would
+    otherwise recreate appenders after the cleanup pass and leave
+    zeroed-header partial shards that escape removal."""
+    import threading
+
+    from multimodal_sae_tpu.features import stream_writer as swmod
+
+    w = swmod.StreamingSplitWriter(str(tmp_path), [(0, 7)])
+    entered = threading.Event()
+    release = threading.Event()
+    orig = w._append_chunk
+
+    def gated(module, locs, acts):
+        entered.set()
+        assert release.wait(30)
+        orig(module, locs, acts)
+
+    w._append_chunk = gated
+    locs = np.array([[0, 1, 2]], np.int64)
+    acts = np.array([1.0], np.float32)
+    w.submit("m", locs, acts)  # worker picks this up and blocks in gated
+    assert entered.wait(30)
+    w.submit("m", locs, acts)  # a second chunk left sitting in the queue
+    threading.Timer(0.2, release.set).start()
+    w.abort()  # joins the worker, THEN removes whatever files it created
+    assert not w._thread.is_alive()
+    leftovers = list(tmp_path.rglob("*.safetensors")) + list(tmp_path.rglob("*.acts"))
+    assert leftovers == [], leftovers
+
+
 def test_run_failure_aborts_streaming(tmp_path):
     """An exception inside FeatureCache.run must abort the streaming writer:
     partial shards with zeroed (unparseable) headers would otherwise poison
