@@ -159,6 +159,10 @@ class StreamingSplitWriter:
         while True:
             if self._error:
                 raise self._error[0]
+            if self._aborted:
+                # After abort() the worker is gone and the queue never drains;
+                # without this check a later submit() would spin here forever.
+                raise RuntimeError("streaming writer was aborted")
             try:
                 self._queue.put(item, timeout=0.5)
                 return
@@ -191,6 +195,18 @@ class StreamingSplitWriter:
         except queue.Full:
             pass
         self._thread.join(timeout=30)
+        if self._thread.is_alive():
+            # A wedged filesystem write can outlive the join timeout; deleting
+            # files under a live worker would recreate partial shards (and race
+            # the _appenders dict). Leave the partials in place — the caller's
+            # retry/merge will see the zeroed headers fail to parse loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming writer worker still alive after 30s join; "
+                "skipping partial-shard removal to avoid racing a live append"
+            )
+            return
         for app in self._appenders.values():
             for fh in (app.f, app.f_act):
                 try:

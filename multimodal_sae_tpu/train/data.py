@@ -6,7 +6,6 @@ TPU compute path never imports them.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, TypeVar
 
 import numpy as np
@@ -29,7 +28,13 @@ def chunk_and_tokenize(
     (reference train/sae/sae/data.py:16-100): documents are joined with the
     EOS separator (the stream starts with one), split into exact-length
     chunks via overflow tokens, and the final ragged chunk is dropped unless
-    `return_final_batch`."""
+    `return_final_batch`.
+
+    The tokenizer-call sequence (single joined string, truncation with
+    `return_overflowing_tokens`, then re-chunking the overflow list) is
+    pinned by design: chunk boundaries feed directly into the cache
+    bit-parity guarantee, enforced by tests/test_data_parity.py. Everything
+    around those calls is ours."""
 
     def _tokenize_fn(x: dict):
         chunk_size = min(tokenizer.model_max_length, max_seq_len)
@@ -44,11 +49,14 @@ def chunk_and_tokenize(
         )
 
         if overflow := output.pop("overflowing_tokens", None):
-            # Slow tokenizers return unnested lists of ints.
+            # A fast tokenizer would nest the overflow per chunk itself; the
+            # flat-int shape here means we re-chunk the overflow by hand, so
+            # assert we really got the slow-tokenizer layout.
             assert isinstance(output["input_ids"][0], int)
-            chunks = [output["input_ids"]] + [
-                overflow[i * chunk_size : (i + 1) * chunk_size]
-                for i in range(math.ceil(len(overflow) / chunk_size))
+            chunks = [output["input_ids"]]
+            chunks += [
+                overflow[i : i + chunk_size]
+                for i in range(0, len(overflow), chunk_size)
             ]
             output = {"input_ids": chunks}
 
@@ -57,9 +65,9 @@ def chunk_and_tokenize(
 
         if len(output["input_ids"]) == 0:
             raise ValueError(
-                "Not enough data to create a single complete batch."
-                " Either allow the final batch to be returned,"
-                " or supply more data."
+                f"chunk_and_tokenize produced zero complete {chunk_size}-token"
+                " chunks; pass return_final_batch=True to keep the ragged"
+                " tail, or tokenize a larger corpus."
             )
         return output
 
@@ -85,24 +93,23 @@ def process_mm_data(
     """LLaVA "conversations" (from/value) → chat-template input_ids, keeping
     the image column (reference train/sae/sae/data.py:103-142)."""
 
-    def _tokenize_fn(x: dict):
-        new_conv = []
-        for conversation in x["conversations"]:
-            conv_dict = {}
-            for key, content in conversation.items():
-                if key == "from":
-                    if content == "human":
-                        conv_dict["role"] = "user"
-                    elif content == "gpt":
-                        conv_dict["role"] = "assistant"
-                    else:
-                        conv_dict["role"] = "system"
-                elif key == "value":
-                    conv_dict["content"] = content
-                else:
-                    conv_dict[key] = content
-            new_conv.append(conv_dict)
+    roles = {"human": "user", "gpt": "assistant"}
 
+    def _remap_turn(turn: dict) -> dict:
+        # ShareGPT-style {"from": ..., "value": ...} → chat-template keys;
+        # unknown speakers become "system", extra keys pass through.
+        out = {}
+        for key, content in turn.items():
+            if key == "from":
+                out["role"] = roles.get(content, "system")
+            elif key == "value":
+                out["content"] = content
+            else:
+                out[key] = content
+        return out
+
+    def _tokenize_fn(x: dict):
+        new_conv = [_remap_turn(t) for t in x["conversations"]]
         input_ids = tokenizer.apply_chat_template(
             new_conv, return_tensors="np", add_generation_prompt=False
         )
@@ -124,13 +131,12 @@ def get_columns_all_equal(dataset) -> list:
     """Columns of a Dataset/DatasetDict, asserting split agreement
     (reference data.py:145-164)."""
     column_names = dataset.column_names
-    if isinstance(column_names, dict):
-        cols_by_split = column_names.values()
-        columns = next(iter(cols_by_split))
-        if not all(cols == columns for cols in cols_by_split):
-            raise ValueError("All splits must have the same columns")
-        return columns
-    return column_names
+    if not isinstance(column_names, dict):
+        return column_names
+    distinct = {tuple(cols) for cols in column_names.values()}
+    if len(distinct) != 1:
+        raise ValueError("All splits must have the same columns")
+    return list(distinct.pop())
 
 
 class MemmapDataset:

@@ -297,3 +297,57 @@ def test_run_failure_aborts_streaming(tmp_path):
         if f.startswith("Rank") or f.endswith(".acts")
     ] if (tmp_path / "layers.0").exists() else []
     assert leftover == [], leftover
+
+
+def test_submit_after_abort_raises_instead_of_hanging(tmp_path):
+    """After abort() the worker is dead and the queue never drains; a later
+    submit() used to spin in _put forever once the bounded queue filled.
+    It must raise immediately instead."""
+    from multimodal_sae_tpu.features import stream_writer as swmod
+
+    w = swmod.StreamingSplitWriter(str(tmp_path), [(0, 7)])
+    w.abort()
+    locs = np.array([[0, 1, 2]], np.int64)
+    acts = np.array([1.0], np.float32)
+    with pytest.raises(RuntimeError, match="aborted"):
+        for _ in range(8):  # more than the 4-slot queue, would wedge pre-fix
+            w.submit("m", locs, acts)
+
+
+def test_abort_skips_file_removal_while_worker_wedged(tmp_path):
+    """If the worker outlives the 30s join (wedged filesystem write), abort()
+    must NOT delete files underneath it — a live append would recreate
+    partial shards after the cleanup pass."""
+    import threading
+
+    from multimodal_sae_tpu.features import stream_writer as swmod
+
+    w = swmod.StreamingSplitWriter(str(tmp_path), [(0, 7)])
+    entered = threading.Event()
+    release = threading.Event()
+    orig = w._append_chunk
+    calls = []
+
+    def wedged(module, locs, acts):
+        calls.append(1)
+        if len(calls) == 1:  # first chunk writes normally, creating the shard
+            return orig(module, locs, acts)
+        entered.set()
+        assert release.wait(60)
+        orig(module, locs, acts)
+
+    w._append_chunk = wedged
+    locs = np.array([[0, 1, 2]], np.int64)
+    acts = np.array([1.0], np.float32)
+    w.submit("m", locs, acts)
+    w.submit("m", locs, acts)  # worker wedges inside this one
+    assert entered.wait(30)
+    # Make the join timeout instant so the test doesn't sleep 30s.
+    real_join = w._thread.join
+    w._thread.join = lambda timeout=None: real_join(timeout=0.05)
+    w.abort()
+    assert w._thread.is_alive()  # worker genuinely still wedged
+    # Files were left alone (partial shard still present, not deleted).
+    assert list(tmp_path.rglob("*.safetensors")), "wedged shard was deleted"
+    release.set()
+    real_join(timeout=30)
