@@ -341,7 +341,9 @@ def attribution_bench():
         # 16 GB at the real multimodal shape — and costs ~16% (measured:
         # 253.6 ms/feature with remat vs 217.8 without at S=2432, F=1).
         # Early hooks (long suffixes) may still need --remat on the CLI.
-        remat=False,
+        # `--remat` here probes whether trading that 16% buys a wider
+        # feature batch at the long shape (F=2 OOMs without it, r4).
+        remat="--remat" in sys.argv,
         flash_attention=long,
     )
     init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
@@ -473,7 +475,7 @@ def attribution_bench():
     )
 
 
-def llava_image_bench():
+def llava_image_bench(emit: bool = True):
     """`bench.py --image`: the REAL image-caching pipeline — full-size CLIP-L
     vision tower + anyres packing + 32-layer int8 8B language model + 131k SAE
     top-k — driven through the exact library path the cache_image CLI uses
@@ -481,7 +483,10 @@ def llava_image_bench():
     640×480 photo picks the (672, 672) pinpoint: 5 crops through the tower and
     ~2.3k packed image tokens through the subject, so honest images/s is
     tokens/s ÷ ~2342, NOT ÷ ctx 64 (the reference's ctx_len is "meaningless
-    for images", reference README.md:45)."""
+    for images", reference README.md:45).
+
+    With `emit=False`, returns (images_per_sec, tokens_per_sec, seq) instead
+    of printing — the default bench folds this into its combined headline."""
 
     from PIL import Image
 
@@ -630,6 +635,8 @@ def llava_image_bench():
     for _ in range(iters):
         run_batch()
     dt = (time.perf_counter() - t0) / iters
+    if not emit:
+        return n_images / dt, n_images * seq / dt, seq
     print(
         json.dumps(
             {
@@ -884,6 +891,12 @@ def train_step_bench():
 
 
 def main():
+    """Default bench: ONE JSON line carrying both halves of the north star —
+    images cached/sec/chip through the REAL anyres pipeline (the headline
+    `value`) AND the SAE cache step tokens/s with its vs-naive-translation
+    ratio (extra keys + unit text).  The image pipeline is the end-to-end
+    number the project is judged on (BASELINE.json north-star metric); the
+    SAE step is the chip-local kernel rate tracked since r1."""
     cfg = SaeConfig(num_latents=LATENTS, k=K)
     key = jax.random.PRNGKey(0)
     params = init_params(key, D_IN, cfg, dtype=DTYPE)
@@ -906,15 +919,36 @@ def main():
 
     tokens_per_sec = tokens / t_ours
     naive_tokens_per_sec = tokens / t_naive
+    sae_line = {
+        "metric": "sae_cache_tokens_per_sec",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip @131k width"
+        + (" (int8 encoder)" if int8_sae else ""),
+        "vs_baseline": round(tokens_per_sec / naive_tokens_per_sec, 3),
+    }
+    # Release the bench arrays before the ~10 GB image-pipeline init.
+    del params, x
 
+    _log("measuring the image pipeline end-to-end (north-star headline)...")
+    try:
+        img_per_s, img_tok_per_s, seq = llava_image_bench(emit=False)
+    except Exception as e:  # noqa: BLE001 — never lose the SAE number
+        _log(f"image pipeline bench failed ({str(e)[:200]}); emitting SAE-only")
+        print(json.dumps(sae_line))
+        return
     print(
         json.dumps(
             {
-                "metric": "sae_cache_tokens_per_sec",
-                "value": round(tokens_per_sec, 1),
-                "unit": "tokens/s/chip @131k width"
-                + (" (int8 encoder)" if int8_sae else ""),
+                "metric": "cache_image_real_images_per_sec",
+                "value": round(img_per_s, 2),
+                "unit": "images/s/chip, REAL anyres pipeline end-to-end "
+                f"(CLIP-L tower x5 crops + {seq}-token packed seq through "
+                f"32-layer int8 8B + 131k SAE; {img_tok_per_s:.0f} tok/s; "
+                f"SAE cache step alone: {sae_line['value']} tok/s @131k, "
+                f"{sae_line['vs_baseline']}x the naive translation)",
                 "vs_baseline": round(tokens_per_sec / naive_tokens_per_sec, 3),
+                "sae_cache_tokens_per_sec": sae_line["value"],
+                "sae_cache_vs_naive": sae_line["vs_baseline"],
             }
         )
     )

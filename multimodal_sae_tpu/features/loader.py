@@ -171,18 +171,48 @@ class FeatureDataset:
         constructor: Optional[Callable] = None,
         sampler: Optional[Callable] = None,
         transform: Optional[Callable] = None,
+        num_workers: Optional[int] = None,
     ):
         """Per buffer, per feature: construct dense examples, sample, transform
         (reference loader.py:201-259). Returns a generator of per-buffer
-        record lists, or one flat list when `collate=True`."""
+        record lists, or one flat list when `collate=True`.
+
+        `num_workers` parallelizes split loading + record CONSTRUCTION across
+        buffers on a thread pool — the same per-buffer parallelism the
+        reference got from `DataLoader(num_workers=cpu/2)` over TensorBuffers
+        (reference loader.py:201-259); construction is numpy/PIL host work
+        that releases the GIL. Default: MMSAE_LOADER_WORKERS env var, else
+        cpu_count/2 like the reference; <=1 runs fully sequential.
+
+        Determinism: samplers draw from a shared RNG, and that call sequence
+        is observable pinned behavior (see samplers.py) — so sampler and
+        transform always run on the CONSUMING thread in buffer-then-record
+        order, regardless of num_workers. Threaded and sequential loads
+        produce identical records. Host RAM holds up to `num_workers`
+        decoded splits at once (the reference's prefetch had the same bound).
+        """
 
         from .samplers import SkipRecord
 
-        def _process(buffer_output: BufferOutput) -> Optional[FeatureRecord]:
+        if num_workers is None:
+            env = os.environ.get("MMSAE_LOADER_WORKERS")
+            num_workers = (
+                int(env) if env else max(1, (os.cpu_count() or 2) // 2)
+            )
+
+        def _construct(buffer_output: BufferOutput) -> Optional[FeatureRecord]:
             record = FeatureRecord(buffer_output.feature)
             try:
                 if constructor is not None:
                     constructor(record=record, buffer_output=buffer_output)
+            except SkipRecord:
+                return None
+            return record
+
+        def _finish(record: Optional[FeatureRecord]) -> Optional[FeatureRecord]:
+            if record is None:
+                return None
+            try:
                 if sampler is not None:
                     sampler(record)
                 if transform is not None:
@@ -191,17 +221,42 @@ class FeatureDataset:
                 return None
             return record
 
-        def _worker(buffer: TensorBuffer):
-            return [r for out in buffer if (r := _process(out)) is not None]
+        def _construct_buffer(buffer: TensorBuffer):
+            return [_construct(out) for out in buffer]
+
+        if num_workers <= 1 or len(self.buffers) <= 1:
+
+            def _seq_gen():
+                for buffer in self.buffers:
+                    yield [
+                        r
+                        for c in _construct_buffer(buffer)
+                        if (r := _finish(c)) is not None
+                    ]
+
+            gen = _seq_gen()
+        else:
+
+            def _par_gen():
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _drain(future):
+                    return [
+                        r for c in future.result() if (r := _finish(c)) is not None
+                    ]
+
+                with ThreadPoolExecutor(num_workers) as pool:
+                    pending = deque()
+                    for buffer in self.buffers:
+                        pending.append(pool.submit(_construct_buffer, buffer))
+                        if len(pending) > num_workers:
+                            yield _drain(pending.popleft())
+                    while pending:
+                        yield _drain(pending.popleft())
+
+            gen = _par_gen()
 
         if collate:
-            all_records = []
-            for buffer in self.buffers:
-                all_records.extend(_worker(buffer))
-            return all_records
-
-        def _gen():
-            for buffer in self.buffers:
-                yield _worker(buffer)
-
-        return _gen()
+            return [r for records in gen for r in records]
+        return gen

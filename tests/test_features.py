@@ -390,3 +390,52 @@ def test_cache_zero_entry_first_batch():
     c.save()
     assert c.feature_locations["m"].shape[0] == 6
     assert c.feature_activations["m"].dtype == np.float16
+
+
+def test_load_threaded_matches_sequential(tmp_path):
+    """num_workers>1 parallelizes split IO + construction across buffers, but
+    sampling runs on the consuming thread in buffer-then-record order — so a
+    threaded load must yield records identical to the sequential path
+    (examples AND sampled train sets; the samplers' global-RNG call sequence
+    is pinned observable behavior, samplers.py:1-11)."""
+    from functools import partial
+
+    from multimodal_sae_tpu.config import ExperimentConfig
+
+    _, batches = _fill_cache_via_pipeline(tmp_path)
+    tokens = np.arange(12 * 8).reshape(12, 8)  # fake token ids per cached row
+    fcfg = FeatureConfig(
+        width=L, n_splits=4, min_examples=1, max_examples=16, example_ctx_len=4
+    )
+    ecfg = ExperimentConfig(n_examples_train=1, train_type="random")
+    constructor = partial(pool_max_activation_windows, tokens=tokens, cfg=fcfg)
+    sampler = partial(sample, cfg=ecfg)
+
+    def snapshot(num_workers):
+        ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
+        out = []
+        for records in ds.load(
+            constructor=constructor, sampler=sampler, num_workers=num_workers
+        ):
+            for r in records:
+                out.append(
+                    (
+                        str(r.feature),
+                        [e.tokens.tolist() for e in r.examples],
+                        [float(e.max_activation) for e in r.examples],
+                        [e.tokens.tolist() for e in r.train],
+                    )
+                )
+        return out
+
+    seq = snapshot(num_workers=0)
+    par = snapshot(num_workers=4)
+    assert len(seq) > 0
+    assert seq == par
+
+    # collate=True flattens identically too.
+    ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
+    flat = ds.load(
+        collate=True, constructor=constructor, sampler=sampler, num_workers=4
+    )
+    assert len(flat) == len(seq)
