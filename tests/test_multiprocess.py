@@ -480,3 +480,63 @@ def test_segment_two_process_merge_matches_solo(tmp_path):
     assert mp_scores == solo_scores
     feats = {s["feature"] for s in mp_scores}
     assert feats == {f"{module}_feature0", f"{module}_feature1"}
+
+
+def test_cache_image_two_process_merge_byte_equals_solo(llava_ckpt, tmp_path):
+    """The IMAGE cache CLI under the merge race: rank 1's save_splits is
+    delayed 3 s; the merged anyres cache (BOS drop, streaming shards) must be
+    byte-identical to a single-process run."""
+    import datasets as hf_datasets
+    import jax
+    from PIL import Image
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.sae import Sae
+
+    sae_dir = tmp_path / "saes"
+    Sae(
+        32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)
+    ).save_to_disk(sae_dir / "model.layers.1")
+
+    rng = np.random.default_rng(0)
+    ds = hf_datasets.Dataset.from_dict(
+        {
+            "image": [
+                Image.fromarray(rng.integers(0, 255, (24, 40, 3), dtype=np.uint8))
+                for _ in range(4)
+            ]
+        }
+    ).cast_column("image", hf_datasets.Image())
+    ds_dir = tmp_path / "imgds"
+    ds.save_to_disk(str(ds_dir))
+
+    save_dir = tmp_path / "cache_mp"
+    run_procs(
+        "mp_cache_image.py", [llava_ckpt, ds_dir, sae_dir, save_dir], timeout=360
+    )
+
+    module_dir = save_dir / "model.layers.1"
+    files = sorted(os.listdir(module_dir))
+    assert all(not f.startswith("Rank") for f in files), f"unmerged: {files}"
+    assert len(files) == 2  # n_splits=2
+
+    # Solo oracle, in-process (world=1).
+    from multimodal_sae_tpu.config import CacheConfig
+    from multimodal_sae_tpu.launch.cache import cache_image as cache_image_cli
+
+    solo_dir = tmp_path / "cache_solo"
+    cache_image_cli.main(
+        CacheConfig(
+            model=llava_ckpt,
+            dataset=str(ds_dir),
+            sae_path=str(sae_dir),
+            save_dir=str(solo_dir),
+            batch_size=2,
+            ctx_len=64,
+            n_splits=2,
+        )
+    )
+    for f in files:
+        a = (module_dir / f).read_bytes()
+        b = (solo_dir / "model.layers.1" / f).read_bytes()
+        assert a == b, f"{f} differs between 1-process and 2-process runs"
