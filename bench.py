@@ -593,7 +593,10 @@ def llava_image_bench(emit: bool = True):
 
     hook = "model.layers.24"  # LlavaNextModel.HOOK_PREFIX convention
     rng = __import__("numpy").random.default_rng(0)
-    n_images = 4  # 8 OOMs: flash buffers + 8x2432-token activations + 10 GB weights
+    # Batch boundary, measured: 6 and 8 both OOM the 16 GB chip (flash
+    # buffers + Nx2432-token activations + ~9 GB weights); 4 is the widest
+    # that fits. MMSAE_BENCH_IMAGES probes other widths.
+    n_images = int(os.environ.get("MMSAE_BENCH_IMAGES", 4))
     img = Image.fromarray(rng.integers(0, 255, size=(480, 640, 3), dtype="uint8"))
     prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
     topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
