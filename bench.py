@@ -601,7 +601,9 @@ def llava_image_bench(emit: bool = True):
     prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
     topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
 
-    if "--geometries" in sys.argv:
+    if emit and "--geometries" in sys.argv:
+        # Only when emitting: the combined default headline (emit=False)
+        # must return the (img/s, tok/s, seq) triple, never the sweep.
         _anyres_geometry_sweep(model, sae_params, sae_cfg, hook, prompt, topk)
         return
 
@@ -948,8 +950,11 @@ def main():
                 f"(CLIP-L tower x5 crops + {seq}-token packed seq through "
                 f"32-layer int8 8B + 131k SAE; {img_tok_per_s:.0f} tok/s; "
                 f"SAE cache step alone: {sae_line['value']} tok/s @131k, "
-                f"{sae_line['vs_baseline']}x the naive translation)",
-                "vs_baseline": round(tokens_per_sec / naive_tokens_per_sec, 3),
+                f"{sae_line['vs_baseline']}x the naive translation; "
+                "vs_baseline 0.0 = the reference publishes no image number "
+                "to ratio against — the SAE-step speedup lives in "
+                "sae_cache_vs_naive)",
+                "vs_baseline": 0.0,
                 "sae_cache_tokens_per_sec": sae_line["value"],
                 "sae_cache_vs_naive": sae_line["vs_baseline"],
             }
@@ -958,7 +963,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--image" in sys.argv:
+    if "--image" in sys.argv or "--geometries" in sys.argv:
         llava_image_bench()
     elif "--steering" in sys.argv:
         steering_bench()

@@ -182,7 +182,12 @@ class FeatureDataset:
         reference got from `DataLoader(num_workers=cpu/2)` over TensorBuffers
         (reference loader.py:201-259); construction is numpy/PIL host work
         that releases the GIL. Default: MMSAE_LOADER_WORKERS env var, else
-        cpu_count/2 like the reference; <=1 runs fully sequential.
+        SEQUENTIAL — deliberately opt-in, unlike the reference's cpu/2
+        default, because parallelism here means up to `num_workers` buffers'
+        records resident at once, and image constructors hold decoded PIL
+        images per record (SegmentScorer._collect_chunks bounds host RAM by
+        draining this generator lazily; a silent cpu/2 default would multiply
+        that bound by the worker count on production hosts).
 
         Determinism: samplers draw from a shared RNG, and that call sequence
         is observable pinned behavior (see samplers.py) — so sampler and
@@ -196,9 +201,7 @@ class FeatureDataset:
 
         if num_workers is None:
             env = os.environ.get("MMSAE_LOADER_WORKERS")
-            num_workers = (
-                int(env) if env else max(1, (os.cpu_count() or 2) // 2)
-            )
+            num_workers = int(env) if env else 1
 
         def _construct(buffer_output: BufferOutput) -> Optional[FeatureRecord]:
             record = FeatureRecord(buffer_output.feature)
@@ -250,7 +253,7 @@ class FeatureDataset:
                     pending = deque()
                     for buffer in self.buffers:
                         pending.append(pool.submit(_construct_buffer, buffer))
-                        if len(pending) > num_workers:
+                        if len(pending) >= num_workers:
                             yield _drain(pending.popleft())
                     while pending:
                         yield _drain(pending.popleft())

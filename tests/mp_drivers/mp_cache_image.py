@@ -18,7 +18,10 @@ from multimodal_sae_tpu.parallel import initialize_distributed  # noqa: E402
 
 def main():
     ckpt_dir, dataset_dir, sae_dir, save_dir = sys.argv[1:5]
-    assert initialize_distributed(), "distributed bring-up failed"
+    ok = initialize_distributed()
+    # World=1 (no coordinator env) is a valid oracle run, like the sibling
+    # drivers; only a CONFIGURED multi-process job may fail bring-up.
+    assert ok or "NUM_PROCESSES" not in os.environ, "distributed bring-up failed"
     import jax
 
     from multimodal_sae_tpu.config import CacheConfig

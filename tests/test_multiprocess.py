@@ -408,13 +408,10 @@ def test_segment_two_process_merge_matches_solo(tmp_path):
     concat of the scorer's self-sharded feature lists)."""
     pytest.importorskip("torch")
     import datasets as hf_datasets
-    import jax
     from PIL import Image
 
-    from multimodal_sae_tpu.config import SaeConfig
     from multimodal_sae_tpu.features import FeatureCache
     from multimodal_sae_tpu.features.cache import Cache
-    from multimodal_sae_tpu.sae import Sae
 
     module = "model.layers.24"
     # Synthetic COO cache: 6 images x 2 features firing on the first two
