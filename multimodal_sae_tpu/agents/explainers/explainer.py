@@ -1,5 +1,9 @@
 """Explainer base types and file-backed explanation loaders
-(reference sae_auto_interp/agents/explainers/explainer.py:12-45)."""
+(reference sae_auto_interp/agents/explainers/explainer.py:12-45).
+
+The `ExplainerResult` field names and the loader call signatures are the
+pipeline interface (pipes pass records through by keyword); the I/O here is
+plain-thread offloading rather than the reference's aiofiles."""
 
 from __future__ import annotations
 
@@ -27,26 +31,34 @@ class Explainer(ABC):
         pass
 
 
-async def _read(path: str) -> str:
-    return await asyncio.to_thread(lambda: open(path).read())
+async def _load_json(path: str):
+    """Read + parse one explanation file off the event loop."""
+    text = await asyncio.to_thread(lambda: open(path).read())
+    return json.loads(text)
 
 
 async def explanation_loader(
     record: FeatureRecord, explanation_dir: str
 ) -> ExplainerResult:
     """Load a previously saved explanation for this feature."""
-    explanation = json.loads(await _read(f"{explanation_dir}/{record.feature}.txt"))
-    return ExplainerResult(record=record, explanation=explanation)
+    path = os.path.join(explanation_dir, f"{record.feature}.txt")
+    return ExplainerResult(record=record, explanation=await _load_json(path))
 
 
 async def random_explanation_loader(
     record: FeatureRecord, explanation_dir: str
 ) -> ExplainerResult:
-    """Control baseline: a random *other* feature's explanation."""
-    explanations = [f for f in os.listdir(explanation_dir) if f.endswith(".txt")]
+    """Control baseline: a random *other* feature's explanation.
+
+    Deliberate fix over the reference: it compared `str(record.feature)`
+    against the listing (which carries `.txt` suffixes), so the exclusion
+    never matched and a feature could draw its OWN explanation as its
+    "random" control — here the suffixed filename is excluded."""
     own = f"{record.feature}.txt"
-    if own in explanations:
-        explanations.remove(own)
-    pick = random.choice(explanations)
-    explanation = json.loads(await _read(f"{explanation_dir}/{pick}"))
-    return ExplainerResult(record=record, explanation=explanation)
+    candidates = [
+        name
+        for name in os.listdir(explanation_dir)
+        if name.endswith(".txt") and name != own
+    ]
+    path = os.path.join(explanation_dir, random.choice(candidates))
+    return ExplainerResult(record=record, explanation=await _load_json(path))
