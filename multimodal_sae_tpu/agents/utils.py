@@ -13,29 +13,23 @@ from ..features import Example, FeatureRecord
 
 
 def highlight(index: int, example: Example, tokenizer, threshold: float) -> str:
-    """Render an example with activating token spans wrapped in << >>."""
-    result = f"Example {index}: "
-    threshold = example.max_activation * threshold
+    """Render an example with activating token spans wrapped in << >>:
+    consecutive above-threshold tokens share one marker pair."""
     str_toks = tokenizer.batch_decode([[t] for t in np.asarray(example.tokens)])
     example.str_toks = str_toks
-    activations = np.asarray(example.activations)
+    cutoff = example.max_activation * threshold
+    active = np.asarray(example.activations) > cutoff
 
-    def check(i):
-        return activations[i] > threshold
+    from itertools import groupby
 
-    i = 0
-    out = [result]
-    while i < len(str_toks):
-        if check(i):
-            out.append("<<")
-            while i < len(str_toks) and check(i):
-                out.append(str_toks[i])
-                i += 1
-            out.append(">>")
-        else:
-            out.append(str_toks[i])
-            i += 1
-    return "".join(out)
+    parts = [f"Example {index}: "]
+    pos = 0
+    for is_active, run in groupby(active.tolist()):
+        n = sum(1 for _ in run)
+        span = "".join(str_toks[pos : pos + n])
+        parts.append(f"<<{span}>>" if is_active else span)
+        pos += n
+    return "".join(parts)
 
 
 def join_activations(example: Example, threshold: float) -> str:
