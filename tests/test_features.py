@@ -439,3 +439,32 @@ def test_load_threaded_matches_sequential(tmp_path):
         collate=True, constructor=constructor, sampler=sampler, num_workers=4
     )
     assert len(flat) == len(seq)
+
+
+def test_load_threaded_propagates_constructor_errors(tmp_path):
+    """An exception inside a worker-thread construction must surface to the
+    consumer at drain time (not hang the pool or vanish), and SkipRecord
+    must stay a per-record skip, not an error."""
+    from multimodal_sae_tpu.features.samplers import SkipRecord
+
+    _fill_cache_via_pipeline(tmp_path)
+    fcfg = FeatureConfig(width=L, n_splits=4, min_examples=1, max_examples=16)
+    calls = []
+
+    def exploding(record, buffer_output):
+        calls.append(record)
+        if len(calls) == 3:
+            raise RuntimeError("constructor blew up")
+
+    ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
+    gen = ds.load(constructor=exploding, num_workers=4)
+    with pytest.raises(RuntimeError, match="constructor blew up"):
+        for _ in gen:
+            pass
+
+    def skipping(record, buffer_output):
+        raise SkipRecord()
+
+    ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
+    out = list(ds.load(constructor=skipping, num_workers=4))
+    assert all(records == [] for records in out)  # every record skipped
