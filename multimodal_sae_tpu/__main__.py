@@ -34,6 +34,7 @@ def load_artifacts(args: RunConfig):
             dtype=jnp.bfloat16,
             load_in_8bit=args.load_in_8bit,
             int8_matmul=args.int8_matmul,
+            int8_vision=getattr(args, "int8_vision", False),
             flash_attention=args.flash_attention,
             tp=args.tp,
             hf_token=args.hf_token,

@@ -149,7 +149,12 @@ class RunConfig(TrainConfig):
     int8_matmul: bool = False
     """Run the int8-quantized frozen subject through native int8 MXU matmuls
     (W8A8; implies load_in_8bit) — ~2x faster subject forward; SAE math is
-    unaffected (it trains on the captured hiddens in full precision)."""
+    unaffected (it trains on the captured hiddens in full precision).
+    Language model only; see CacheConfig.int8_vision for the CLIP tower."""
+
+    int8_vision: bool = False
+    """Extend W8A8 compute to the CLIP tower (measured 2x slower than bf16
+    tower compute at anyres shapes — see CacheConfig.int8_vision)."""
 
     flash_attention: bool = False
     """Fused flash attention for the frozen-subject forward — removes the
@@ -272,7 +277,16 @@ class CacheConfig:
     """Run the int8-quantized subject through native int8 MXU matmuls
     (W8A8, ~2x bf16 matmul rate; implies load_in_8bit). Opt-in: activation
     quantization changes numerics, so the bit-stable cache guarantee only
-    holds within the same flag setting."""
+    holds within the same flag setting. Applies to the LANGUAGE MODEL; the
+    CLIP tower keeps bf16 compute unless int8_vision is set (int8 compute
+    is a measured 2x regression at the tower's d=1024 shapes, BASELINE.md)."""
+
+    int8_vision: bool = False
+    """Extend W8A8 int8-MXU compute to the CLIP vision tower's matmuls.
+    Measured SLOWER than bf16 tower compute on v5e (2.05x at the anyres
+    crop shapes) — exposed for parity probing, not recommended. Tower
+    WEIGHTS are int8-quantized whenever load_in_8bit/int8_matmul is set,
+    independent of this flag."""
 
     flash_attention: bool = False
     """Fused flash attention for the subject forward (models/llama.py):
@@ -340,7 +354,12 @@ class AttributionConfig:
     int8_matmul: bool = False
     """Native int8 MXU matmuls for the quantized subject (W8A8; implies
     load_in_8bit). Backward uses a straight-through dequantized-weight
-    matmul, so attribution gradients still flow to the spliced hiddens."""
+    matmul, so attribution gradients still flow to the spliced hiddens.
+    Applies to the language model; see CacheConfig.int8_vision."""
+
+    int8_vision: bool = False
+    """Extend W8A8 compute to the CLIP tower (measured 2x slower than bf16
+    tower compute at anyres shapes — see CacheConfig.int8_vision)."""
 
     flash_attention: bool = False
     """Fused flash attention for the subject forward/backward — multimodal

@@ -25,6 +25,7 @@ def main(cfg: CacheConfig):
     model, processor, tokenizer = load_subject_model(
         cfg.model, load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
+        int8_vision=cfg.int8_vision,
         flash_attention=cfg.flash_attention,
         tp=cfg.tp,
         hf_token=cfg.hf_token,

@@ -63,6 +63,7 @@ def main(cfg: AttributionConfig):
         dtype=jnp.bfloat16,
         load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
+        int8_vision=cfg.int8_vision,
         flash_attention=cfg.flash_attention,
         remat=cfg.remat,
         tp=cfg.tp,

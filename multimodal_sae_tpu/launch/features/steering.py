@@ -80,8 +80,14 @@ def parse_argument():
     parser.add_argument(
         "--int8-matmul",
         action="store_true",
-        help="Native int8 MXU matmuls for the quantized subject (W8A8, "
-        "~2x bf16 rate; implies --load-in-8bit)",
+        help="Native int8 MXU matmuls for the quantized subject's language "
+        "model (W8A8, ~2x bf16 rate; implies --load-in-8bit)",
+    )
+    parser.add_argument(
+        "--int8-vision",
+        action="store_true",
+        help="Extend W8A8 compute to the CLIP tower (measured 2x SLOWER "
+        "than bf16 tower compute at anyres shapes; parity probing only)",
     )
     parser.add_argument(
         "--tp",
@@ -105,6 +111,7 @@ def main():
         dtype=getattr(jnp, args.dtype),
         load_in_8bit=args.load_in_8bit,
         int8_matmul=args.int8_matmul,
+        int8_vision=args.int8_vision,
         tp=args.tp,
     )
     if processor is None:  # text-only subject model

@@ -35,6 +35,7 @@ def load_subject_model(
     dtype=jnp.bfloat16,
     load_in_8bit: bool = False,
     int8_matmul: bool = False,
+    int8_vision: bool = False,
     flash_attention: bool = False,
     remat: bool = False,
     tp: int = 0,
@@ -53,9 +54,19 @@ def load_subject_model(
     halving subject HBM so 8B-scale attribution/training fits one v5e chip.
 
     `int8_matmul` (implies `load_in_8bit`) additionally runs the quantized
-    matmuls as native int8xint8 MXU ops with dynamic per-token activation
-    quantization — ~2x the bf16 matmul rate for the frozen-subject forward
-    (W8A8 numerics; see models/quant.py qmatmul).
+    LANGUAGE-MODEL matmuls as native int8xint8 MXU ops with dynamic
+    per-token activation quantization — ~2x the bf16 matmul rate for the
+    frozen-subject forward (W8A8 numerics; see models/quant.py qmatmul).
+
+    `int8_vision` extends W8A8 compute to the CLIP tower's matmuls. Off by
+    default even under `int8_matmul` because it is a MEASURED regression at
+    the tower's d=1024 shapes (2.05x slower than bf16 compute, 75 -> 154 ms
+    per 20-crop batch — XLA does not lower these to a profitable int8 MXU
+    path the way it does the LM's d=4096 ones; BASELINE.md r4). The tower's
+    WEIGHTS are still int8-quantized whenever the LM's are (HBM parity with
+    the reference's whole-model Quanto fp8 posture, reference
+    launch/utils.py:68-97) — dequant-on-use bf16 compute measures within
+    noise of bf16 weights (77.1 vs 75.1 ms).
 
     `tp > 1` places the subject tensor-parallel over the first `tp` local
     devices (megatron column/row sharding on a `('model',)` mesh,
@@ -104,7 +115,7 @@ def load_subject_model(
             text_config=_merge_flags(cfg.text_config),
             vision_config=dataclasses.replace(
                 cfg.vision_config,
-                int8_matmul=int8_matmul or cfg.vision_config.int8_matmul,
+                int8_matmul=int8_vision or cfg.vision_config.int8_matmul,
             ),
         )
         model = LlavaNextModel(params, cfg)
@@ -213,6 +224,7 @@ def load_subject_or_synthetic(cfg):
         cfg.model,
         load_in_8bit=cfg.load_in_8bit,
         int8_matmul=cfg.int8_matmul,
+        int8_vision=getattr(cfg, "int8_vision", False),
         flash_attention=cfg.flash_attention,
         tp=getattr(cfg, "tp", 0),
         hf_token=getattr(cfg, "hf_token", None),

@@ -537,3 +537,22 @@ def test_cache_image_two_process_merge_byte_equals_solo(llava_ckpt, tmp_path):
         a = (module_dir / f).read_bytes()
         b = (solo_dir / "model.layers.1" / f).read_bytes()
         assert a == b, f"{f} differs between 1-process and 2-process runs"
+
+
+def test_int8_matmul_does_not_enable_int8_tower_compute(llava_ckpt):
+    """--int8-matmul must quantize the tower's WEIGHTS (HBM parity with the
+    reference's whole-model fp8 posture) but keep bf16 tower COMPUTE: W8A8
+    tower matmuls are a measured 2x regression at anyres shapes (BASELINE.md
+    r4). --int8-vision opts into the int8 compute path explicitly."""
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+
+    from multimodal_sae_tpu.models.quant import is_quantized
+
+    model, _, _ = load_subject_model(llava_ckpt, int8_matmul=True)
+    assert model.cfg.text_config.int8_matmul is True
+    assert model.cfg.vision_config.int8_matmul is False
+    # Tower weights ARE quantized (int8 + per-channel scale dict leaves).
+    assert is_quantized(model.params["vision_tower"]["layers"][0]["q_proj"])
+
+    model2, _, _ = load_subject_model(llava_ckpt, int8_matmul=True, int8_vision=True)
+    assert model2.cfg.vision_config.int8_matmul is True
