@@ -330,6 +330,19 @@ class CacheConfig:
     (reference clients/sglang.py:33-34); required posture for an 8B bf16
     subject on 16 GB v5e chips."""
 
+    dp: int = 0
+    """IN-PROCESS data parallelism for the cache: replicate the subject (and
+    SAEs) over the first `dp` local devices on a ('data',) mesh and feed the
+    device `dp x batch_size` rows per step, batch axis sharded — GSPMD
+    partitions every forward along the batch with ZERO collectives
+    (parallel/data_parallel.py). The single-process analogue of the
+    reference's one-torchrun-rank-per-GPU caching (reference README.md:41-56)
+    for the natural one-process-per-host JAX posture; output is byte-identical
+    to a single-device run at batch_size = dp x batch_size. Requires the
+    subject to fit one chip (quantized 8B, or smaller); mutually exclusive
+    with `tp` in one process — compose DP over TP subjects across processes
+    instead (docs/DISTRIBUTED.md)."""
+
 
 @dataclass
 class AttributionConfig:

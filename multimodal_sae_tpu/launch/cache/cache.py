@@ -54,7 +54,11 @@ def main(cfg: CacheConfig):
     cache = FeatureCache(
         capture_fn,
         submodule_dict,
-        batch_size=cfg.batch_size,
+        # --dp N feeds the device N x batch_size rows per step (each chip
+        # computes batch_size of them); the drop-last boundary and global row
+        # offsets then match a single-device run at that batch size, so the
+        # merged cache is byte-identical (tests/test_launch_integration.py).
+        batch_size=cfg.batch_size * max(1, cfg.dp),
         shard_size=shard_start,
         filters=filters,
     )

@@ -28,6 +28,7 @@ def main(cfg: CacheConfig):
         int8_vision=cfg.int8_vision,
         flash_attention=cfg.flash_attention,
         tp=cfg.tp,
+        dp=cfg.dp,
         hf_token=cfg.hf_token,
     )
 
@@ -59,7 +60,9 @@ def main(cfg: CacheConfig):
     cache = FeatureImageCache(
         capture_fn,
         submodule_dict,
-        batch_size=cfg.batch_size,
+        # --dp N feeds the device N x batch_size images per step (see
+        # launch/cache/cache.py for the byte-parity rationale).
+        batch_size=cfg.batch_size * max(1, cfg.dp),
         shard_size=shard_start,
         filters=filters,
     )

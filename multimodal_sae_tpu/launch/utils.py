@@ -39,6 +39,7 @@ def load_subject_model(
     flash_attention: bool = False,
     remat: bool = False,
     tp: int = 0,
+    dp: int = 0,
     hf_token: Optional[str] = None,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
@@ -74,9 +75,23 @@ def load_subject_model(
     16 GB v5e chips.  The model gains a `.mesh` attribute; co-resident SAEs
     must be replicated onto it (`parallel.replicate_on_mesh`).
 
+    `dp > 1` instead replicates the subject over the first `dp` local devices
+    on a ('data',) mesh and shards incoming batches along their row axis
+    (parallel/data_parallel.py) — the zero-collective posture for forward-only
+    caching when the subject fits one chip (quantized 8B, or smaller models).
+    Mutually exclusive with `tp`: cross-process data parallelism over TP
+    subjects is the multi-host composition (docs/DISTRIBUTED.md).
+
     `model_name_or_path` must be a local HF checkpoint directory (this
     environment has no network egress; pre-download checkpoints)."""
     import dataclasses
+
+    if tp and tp > 1 and dp and dp > 1:
+        raise ValueError(
+            "--tp and --dp are mutually exclusive within one process; "
+            "compose them as multi-process data parallelism over TP "
+            "subjects (docs/DISTRIBUTED.md)"
+        )
 
     from transformers import AutoTokenizer
 
@@ -136,6 +151,10 @@ def load_subject_model(
         from ..parallel import shard_subject_model
 
         model, _ = shard_subject_model(model, tp)
+    elif dp and dp > 1:
+        from ..parallel import shard_subject_model_dp
+
+        model, _ = shard_subject_model_dp(model, dp)
     tokenizer = AutoTokenizer.from_pretrained(model_name_or_path, token=hf_token)
     model.generation_config = _load_generation_config(model_name_or_path)
     return model, processor, tokenizer
@@ -227,6 +246,7 @@ def load_subject_or_synthetic(cfg):
         int8_vision=getattr(cfg, "int8_vision", False),
         flash_attention=cfg.flash_attention,
         tp=getattr(cfg, "tp", 0),
+        dp=getattr(cfg, "dp", 0),
         hf_token=getattr(cfg, "hf_token", None),
     )
 

@@ -782,6 +782,20 @@ class LlamaModel:
         if amask is not None:
             amask_np = np.asarray(amask)
             amask = None if amask_np.all() else jnp.asarray(amask_np)
+        sharding = getattr(self, "batch_sharding", None)
+        if sharding is not None:
+            # In-process data parallelism (`--dp N`): commit the rows sharded
+            # over the ('data',) mesh so GSPMD partitions the forward along
+            # the batch with zero collectives (parallel/data_parallel.py).
+            # Row-independent math: pad rows are sliced off, the rest are
+            # bitwise what a single-device run computes.
+            from ..parallel.data_parallel import place_rows_padded
+
+            ids, n_rows = place_rows_padded(ids, sharding)
+            if amask is not None:
+                amask, _ = place_rows_padded(amask, sharding)
+            out = self._capture_jit[key](self.params, ids, amask)
+            return {k: v[:n_rows] for k, v in out.items()}
         return self._capture_jit[key](self.params, ids, amask)
 
     def suffix_params(self, hookpoint: str) -> dict:

@@ -483,13 +483,23 @@ class LlavaNextModel:
         offsets = {}  # memo_key -> row offset into flat_feats
         flat_parts = []
         offset = 0
+        dp_sharding = getattr(self, "batch_sharding", None)
         for gkey, members in groups.items():
             n_patches = members[0][2]
             stacked = jnp.stack(
                 [jnp.asarray(pv)[:n_patches] for (_, pv, _) in members]
             )
+            if dp_sharding is not None:
+                # `--dp N`: shard the geometry group over the ('data',) mesh
+                # so each chip runs the tower on its share of the images
+                # (group sizes are data-dependent, hence the padded commit).
+                from ..parallel.data_parallel import place_rows_padded
+
+                stacked, n_grp = place_rows_padded(stacked, dp_sharding)
             n_tokens = distinct[members[0][0]]
             out = self._project_pack_group_jit(stacked, gkey[1], n_tokens)
+            if dp_sharding is not None and out.shape[0] != n_grp:
+                out = out[:n_grp]
             for i, (mk, _, _) in enumerate(members):
                 offsets[mk] = offset + i * n_tokens
             flat_parts.append(out.reshape(-1, out.shape[-1]))
@@ -579,6 +589,22 @@ class LlavaNextModel:
             if amask is not None
             else np.ones((B, S), np.int32)
         )
+        n_rows = B
+        dp_sharding = getattr(self, "batch_sharding", None)
+        if dp_sharding is not None:
+            # `--dp N`: commit the batch row-sharded over the ('data',) mesh;
+            # GSPMD partitions the whole language-model forward along the
+            # batch with zero collectives (parallel/data_parallel.py). Pad
+            # rows (repeated last row) are sliced off with the seq pad below.
+            from ..parallel.data_parallel import place_rows_padded
+
+            embeds, n_rows = place_rows_padded(embeds, dp_sharding)
+            B = embeds.shape[0]
+            if B != n_rows:
+                amask_np = np.concatenate(
+                    [amask_np, np.repeat(amask_np[-1:], B - n_rows, axis=0)],
+                    axis=0,
+                )
         # A no-padding batch (uniform geometry — the common cache case) needs
         # no mask at all: bucket-pad keys are excluded by causality for every
         # real query, and pad-row outputs are sliced off below.  Passing None
@@ -625,12 +651,14 @@ class LlavaNextModel:
                 iv_args,
             )
         )
-        if pad:
-            out["captured"] = {k: v[:, :S] for k, v in out["captured"].items()}
+        if pad or n_rows != B:
+            out["captured"] = {
+                k: v[:n_rows, :S] for k, v in out["captured"].items()
+            }
             if "logits" in out:
-                out["logits"] = out["logits"][:, :S]
+                out["logits"] = out["logits"][:n_rows, :S]
             if "hidden" in out:
-                out["hidden"] = out["hidden"][:, :S]
+                out["hidden"] = out["hidden"][:n_rows, :S]
         out["captured"] = {
             orig_by_stripped[k]: v for k, v in out["captured"].items()
         }

@@ -15,6 +15,7 @@ from .tensor_parallel import (
     shard_llama_params,
     shard_subject_model,
 )
+from .data_parallel import place_rows, place_rows_padded, shard_subject_model_dp
 
 __all__ = [
     "get_mesh",
@@ -34,4 +35,7 @@ __all__ = [
     "replicate_saes",
     "shard_llama_params",
     "shard_subject_model",
+    "place_rows",
+    "place_rows_padded",
+    "shard_subject_model_dp",
 ]

@@ -466,3 +466,56 @@ def test_attribution_fast_path_matches_general(llama_dir, tmp_path):
     f = build(Fast(), 2).get_attribution(indices=[0, 7])
     for a, b in zip(g["layers.1"], f["layers.1"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_cache_cli_data_parallel(llama_dir_with_tokenizer, tmp_path):
+    """`launch.cache.cache --dp 2` on the virtual-device platform: the
+    subject runs replicated on a ('data',) mesh with each batch row-sharded,
+    and the merged cache is BYTE-identical to a single-device run at
+    batch_size = dp x batch_size (data-parallel partitioning never changes
+    within-row arithmetic, unlike TP's reduction-order drift)."""
+    from datasets import Dataset
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+    from multimodal_sae_tpu.sae import Sae
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    rng = np.random.default_rng(1)
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(10, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    def run(dp, batch_size, out):
+        cache_cli.main(
+            CacheConfig(
+                model=llama_dir_with_tokenizer,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=batch_size,
+                ctx_len=8,
+                n_splits=2,
+                dp=dp,
+            )
+        )
+        return {
+            f.name: f.read_bytes()
+            for f in sorted((tmp_path / out / "layers.1").iterdir())
+            if not f.name.startswith("Rank")
+        }
+
+    # dp=2 at batch_size=2 feeds the device 4 rows/step == a plain
+    # batch_size=4 run; 10 rows -> 2 full batches + a dropped ragged tail.
+    dp_out = run(2, 2, "cache_dp")
+    ref_out = run(0, 4, "cache_dp_ref")
+    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    for name in ref_out:
+        assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"

@@ -340,3 +340,33 @@ def test_clip_tower_honors_gelu_act():
             ClipVisionConfig.from_hf({**hf_cfg.to_dict(), "hidden_act": "silu"}),
             jnp.asarray(pv),
         )
+
+
+def test_capture_data_parallel_matches_single_device(tiny, images):
+    """`--dp N` on the multimodal path: vision-tower geometry groups are
+    sharded over the ('data',) mesh (padded commit — two images of distinct
+    geometries make per-group sizes of 1, below the mesh size) and the
+    language-model forward runs batch-sharded; captures must equal the
+    unsharded model's exactly (fp32, CPU mesh)."""
+    import jax
+
+    from multimodal_sae_tpu.parallel import shard_subject_model_dp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    _, cfg, params = tiny
+    ref_model = LlavaNextModel(params, cfg)
+    dp_model = LlavaNextModel(params, cfg)
+    dp_model, _ = shard_subject_model_dp(dp_model, 2)
+
+    prompt_ids = [[1, 2, IMG_TOKEN, 3], [4, IMG_TOKEN, 5]]  # ragged -> padding
+    ref_batch = ref_model.prepare_inputs(images=images, prompt_ids=prompt_ids)
+    dp_batch = dp_model.prepare_inputs(images=images, prompt_ids=prompt_ids)
+    hook = ["layers.1"]
+    ref = ref_model.capture(ref_batch, hook)["layers.1"]
+    out = dp_model.capture(dp_batch, hook)["layers.1"]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )

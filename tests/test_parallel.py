@@ -164,3 +164,65 @@ def test_initialize_distributed_metadata_probe_degrades(monkeypatch):
         monkeypatch.delenv(k, raising=False)
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     assert initialize_distributed() is False
+
+
+def test_data_parallel_capture_matches_single_device():
+    """`--dp N` model-level parity: a LlamaModel with batch_sharding set
+    captures bitwise-identical hiddens to the unsharded model — including a
+    batch whose row count does NOT divide the mesh (padded commit + slice
+    back, parallel/data_parallel.py place_rows_padded)."""
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.parallel import shard_subject_model_dp
+
+    assert jax.device_count() >= 8
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ref_model = LlamaModel(dict(params), cfg)
+    dp_model = LlamaModel(dict(params), cfg)
+    dp_model, mesh = shard_subject_model_dp(dp_model, 4)
+    assert len(mesh.devices.ravel()) == 4
+
+    rng = np.random.default_rng(0)
+    for rows in (4, 8, 3):  # divisible, multiple, and padded-commit shapes
+        batch = {"input_ids": rng.integers(0, 128, size=(rows, 6))}
+        ref = ref_model.capture(batch, ["layers.1"])["layers.1"]
+        out = dp_model.capture(batch, ["layers.1"])["layers.1"]
+        assert out.shape == ref.shape == (rows, 6, 64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # The replicated params actually live on the 4-device mesh.
+    assert len(dp_model.params["embed_tokens"].sharding.device_set) == 4
+
+
+def test_place_rows_padded_roundtrip():
+    """Non-divisible rows are padded by repeating the last row and reported
+    back; divisible rows commit without padding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_sae_tpu.parallel import get_mesh, place_rows_padded
+
+    mesh = get_mesh(("data",), devices=jax.devices()[:4])
+    sharding = NamedSharding(mesh, P("data"))
+    x = jnp.arange(3 * 5, dtype=jnp.float32).reshape(3, 5)
+    placed, n = place_rows_padded(x, sharding)
+    assert n == 3 and placed.shape == (4, 5)
+    np.testing.assert_array_equal(np.asarray(placed[:3]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(placed[3]), np.asarray(x[2]))
+    y = jnp.ones((8, 5))
+    placed, n = place_rows_padded(y, sharding)
+    assert n == 8 and placed.shape == (8, 5)
+
+
+def test_dp_and_tp_mutually_exclusive(tmp_path):
+    """load_subject_model refuses --tp + --dp in one process."""
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        load_subject_model(str(tmp_path), tp=2, dp=2)
