@@ -556,3 +556,59 @@ def test_int8_matmul_does_not_enable_int8_tower_compute(llava_ckpt):
 
     model2, _, _ = load_subject_model(llava_ckpt, int8_matmul=True, int8_vision=True)
     assert model2.cfg.vision_config.int8_matmul is True
+
+
+def test_cache_image_cli_data_parallel_byte_equals_solo(llava_ckpt, tmp_path):
+    """`cache_image --dp 2`: the anyres pipeline (vision-tower geometry
+    groups sharded over the ('data',) mesh, LM batch row-sharded, BOS drop)
+    must produce a merged cache byte-identical to a single-device run at
+    batch_size = dp x batch_size."""
+    import datasets as hf_datasets
+    import jax
+    from PIL import Image
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache_image as cache_image_cli
+    from multimodal_sae_tpu.sae import Sae
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    sae_dir = tmp_path / "saes"
+    Sae(
+        32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)
+    ).save_to_disk(sae_dir / "model.layers.1")
+
+    rng = np.random.default_rng(2)
+    ds = hf_datasets.Dataset.from_dict(
+        {
+            "image": [
+                Image.fromarray(rng.integers(0, 255, (24, 40, 3), dtype=np.uint8))
+                for _ in range(4)
+            ]
+        }
+    ).cast_column("image", hf_datasets.Image())
+    ds_dir = tmp_path / "imgds"
+    ds.save_to_disk(str(ds_dir))
+
+    def run(dp, batch_size, out):
+        cache_image_cli.main(
+            CacheConfig(
+                model=llava_ckpt,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=batch_size,
+                ctx_len=64,
+                n_splits=2,
+                dp=dp,
+            )
+        )
+        d = tmp_path / out / "model.layers.1"
+        return {f.name: f.read_bytes() for f in sorted(d.iterdir())}
+
+    dp_out = run(2, 1, "img_dp")
+    ref_out = run(0, 2, "img_ref")
+    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    for name in ref_out:
+        assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
