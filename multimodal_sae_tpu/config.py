@@ -392,6 +392,15 @@ class AttributionConfig:
     tp: int = 0
     """Tensor-parallel degree for the subject model (see CacheConfig.tp)."""
 
+    dp: int = 0
+    """In-process data parallelism over the first N local devices: the
+    subject + SAE replicate on a ('data',) mesh and each vmapped feature
+    chunk is committed P('data') — every chip runs its features' suffix
+    fwd+bwd independently (features/patching/attribution.py). Because each
+    chip carries only its own features' backward tape, the long-shape
+    F=1-per-chip memory boundary becomes F=dp features per step. Mutually
+    exclusive with `tp` in one process (see CacheConfig.dp)."""
+
     feature_batch: int = 0
     """Features attributed per compiled step (vmapped).  0 = auto: 32 for
     short prompts (S < 512; measured best at S=64 — 266 feat/s vs 204 at

@@ -156,6 +156,27 @@ def fast_attribution_maps(
     import collections as _collections
 
     indices = np.asarray(indices)
+
+    # In-process data parallelism (`--dp N`): when the subject sits on a
+    # ('data',) mesh (parallel/data_parallel.py shard_subject_model_dp —
+    # params replicated, SAEs replicated alongside), the FEATURE axis is the
+    # natural shard: commit each chunk's feature ids P('data') and GSPMD
+    # partitions the vmapped suffix fwd+bwd per chip with zero collectives —
+    # each chip carries only its features' backward tape, so the long-shape
+    # F=1-per-chip boundary becomes F=dp per step.
+    feature_sharding = None
+    dp_min = 1
+    mesh = getattr(model, "mesh", None)
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feature_sharding = NamedSharding(mesh, P("data"))
+        dp_min = int(mesh.devices.size)
+        # The chunk width must divide over the mesh: round up to a multiple
+        # of dp (the ragged-tail pad below already tops chunks up to it).
+        feature_batch = max(feature_batch, dp_min)
+        feature_batch = ((feature_batch + dp_min - 1) // dp_min) * dp_min
+
     (wide_vals, wide_idx, clean), suffix_tree, chunk_step = (
         build_fast_attribution(model, hook, sae, batch, metric)
     )
@@ -170,6 +191,9 @@ def fast_attribution_maps(
             pass
 
     def run_chunk(chunk):
+        feats = jnp.asarray(chunk, jnp.int32)
+        if feature_sharding is not None:
+            feats = jax.device_put(feats, feature_sharding)
         return np.asarray(
             chunk_step(
                 suffix_tree,
@@ -177,7 +201,7 @@ def fast_attribution_maps(
                 wide_vals,
                 wide_idx,
                 clean,
-                jnp.asarray(chunk, jnp.int32),
+                feats,
             )
         )
 
@@ -197,9 +221,12 @@ def fast_attribution_maps(
             # real multimodal prompt shapes a 16 GB chip fits F=1 only
             # (BASELINE.md attribution row).  Halve and retry instead of
             # dying mid-sweep.
-            if "RESOURCE_EXHAUSTED" not in str(e) or feature_batch == 1:
+            if "RESOURCE_EXHAUSTED" not in str(e) or feature_batch <= dp_min:
                 raise
-            feature_batch = max(1, feature_batch // 2)
+            # Halve but stay a multiple of the mesh size (dp_min=1 unsharded).
+            feature_batch = max(
+                dp_min, (feature_batch // 2 // dp_min) * dp_min
+            )
             from ...logger import logger
 
             logger.warning(

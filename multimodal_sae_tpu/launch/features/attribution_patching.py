@@ -67,6 +67,7 @@ def main(cfg: AttributionConfig):
         flash_attention=cfg.flash_attention,
         remat=cfg.remat,
         tp=cfg.tp,
+        dp=cfg.dp,
     )
     attribution = Attribution(
         model,

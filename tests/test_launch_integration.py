@@ -519,3 +519,52 @@ def test_cache_cli_data_parallel(llama_dir_with_tokenizer, tmp_path):
     assert set(dp_out) == set(ref_out) and len(dp_out) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
+
+
+def test_attribution_feature_dp_matches_unsharded(llama_dir):
+    """`--dp N` on attribution: with the subject on a ('data',) mesh, the
+    vmapped feature chunk is committed P('data') — each chip runs its
+    features' suffix fwd+bwd independently — and the saliency maps must
+    match the unsharded fast path (feature_batch is rounded up to the mesh
+    size internally, so the caller's width still maps 1:1 onto features)."""
+    from functools import partial
+
+    import jax.numpy as jnp_
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.patching.attribution import (
+        fast_attribution_maps,
+    )
+    from multimodal_sae_tpu.features.patching.utils import get_logit_diff
+    from multimodal_sae_tpu.models.hf_loader import load_llama
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.parallel import replicate_saes, shard_subject_model_dp
+    from multimodal_sae_tpu.sae import Sae
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+
+    params, cfg = load_llama(llama_dir, dtype=jnp.float32)
+    sae = Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(1))
+    batch = {"input_ids": np.array([[1, 5, 9, 13, 2]])}
+    metric = partial(
+        get_logit_diff, answer_token_indices=jnp_.asarray([[3, 7]])
+    )
+    indices = np.arange(10)  # ragged vs both fb=2 and the rounded fb=4
+
+    ref_model = LlamaModel(dict(params), cfg)
+    ref = fast_attribution_maps(
+        ref_model, "layers.1", sae, batch, metric, indices,
+        feature_batch=2, progress=False,
+    )
+
+    dp_model = LlamaModel(dict(params), cfg)
+    dp_model, _ = shard_subject_model_dp(dp_model, 4)
+    replicate_saes(dp_model, [sae])
+    out = fast_attribution_maps(
+        dp_model, "layers.1", sae, batch, metric, indices,
+        feature_batch=2, progress=False,
+    )
+    assert len(out["layers.1"]) == len(ref["layers.1"]) == 10
+    for a, b in zip(ref["layers.1"], out["layers.1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
