@@ -230,15 +230,26 @@ class SteeringController:
         except ImportError:
             pbar = None
         fbs = self.feature_batch_size
+        # Under `--dp N` (subject on a ('data',) mesh) the generate batch is
+        # row-sharded only when it divides the mesh; top ragged chunks up by
+        # repeating the last feature — a duplicate steered row is cheaper
+        # than an unsharded decode — and zip() below drops the extras.
+        mesh = getattr(self.model, "mesh", None)
+        dp = (
+            int(mesh.devices.size)
+            if mesh is not None and "data" in mesh.axis_names
+            else 1
+        )
         for i in range(0, len(self.feature_idx), fbs):
             chunk = [int(f) for f in self.feature_idx[i : i + fbs]]
+            run_chunk = chunk + [chunk[-1]] * (-len(chunk) % dp)
             iv = {
                 self.module_name: clamp_features_max_batched(
-                    self.sae, chunk, k=self.k
+                    self.sae, run_chunk, k=self.k
                 )
             }
             output = self.model.generate(
-                self._replicate_batch(len(chunk)),
+                self._replicate_batch(len(run_chunk)),
                 max_new_tokens=self.max_new_tokens,
                 interventions=iv,
                 intervene_prefill_only=True,

@@ -96,6 +96,15 @@ def parse_argument():
         help="Tensor-parallel degree for the subject model: megatron "
         "sharding over the first N local devices (parallel/tensor_parallel.py)",
     )
+    parser.add_argument(
+        "--dp",
+        type=int,
+        default=0,
+        help="In-process data parallelism over the first N local devices: "
+        "the steered feature batch rides the generate batch axis row-sharded "
+        "over a ('data',) mesh — each chip decodes its features' rows "
+        "(parallel/data_parallel.py; mutually exclusive with --tp)",
+    )
     return parser.parse_args()
 
 
@@ -113,6 +122,7 @@ def main():
         int8_matmul=args.int8_matmul,
         int8_vision=args.int8_vision,
         tp=args.tp,
+        dp=args.dp,
     )
     if processor is None:  # text-only subject model
         processor = tokenizer

@@ -883,6 +883,7 @@ class LlamaModel:
             temperature=temperature,
             top_p=top_p,
             prng_key=prng_key,
+            batch_sharding=getattr(self, "batch_sharding", None),
         )
 
 
@@ -900,6 +901,7 @@ def greedy_generate(
     temperature: float = 1.0,
     top_p: Optional[float] = None,
     prng_key: Optional[jax.Array] = None,
+    batch_sharding=None,
 ):
     """Greedy (default) or sampled decode: jitted prefill + `lax.while_loop`
     decode with a static KV cache.
@@ -921,7 +923,18 @@ def greedy_generate(
     (cumsum(mask) - 1, like HF), and the next-token logit is taken at the last
     column, which left-padding guarantees is the final real token.
     Right-padded batches are rejected up front rather than silently attending
-    to pad tokens."""
+    to pad tokens.
+
+    `batch_sharding` (a NamedSharding over a ('data',) mesh, set on the model
+    by `--dp N` — parallel/data_parallel.py) row-shards the whole generation:
+    ids/embeds/masks AND the KV cache commit with the batch axis partitioned,
+    so each chip prefills and decodes only its rows — zero collectives, and
+    per-chip cache memory drops to B/N rows. Rows are independent (steering
+    rides features on the batch axis), so outputs are unchanged. Batches that
+    do not divide the mesh (e.g. the B=1 unsteered baseline) fall back to the
+    unsharded path rather than padding: padded rows would burn a full decode
+    loop per pad, and the steering controller already tops its chunks up to a
+    mesh multiple where that trade is worth it."""
     B, S = input_ids.shape[0], input_ids.shape[1]
     max_len = S + max_new_tokens
     dtype = leaf_dtype(params["embed_tokens"])
@@ -968,6 +981,28 @@ def greedy_generate(
             if isinstance(eos_token_id, (list, tuple))
             else (int(eos_token_id),)
         ) or None
+    if batch_sharding is not None and B % batch_sharding.mesh.devices.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.data_parallel import place_rows
+
+        mesh, axis = batch_sharding.mesh, batch_sharding.spec[0]
+        input_ids = place_rows(input_ids, batch_sharding)
+        if inputs_embeds is not None:
+            inputs_embeds = place_rows(inputs_embeds, batch_sharding)
+        if full_mask is not None:
+            full_mask = place_rows(full_mask, batch_sharding)
+            prefill_pos = place_rows(prefill_pos, batch_sharding)
+        lengths = place_rows(lengths, batch_sharding)
+        # Commit the cache's batch dim (dim 1 of (layers, B, kvH, len, hd))
+        # so each chip allocates only its rows' slice — the cache is the
+        # generation loop's dominant live buffer.
+        kv_spec = NamedSharding(mesh, P(None, axis, None, None, None))
+        cache = KVCache(
+            k=jax.device_put(cache.k, kv_spec),
+            v=jax.device_put(cache.v, kv_spec),
+            length=jax.device_put(cache.length, NamedSharding(mesh, P())),
+        )
     iv_spec, iv_args = _split_interventions(interventions)
     has_top_p = do_sample and top_p is not None and top_p < 1.0
     prefill_fn, decode_fn = _generate_fns(

@@ -770,6 +770,7 @@ class LlavaNextModel:
             temperature=temperature,
             top_p=top_p,
             prng_key=prng_key,
+            batch_sharding=getattr(self, "batch_sharding", None),
         )
 
 

@@ -226,3 +226,69 @@ def test_dp_and_tp_mutually_exclusive(tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         load_subject_model(str(tmp_path), tp=2, dp=2)
+
+
+def test_steering_dp_matches_unsharded():
+    """`--dp N` on steering: features ride the generate batch axis, and with
+    the subject on a ('data',) mesh the whole generation (ids, masks, KV
+    cache) commits row-sharded — each chip decodes its features' rows. The
+    steered result dict must equal the unsharded controller's, including the
+    ragged final chunk (topped up to a mesh multiple, extras dropped) and
+    the B=1 unsteered baseline (non-divisible -> unsharded fallback)."""
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.steering import SteeringController
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.parallel import replicate_saes, shard_subject_model_dp
+    from multimodal_sae_tpu.sae import Sae
+
+    assert jax.device_count() >= 4
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+
+    class Tok:
+        def apply_chat_template(self, conv, add_generation_prompt=False, tokenize=False):
+            return conv[0]["content"][0]["text"]
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [1] + [2 + ord(c) % 100 for c in text]}
+
+        def batch_decode(self, arr, **kw):
+            return [" ".join(str(int(t)) for t in row) for row in np.asarray(arr)]
+
+    feats = [3, 7, 11, 20, 33]  # fbs=4 -> chunks of 4 + 1 (ragged)
+
+    def run(model, sae):
+        return SteeringController(
+            sae=sae,
+            module_name="layers.1",
+            feature_idx=feats,
+            model=model,
+            processor=Tok(),
+            prompt="hello",
+            k=100.0,
+            max_new_tokens=6,
+            feature_batch_size=4,
+        ).run()
+
+    from multimodal_sae_tpu.config import SaeConfig as _SC
+
+    ref = run(
+        LlamaModel(dict(params), cfg),
+        Sae(32, _SC(num_latents=128, k=8), key=jax.random.PRNGKey(1)),
+    )
+
+    dp_model = LlamaModel(dict(params), cfg)
+    dp_model, _ = shard_subject_model_dp(dp_model, 4)
+    dp_sae = Sae(32, _SC(num_latents=128, k=8), key=jax.random.PRNGKey(1))
+    replicate_saes(dp_model, [dp_sae])
+    out = run(dp_model, dp_sae)
+    assert ref == out
+    assert set(out) == {f"layers.1_feature{i}" for i in feats}
