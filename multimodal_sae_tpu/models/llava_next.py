@@ -591,6 +591,13 @@ class LlavaNextModel:
         )
         n_rows = B
         dp_sharding = getattr(self, "batch_sharding", None)
+        if dp_sharding is not None and iv and B % dp_sharding.mesh.devices.size:
+            # Interventions are shaped to the TRUE batch (e.g. the general
+            # attribution path's (B, S, d_in) splice deltas); padding rows
+            # under them would trace a shape mismatch inside llama_forward.
+            # A non-divisible intervened batch therefore runs unsharded
+            # (replicated params, uncommitted rows) instead of padded.
+            dp_sharding = None
         if dp_sharding is not None:
             # `--dp N`: commit the batch row-sharded over the ('data',) mesh;
             # GSPMD partitions the whole language-model forward along the

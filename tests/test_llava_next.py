@@ -370,3 +370,33 @@ def test_capture_data_parallel_matches_single_device(tiny, images):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_forward_with_intervention_nondivisible_dp_rows(tiny, images):
+    """Interventions are shaped to the true batch, so a `--dp` model must NOT
+    row-pad an intervened batch that does not divide the mesh — it falls back
+    to the unsharded path and matches the plain model exactly."""
+    import jax
+
+    from multimodal_sae_tpu.parallel import shard_subject_model_dp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    _, cfg, params = tiny
+    ref_model = LlavaNextModel(params, cfg)
+    dp_model = LlavaNextModel(params, cfg)
+    dp_model, _ = shard_subject_model_dp(dp_model, 2)
+
+    prompt_ids = [[1, 2, IMG_TOKEN, 3]]  # B=1: does not divide the mesh
+    batch = ref_model.prepare_inputs(images=images[:1], prompt_ids=prompt_ids)
+    iv = {"layers.1": lambda h: h * 1.5}
+    ref = ref_model.forward(batch, capture=["layers.0"], interventions=iv)
+    out = dp_model.forward(
+        dp_model.prepare_inputs(images=images[:1], prompt_ids=prompt_ids),
+        capture=["layers.0"],
+        interventions=iv,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=1e-6, atol=1e-6
+    )

@@ -292,3 +292,35 @@ def test_steering_dp_matches_unsharded():
     out = run(dp_model, dp_sae)
     assert ref == out
     assert set(out) == {f"layers.1_feature{i}" for i in feats}
+
+
+def test_sampled_generate_dp_matches_unsharded():
+    """Sampling under `--dp`: JAX's threefry PRNG is partition-invariant, so
+    a temperature+nucleus decode over the row-sharded mesh must draw the
+    exact same tokens as the unsharded run."""
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.parallel import shard_subject_model_dp
+
+    assert jax.device_count() >= 4
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = np.tile(np.array([[1, 5, 9, 3]]), (4, 1))
+    kw = dict(
+        max_new_tokens=6,
+        do_sample=True,
+        temperature=0.9,
+        top_p=0.8,
+        prng_key=jax.random.PRNGKey(7),
+    )
+    ref = LlamaModel(dict(params), cfg).generate(ids, **kw)
+    dp_model, _ = shard_subject_model_dp(LlamaModel(dict(params), cfg), 4)
+    out = dp_model.generate(ids, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
