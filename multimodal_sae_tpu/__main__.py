@@ -37,6 +37,7 @@ def load_artifacts(args: RunConfig):
             int8_vision=getattr(args, "int8_vision", False),
             flash_attention=args.flash_attention,
             tp=args.tp,
+            dp=args.dp,
             hf_token=args.hf_token,
         )
 

@@ -168,6 +168,15 @@ class RunConfig(TrainConfig):
     hiddens are resharded onto the trainer's data mesh on-device
     (train/trainer.py _globalize_hiddens)."""
 
+    dp: int = 0
+    """In-process data parallelism for the frozen subject's capture forward:
+    replicate it over the first N local devices on a ('data',) mesh and
+    row-shard each training batch (parallel/data_parallel.py) — for subjects
+    that fit one chip (quantized 8B, or smaller), the zero-collective way to
+    use the chips the SAE's own data mesh already spans. Captured hiddens
+    reshard onto the trainer's mesh on-device like the TP case. Mutually
+    exclusive with `tp` (see CacheConfig.dp)."""
+
     max_examples: Optional[int] = None
     """Maximum number of examples to use for training."""
 

@@ -568,3 +568,40 @@ def test_attribution_feature_dp_matches_unsharded(llama_dir):
     assert len(out["layers.1"]) == len(ref["layers.1"]) == 10
     for a, b in zip(ref["layers.1"], out["layers.1"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_with_dp_subject_matches_unsharded(llama_dir_with_tokenizer):
+    """SAE training over a `--dp` subject (capture row-sharded on a
+    ('data',) mesh): hiddens reshard onto the trainer's data mesh on-device
+    like the TP case, and the resulting params must match training over the
+    unsharded subject (fp32)."""
+    from multimodal_sae_tpu.config import SaeConfig, TrainConfig
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+    from multimodal_sae_tpu.parallel import get_mesh
+    from multimodal_sae_tpu.train import SaeTrainer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    rng = np.random.default_rng(3)
+    ds = [{"input_ids": rng.integers(0, 128, size=(16,))} for _ in range(8)]
+    batch = {"input_ids": np.stack([r["input_ids"] for r in ds[:4]])}
+
+    def train(dp):
+        model, _, _ = load_subject_model(
+            llama_dir_with_tokenizer, dtype=jnp.float32, dp=dp
+        )
+        cfg = TrainConfig(
+            sae=SaeConfig(expansion_factor=4, k=4),
+            batch_size=4,
+            lr=1e-3,
+            log_to_wandb=False,
+            hookpoints=["layers.1"],
+        )
+        mesh = get_mesh(("data",), devices=jax.devices()[:2])
+        trainer = SaeTrainer(cfg, ds, model, mesh=mesh)
+        for _ in range(2):
+            trainer.step(batch)
+        return np.asarray(trainer.saes["layers.1"].params["W_enc"])
+
+    np.testing.assert_allclose(train(2), train(0), rtol=2e-4, atol=1e-5)
