@@ -1,27 +1,34 @@
-"""In-process data parallelism for the caching flows.
+"""In-process data parallelism (`--dp N`) for every feature flow.
 
 The reference saturates a multi-GPU node with one torchrun process per GPU
 (reference README.md:41-56); the multi-process path here mirrors that
 (docs/DISTRIBUTED.md).  But the natural JAX posture on a TPU host is ONE
 process owning all local chips (how `jax.distributed` brings up pod slices),
-and under that posture the cache CLIs could previously use extra local chips
-only through `--tp` — megatron shardings whose per-layer all-reduces a
-forward-only cache does not need.
+and under that posture the CLIs could previously use extra local chips only
+through `--tp` — megatron shardings whose per-layer all-reduces a
+forward-only workload does not need.
 
-`--dp N` instead runs the cache data-parallel *inside* the process: subject
-and SAE parameters are replicated onto a `('data',)` mesh over the first N
-local devices, and each batch is committed with its leading (row) axis
-sharded `P('data')`.  GSPMD then partitions every jitted forward along the
-batch with ZERO collectives — each chip computes its rows' hiddens and top-k
-independently; only the (B, S, k) results cross back to the host.  Because
-the sharding lives entirely in placement, the models' jitted programs are
+`--dp N` instead replicates the subject + SAE parameters onto a `('data',)`
+mesh over the first N local devices and commits the flow's embarrassingly
+parallel axis `P('data')`; GSPMD then partitions every jitted program along
+it with ZERO collectives.  Which axis that is depends on the flow:
+
+* cache / cache_image / train capture — the batch rows (models/llama.py
+  capture, models/llava_next.py forward/_embed_multimodal);
+* attribution — the vmapped feature chunk, so each chip carries only its
+  features' backward tape (features/patching/attribution.py);
+* steering — the generate batch (= feature) axis, KV cache included
+  (models/llama.py greedy_generate).
+
+Because the sharding lives entirely in placement, the jitted programs are
 unchanged (the same pjit placement-only design as tensor_parallel.py).
 
-Semantics: a `--dp N` run feeds the device `N x batch_size` rows per step, so
-its output cache is byte-identical to a single-device run at
+Semantics: a `--dp N` cache feeds the device `N x batch_size` rows per step,
+so its output is byte-identical to a single-device run at
 `batch_size = N x batch_size` (same drop-last boundary, same row-major COO
 order) — asserted on the 8-virtual-device CPU mesh in
-tests/test_parallel.py.
+tests/test_launch_integration.py (CLI byte-parity) and tests/test_parallel.py
+(bitwise capture parity incl. padded rows, steering parity).
 """
 
 from __future__ import annotations
