@@ -612,3 +612,87 @@ def test_cache_image_cli_data_parallel_byte_equals_solo(llava_ckpt, tmp_path):
     assert set(dp_out) == set(ref_out) and len(dp_out) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
+
+
+def test_cache_two_process_with_inprocess_dp_byte_equals_solo(tmp_path):
+    """The documented composition (docs/DISTRIBUTED.md): dataset rows
+    process-sharded OUTSIDE, `--dp 2` row-sharding INSIDE each process (two
+    virtual devices per process). Two processes x dp=2 under the merge race
+    must produce a cache byte-identical to a world=1 run of the same driver
+    — and to a plain single-device run at the same device rows/step."""
+    import jax
+    from datasets import Dataset
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.sae import Sae
+
+    ckpt = tmp_path / "llama_ckpt"
+    cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    transformers.LlamaForCausalLM(cfg).save_pretrained(ckpt, safe_serialization=True)
+    tok = Tokenizer(models.WordLevel({str(i): i for i in range(128)}, unk_token="0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="0").save_pretrained(ckpt)
+
+    sae_dir = tmp_path / "saes"
+    Sae(
+        32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)
+    ).save_to_disk(sae_dir / "layers.1")
+
+    rng = np.random.default_rng(4)
+    # 8 rows -> contiguous shards of 4/process -> 2 full device batches of
+    # (dp x batch_size)=2 each, no ragged tail on either side of the compare.
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+
+    save_mp = tmp_path / "cache_mp_dp"
+    run_procs("mp_cache_dp.py", [ckpt, ds_dir, sae_dir, save_mp], timeout=360)
+
+    module_dir = save_mp / "layers.1"
+    files = sorted(os.listdir(module_dir))
+    assert all(not f.startswith("Rank") for f in files) and len(files) == 2
+
+    # Oracle 1: the same driver at world=1 (still dp=2 on its 2 devices).
+    save_solo = tmp_path / "cache_solo_dp"
+    _run_solo("mp_cache_dp.py", [ckpt, ds_dir, sae_dir, save_solo], timeout=240)
+    for f in files:
+        assert (module_dir / f).read_bytes() == (
+            save_solo / "layers.1" / f
+        ).read_bytes(), f"{f}: 2-proc x dp=2 differs from world=1 x dp=2"
+
+    # Oracle 2: a plain in-process single-device run at the same device
+    # rows/step (batch_size=2, dp=0) — proves the dp sharding itself is
+    # byte-invisible in this composition too.
+    from multimodal_sae_tpu.config import CacheConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+
+    save_plain = tmp_path / "cache_plain"
+    cache_cli.main(
+        CacheConfig(
+            model=str(ckpt),
+            dataset=str(ds_dir),
+            sae_path=str(sae_dir),
+            save_dir=str(save_plain),
+            batch_size=2,
+            ctx_len=8,
+            n_splits=2,
+        )
+    )
+    for f in files:
+        assert (module_dir / f).read_bytes() == (
+            save_plain / "layers.1" / f
+        ).read_bytes(), f"{f}: 2-proc x dp=2 differs from plain single-device"
