@@ -605,3 +605,54 @@ def test_trainer_with_dp_subject_matches_unsharded(llama_dir_with_tokenizer):
         return np.asarray(trainer.saes["layers.1"].params["W_enc"])
 
     np.testing.assert_allclose(train(2), train(0), rtol=2e-4, atol=1e-5)
+
+
+def test_cache_cli_data_parallel_int8_subject(llama_dir_with_tokenizer, tmp_path):
+    """The production `--dp` posture: an int8-quantized subject (the reason
+    an 8B fits one chip at all) replicated over the ('data',) mesh — q8
+    matrices and per-channel scales replicate through the same tree walk —
+    with merged splits byte-identical to the single-device int8 run."""
+    from datasets import Dataset
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+    from multimodal_sae_tpu.sae import Sae
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    rng = np.random.default_rng(5)
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    def run(dp, batch_size, out):
+        cache_cli.main(
+            CacheConfig(
+                model=llama_dir_with_tokenizer,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=batch_size,
+                ctx_len=8,
+                n_splits=2,
+                dp=dp,
+                load_in_8bit=True,
+                int8_matmul=True,
+            )
+        )
+        return {
+            f.name: f.read_bytes()
+            for f in sorted((tmp_path / out / "layers.1").iterdir())
+        }
+
+    dp_out = run(2, 1, "cache_dp_int8")
+    ref_out = run(0, 2, "cache_ref_int8")
+    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    for name in ref_out:
+        assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
