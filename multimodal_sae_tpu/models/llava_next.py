@@ -376,9 +376,40 @@ class LlavaNextModel:
                 f"prompt_ids rows ({len(prompt_ids)}) != images "
                 f"({len(images)}): prepare_inputs pairs one image per row"
             )
+        # Preprocess each DISTINCT image once (duplicate rows — steering
+        # tiles one prompt — share the result, which the downstream
+        # id(pv)-keyed feature memo in _embed_multimodal then reuses), on a
+        # thread pool when the host has cores for it: anyres preprocessing
+        # is ~22 ms/image of PIL/numpy work that releases the GIL, and the
+        # one-process-per-host posture (--dp N) preps N x batch_size images
+        # per step on this single process where the reference's
+        # process-per-GPU layout got a core per device for free.
+        import os as _os
+
+        memo = {}
+        unique = []
+        for im in images:
+            if id(im) not in memo:
+                memo[id(im)] = None
+                unique.append(im)
+        n_workers = int(
+            _os.environ.get("MMSAE_PREP_WORKERS", _os.cpu_count() or 1)
+        )
+        if len(unique) > 1 and n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(n_workers, len(unique))) as ex:
+                results = list(
+                    ex.map(lambda im: preprocess_anyres(im, self.cfg), unique)
+                )
+        else:
+            results = [preprocess_anyres(im, self.cfg) for im in unique]
+        for im, res in zip(unique, results):
+            memo[id(im)] = res
+
         pixel_list, sizes, counts = [], [], []
         for im in images:
-            pv, size = preprocess_anyres(im, self.cfg)
+            pv, size = memo[id(im)]
             pixel_list.append(pv)
             sizes.append(size)
             counts.append(get_number_of_features(size[0], size[1], self.cfg))

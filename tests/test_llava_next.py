@@ -400,3 +400,38 @@ def test_forward_with_intervention_nondivisible_dp_rows(tiny, images):
     np.testing.assert_allclose(
         np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=1e-6, atol=1e-6
     )
+
+
+def test_prepare_inputs_threaded_matches_sequential(tiny, images):
+    """The thread-pooled anyres preprocessing must be byte-identical to the
+    sequential path, and duplicate image objects must share one result
+    (feeding _embed_multimodal's id-keyed feature memo)."""
+    import os
+
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    # Duplicates of images[0] plus a distinct image; ragged prompts.
+    imgs = [images[0], images[1], images[0]]
+    prompts = [[1, IMG_TOKEN], [2, IMG_TOKEN, 3], [IMG_TOKEN, 4]]
+
+    old = os.environ.get("MMSAE_PREP_WORKERS")
+    try:
+        os.environ["MMSAE_PREP_WORKERS"] = "4"
+        threaded = model.prepare_inputs(images=imgs, prompt_ids=prompts)
+        os.environ["MMSAE_PREP_WORKERS"] = "1"
+        seq = model.prepare_inputs(images=imgs, prompt_ids=prompts)
+    finally:
+        if old is None:
+            os.environ.pop("MMSAE_PREP_WORKERS", None)
+        else:
+            os.environ["MMSAE_PREP_WORKERS"] = old
+
+    np.testing.assert_array_equal(threaded["input_ids"], seq["input_ids"])
+    np.testing.assert_array_equal(
+        threaded["attention_mask"], seq["attention_mask"]
+    )
+    assert threaded["image_sizes"] == seq["image_sizes"]
+    for a, b in zip(threaded["pixel_values"], seq["pixel_values"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Duplicate rows share ONE preprocessed array (memo input downstream).
+    assert threaded["pixel_values"][0] is threaded["pixel_values"][2]
