@@ -34,6 +34,19 @@ class BufferOutput(NamedTuple):
     """(n,) activations."""
 
 
+def _unique_nonneg(values: np.ndarray) -> np.ndarray:
+    """Ascending unique of a non-negative int column.  Counting (bincount)
+    beats `np.unique`'s sort 20x at cache scale (11 vs 243 ms / 1.9M rows)
+    whenever the value range is bounded — feature ids are < the SAE width —
+    with a sort fallback for degenerate huge ranges."""
+    if values.size == 0:
+        return np.unique(values)
+    vmax = int(values.max())
+    if vmax < 1 << 24:
+        return np.nonzero(np.bincount(values, minlength=vmax + 1))[0]
+    return np.unique(values)
+
+
 class TensorBuffer:
     """Lazy per-split reader (reference loader.py:28-118)."""
 
@@ -61,12 +74,38 @@ class TensorBuffer:
         self.activations = split_data["activations"]
         self.locations = split_data["locations"]
         feats = self.locations[:, 2]
+        if self.features is not None and feats.size:
+            # A feature subset was requested (the common explain/score path):
+            # drop non-member entries BEFORE building the sort index, via an
+            # O(N) boolean-LUT gather.  Entries keep their original row-major
+            # order, so per-feature slices are unchanged; the sort below then
+            # runs over only the members (measured 1.9M->30k entries for a
+            # 125-of-8192-feature split: 1.14 s -> ~0.05 s on one core).
+            requested = self.features[self.features >= 0]
+            if requested.size:
+                # LUT spans the full observed range so the gather needs no
+                # clamp/compare passes; feature ids are < the SAE width, so
+                # this stays a few hundred KB.
+                lut = np.zeros(
+                    max(int(requested.max()), int(feats.max())) + 1, dtype=bool
+                )
+                lut[requested] = True
+                member = lut[feats]
+                self.locations = self.locations[member]
+                self.activations = self.activations[member]
+            else:
+                self.locations = self.locations[:0]
+                self.activations = self.activations[:0]
+            feats = self.locations[:, 2]
         # Sorted index over the feature column: per-feature slices become
-        # O(log N) searchsorted instead of O(N) masks.
-        self._order = np.argsort(feats, kind="stable")
+        # O(log N) searchsorted instead of O(N) masks.  Quicksort, not stable:
+        # `_feature_slice` re-sorts each slice ascending, so the relative
+        # order of equal keys is unobservable — and introsort runs ~5x faster
+        # than the stable merge on this column (246 vs 1195 ms / 1.9M rows).
+        self._order = np.argsort(feats, kind=None)
         self._sorted_feats = feats[self._order]
         if self.features is None:
-            self.features = np.unique(feats)
+            self.features = _unique_nonneg(feats)
 
     def _feature_slice(self, feature: int):
         lo = np.searchsorted(self._sorted_feats, feature, side="left")
@@ -81,7 +120,7 @@ class TensorBuffer:
             return len(self.features)
         if self.locations is None:
             self._load()
-        return len(np.unique(self.locations[:, 2]))
+        return len(_unique_nonneg(self.locations[:, 2]))
 
     def __iter__(self):
         if self.locations is None:
@@ -93,7 +132,7 @@ class TensorBuffer:
                 continue
             yield BufferOutput(
                 Feature(self.module_path, int(feature)),
-                self.locations[sel][:, :2],
+                self.locations[sel, :2],
                 self.activations[sel],
             )
         # Free the split eagerly (reference loader.py:93-96).

@@ -167,6 +167,35 @@ def test_dataset_selected_features(tmp_path):
     assert sorted(got) == sorted(pick.tolist())
 
 
+def test_selected_features_prefilter_matches_full_iteration(tmp_path):
+    """The membership prefilter in `TensorBuffer._load` (r4: LUT gather +
+    subset quicksort instead of a full-split stable argsort) must yield
+    byte-identical per-feature BufferOutputs to the unfiltered iteration,
+    including when the request names ids absent from the split and ids above
+    every cached entry."""
+    fc, _ = _fill_cache_via_pipeline(tmp_path)
+    cfg = FeatureConfig(width=L, n_splits=4, min_examples=1)
+    full = {
+        out.feature.feature_index: out
+        for buf in FeatureDataset(str(tmp_path), cfg, modules=["layers.0"]).buffers
+        for out in buf
+    }
+    cached = np.array(sorted(full), dtype=np.int64)
+    # Mix present ids with an in-range id absent from the cache and the max
+    # representable id (width-1); width itself is out of domain, as in the
+    # reference's bucketize-based split selection.
+    absent = next(i for i in range(L - 1, -1, -1) if i not in full)
+    pick = np.unique(np.concatenate([cached[:3], cached[-2:], [absent, L - 1]]))
+    ds = FeatureDataset(
+        str(tmp_path), cfg, modules=["layers.0"], features={"layers.0": pick}
+    )
+    got = {o.feature.feature_index: o for buf in ds.buffers for o in buf}
+    assert sorted(got) == [int(f) for f in pick if int(f) in full]
+    for fid, out in got.items():
+        np.testing.assert_array_equal(out.locations, full[fid].locations)
+        np.testing.assert_array_equal(out.activations, full[fid].activations)
+
+
 def test_min_examples_skips(tmp_path):
     from safetensors.numpy import save_file
 
