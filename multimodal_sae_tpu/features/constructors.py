@@ -19,12 +19,23 @@ from .loader import BufferOutput
 
 
 def _to_dense(tokens: np.ndarray, activations: np.ndarray, locations: np.ndarray):
-    """COO → dense (rows_with_activity, seq) (reference constructors.py:11-24)."""
+    """COO → dense (rows_with_activity, seq) (reference constructors.py:11-24).
+
+    Scatters straight into the compact active-row layout rather than a full
+    (batch, seq) array: one feature typically touches a small fraction of the
+    dataset rows, so zero-filling and window-pooling the whole batch wastes
+    most of the work.  Row ids are bounded by the batch length, so the
+    ascending-unique + inverse map is a counting LUT, not a sort.  Bitwise
+    equal to the scatter-then-select formulation: `np.add.at` is unbuffered
+    and processes entries in array order either way."""
     batch_len, seq_len = tokens.shape
-    dense = np.zeros((batch_len, seq_len), dtype=activations.dtype)
-    np.add.at(dense, (locations[:, 0], locations[:, 1]), activations)
-    unique_batch_pos = np.unique(locations[:, 0])
-    return tokens[unique_batch_pos], dense[unique_batch_pos]
+    rows = locations[:, 0]
+    uniq = np.nonzero(np.bincount(rows, minlength=batch_len))[0]
+    compact = np.zeros(batch_len, dtype=np.intp)
+    compact[uniq] = np.arange(len(uniq))
+    dense = np.zeros((len(uniq), seq_len), dtype=activations.dtype)
+    np.add.at(dense, (compact[rows], locations[:, 1]), activations)
+    return tokens[uniq], dense
 
 
 def _top_k_pools(
