@@ -196,6 +196,33 @@ def test_selected_features_prefilter_matches_full_iteration(tmp_path):
         np.testing.assert_array_equal(out.activations, full[fid].activations)
 
 
+def test_to_dense_compact_scatter_matches_full_batch_oracle():
+    """`_to_dense` scatters into the compact active-row layout (r4); it must
+    stay bitwise equal to the reference formulation — scatter-add into a full
+    (batch, seq) dense array, then select the sorted-unique active rows
+    (reference constructors.py:11-24) — including duplicate (row, pos) hits,
+    empty COO sets, and single-row batches."""
+    from multimodal_sae_tpu.features.constructors import _to_dense
+
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        B = int(rng.integers(1, 40))
+        S = int(rng.integers(4, 64))
+        E = int(rng.integers(0, 300))
+        toks = rng.integers(0, 100, size=(B, S))
+        loc = np.zeros((E, 3), dtype=np.int64)
+        loc[:, 0] = rng.integers(0, B, E)
+        loc[:, 1] = rng.integers(0, S, E)
+        acts = rng.standard_normal(E).astype(np.float32)
+
+        dense = np.zeros((B, S), dtype=acts.dtype)
+        np.add.at(dense, (loc[:, 0], loc[:, 1]), acts)
+        uniq = np.unique(loc[:, 0])
+        got_toks, got_dense = _to_dense(toks, acts, loc)
+        np.testing.assert_array_equal(got_toks, toks[uniq], err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got_dense, dense[uniq], err_msg=f"trial {trial}")
+
+
 def test_min_examples_skips(tmp_path):
     from safetensors.numpy import save_file
 
