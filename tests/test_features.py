@@ -467,8 +467,10 @@ def test_load_threaded_matches_sequential(tmp_path):
     constructor = partial(pool_max_activation_windows, tokens=tokens, cfg=fcfg)
     sampler = partial(sample, cfg=ecfg)
 
-    def snapshot(num_workers):
-        ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
+    def snapshot(num_workers, features=None):
+        ds = FeatureDataset(
+            str(tmp_path), fcfg, modules=["layers.0"], features=features
+        )
         out = []
         for records in ds.load(
             constructor=constructor, sampler=sampler, num_workers=num_workers
@@ -488,6 +490,16 @@ def test_load_threaded_matches_sequential(tmp_path):
     par = snapshot(num_workers=4)
     assert len(seq) > 0
     assert seq == par
+
+    # Composition with the r4 membership prefilter: a feature-subset request
+    # (TensorBuffer._load takes the LUT-prefilter path) must also be
+    # thread-invariant, and must equal the subset of the unfiltered load.
+    def fid(t):
+        return int(t[0].split("feature")[-1])
+
+    pick = {"layers.0": np.array(sorted(fid(t) for t in seq[::3]))}
+    want = [t for t in seq if fid(t) in pick["layers.0"]]
+    assert want and snapshot(0, pick) == want and snapshot(4, pick) == want
 
     # collate=True flattens identically too.
     ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
