@@ -81,7 +81,11 @@ class TensorBuffer:
             # order, so per-feature slices are unchanged; the sort below then
             # runs over only the members (measured 1.9M->30k entries for a
             # 125-of-8192-feature split: 1.14 s -> ~0.05 s on one core).
-            requested = self.features[self.features >= 0]
+            # Integer coercion: filters parsed from JSON can arrive as a
+            # float array, which the old searchsorted path tolerated but a
+            # LUT index must not.
+            requested = self.features.astype(np.int64, copy=False)
+            requested = requested[requested >= 0]
             if requested.size:
                 # LUT spans the full observed range so the gather needs no
                 # clamp/compare passes; feature ids are < the SAE width, so
