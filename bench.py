@@ -895,6 +895,93 @@ def train_step_bench():
     )
 
 
+def score_bench():
+    """`bench.py --score`: the host-side half of the "activations scored/sec"
+    north-star metric — FeatureDataset split load → record construction
+    (pool_max_activation_windows) → top sampler over a synthetic cache at the
+    flagship layout (31M COO entries, 128 splits, 131k width, 2000-feature
+    filter; reference loader.py:201-259 is the path being matched).  Pure
+    numpy host work: runs identically on the TPU host or a CPU box, no chip
+    needed.  The cache is built once under /tmp and reused, so repeat runs
+    measure warm-page-cache load like the BASELINE row.  Size overrides:
+    MMSAE_BENCH_SCORE_ENTRIES / _SPLITS / _FEATURES; MMSAE_LOADER_WORKERS
+    threads the buffer pipeline (default sequential — this host has 1 core).
+    """
+    from functools import partial
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from multimodal_sae_tpu.config import ExperimentConfig, FeatureConfig
+    from multimodal_sae_tpu.features.constructors import pool_max_activation_windows
+    from multimodal_sae_tpu.features.loader import FeatureDataset
+    from multimodal_sae_tpu.features.samplers import sample
+
+    width = LATENTS
+    n_splits = int(os.environ.get("MMSAE_BENCH_SCORE_SPLITS", 128))
+    n_feats = int(os.environ.get("MMSAE_BENCH_SCORE_FEATURES", 2000))
+    entries = int(os.environ.get("MMSAE_BENCH_SCORE_ENTRIES", 31_000_000))
+    rows, ctx = 1875, 64
+    module = "model.layers.24"
+    root = f"/tmp/mmsae_score_bench_{entries}_{n_splits}"
+
+    if not os.path.exists(f"{root}/tokens.npy"):
+        _log(f"building synthetic cache ({entries} entries, {n_splits} splits)...")
+        os.makedirs(f"{root}/{module}", exist_ok=True)
+        rng = np.random.default_rng(0)
+        loc = np.empty((entries, 3), dtype=np.int64)
+        loc[:, 0] = rng.integers(0, rows, entries)
+        loc[:, 1] = rng.integers(0, ctx, entries)
+        loc[:, 2] = rng.integers(0, width, entries)
+        acts = rng.random(entries, dtype=np.float32)
+        edges = np.linspace(0, width, n_splits + 1).astype(np.int64)
+        order = np.argsort(loc[:, 2], kind="stable")
+        loc, acts = loc[order], acts[order]
+        for s, e in zip(edges[:-1], edges[1:]):
+            lo, hi = np.searchsorted(loc[:, 2], [s, e])
+            sub = np.argsort(loc[lo:hi, 0] * ctx + loc[lo:hi, 1], kind="stable")
+            save_file(
+                {"locations": loc[lo:hi][sub], "activations": acts[lo:hi][sub]},
+                f"{root}/{module}/{s}_{e - 1}.safetensors",
+            )
+        np.save(f"{root}/tokens.npy", rng.integers(0, 32000, size=(rows, ctx)))
+
+    tokens = np.load(f"{root}/tokens.npy")
+    fcfg = FeatureConfig(
+        width=width, n_splits=n_splits, min_examples=1, max_examples=20,
+        example_ctx_len=32,
+    )
+    sel = np.sort(
+        np.random.default_rng(1).choice(width, size=n_feats, replace=False)
+    ).astype(np.int64)
+    ctor = partial(pool_max_activation_windows, tokens=tokens, cfg=fcfg)
+    smp = partial(sample, cfg=ExperimentConfig())
+
+    def run():
+        ds = FeatureDataset(root, fcfg, modules=[module], features={module: sel})
+        n, t0 = 0, time.perf_counter()
+        for recs in ds.load(constructor=ctor, sampler=smp):
+            n += len(recs)
+        return n, time.perf_counter() - t0
+
+    run()  # warm the page cache like the BASELINE measurement
+    n, dt = run()
+    _log(f"{n} records in {dt:.2f}s")
+    print(
+        json.dumps(
+            {
+                "metric": "score_features_per_sec",
+                "value": round(n / dt, 1),
+                "unit": f"features/s on one host core ({n_feats}-feature "
+                f"filter over a {entries}-entry {n_splits}-split cache "
+                "@131k width; load+construct+sample, warm page cache; "
+                "vs_baseline 0.0 = reference publishes no number)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def main():
     """Default bench: ONE JSON line carrying both halves of the north star —
     images cached/sec/chip through the REAL anyres pipeline (the headline
@@ -975,5 +1062,7 @@ if __name__ == "__main__":
         full_pipeline_bench()
     elif "--train" in sys.argv:
         train_step_bench()
+    elif "--score" in sys.argv:
+        score_bench()
     else:
         main()
