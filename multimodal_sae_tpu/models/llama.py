@@ -452,7 +452,14 @@ def llama_forward(
     This is the suffix half of attribution patching's prefix/suffix split
     (features/patching/attribution.py): everything below the SAE splice
     point is feature-independent, so the per-feature fwd+bwd only needs the
-    layers above it."""
+    layers above it.
+
+    Capture-only forwards need no explicit early-exit: with
+    `return_logits=False` and no `return_hidden`, the layers ABOVE the last
+    hookpoint feed nothing in the returned dict and XLA dead-code-eliminates
+    them (verified: capture at layer 2 of 16 compiles to exactly 3 layers'
+    dots and runs ~5x faster than capture at 14) — so `Llama.capture` at
+    layers.24 of a 32-layer subject already pays for only 25 layers."""
     assert start_layer == 0 or (
         cache is None and inputs_embeds is not None
     ), "start_layer requires inputs_embeds and no KV cache"
