@@ -923,7 +923,9 @@ def score_bench():
     entries = int(os.environ.get("MMSAE_BENCH_SCORE_ENTRIES", 31_000_000))
     rows, ctx = 1875, 64
     module = "model.layers.24"
-    root = f"/tmp/mmsae_score_bench_{entries}_{n_splits}"
+    root = os.environ.get(
+        "MMSAE_BENCH_SCORE_DIR", f"/tmp/mmsae_score_bench_{entries}_{n_splits}"
+    )
 
     if not os.path.exists(f"{root}/tokens.npy"):
         _log(f"building synthetic cache ({entries} entries, {n_splits} splits)...")

@@ -223,6 +223,38 @@ def test_to_dense_compact_scatter_matches_full_batch_oracle():
         np.testing.assert_array_equal(got_dense, dense[uniq], err_msg=f"trial {trial}")
 
 
+def test_score_bench_smoke(tmp_path):
+    """`bench.py --score` is the one bench mode that runs without a chip;
+    hold it to the driver contract — exactly one JSON line on stdout with
+    metric/value/unit/vs_baseline — at a tiny synthetic size."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env.update(
+        MMSAE_BENCH_SCORE_ENTRIES="20000",
+        MMSAE_BENCH_SCORE_SPLITS="4",
+        MMSAE_BENCH_SCORE_FEATURES="50",
+        MMSAE_BENCH_SCORE_DIR=str(tmp_path / "score_cache"),
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [_sys.executable, "bench.py", "--score"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["metric"] == "score_features_per_sec"
+    assert out["value"] > 0
+    assert {"unit", "vs_baseline"} <= set(out)
+
+
 def test_min_examples_skips(tmp_path):
     from safetensors.numpy import save_file
 
