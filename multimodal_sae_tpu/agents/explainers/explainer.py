@@ -19,10 +19,11 @@ from ...features.features import FeatureRecord
 
 class ExplainerResult(NamedTuple):
     record: FeatureRecord
-    """Feature record passed through to scorer."""
+    """The input record, forwarded untouched so downstream scorer pipes can
+    key on it."""
 
     explanation: str
-    """Generated explanation for feature."""
+    """Natural-language description of what the feature fires on."""
 
 
 class Explainer(ABC):
@@ -38,15 +39,17 @@ async def _load_json(path: str):
 
 
 async def explanation_loader(
-    record: FeatureRecord, explanation_dir: str
+    record: FeatureRecord,
+    explanation_dir: str,
 ) -> ExplainerResult:
     """Load a previously saved explanation for this feature."""
     path = os.path.join(explanation_dir, f"{record.feature}.txt")
-    return ExplainerResult(record=record, explanation=await _load_json(path))
+    return ExplainerResult(record, await _load_json(path))
 
 
 async def random_explanation_loader(
-    record: FeatureRecord, explanation_dir: str
+    record: FeatureRecord,
+    explanation_dir: str,
 ) -> ExplainerResult:
     """Control baseline: a random *other* feature's explanation.
 
@@ -61,4 +64,4 @@ async def random_explanation_loader(
         if name.endswith(".txt") and name != own
     ]
     path = os.path.join(explanation_dir, random.choice(candidates))
-    return ExplainerResult(record=record, explanation=await _load_json(path))
+    return ExplainerResult(record, await _load_json(path))
