@@ -63,5 +63,11 @@ async def random_explanation_loader(
         for name in os.listdir(explanation_dir)
         if name.endswith(".txt") and name != own
     ]
+    if not candidates:
+        raise FileNotFoundError(
+            f"no OTHER feature's explanation in {explanation_dir!r} to use "
+            f"as a random control for {record.feature} — the control needs "
+            "at least two explained features"
+        )
     path = os.path.join(explanation_dir, random.choice(candidates))
     return ExplainerResult(record, await _load_json(path))

@@ -234,6 +234,11 @@ class SteeringController:
         # row-sharded only when it divides the mesh; top ragged chunks up by
         # repeating the last feature — a duplicate steered row is cheaper
         # than an unsharded decode — and zip() below drops the extras.
+        # Padding is draw-invariant even when sampling: threefry noise is
+        # generated per flat index, so widening (B, V) logits leaves the
+        # real rows' gumbel noise (and hence their drawn tokens) unchanged
+        # (pinned by tests/test_parallel.py::
+        # test_sampled_steering_ragged_chunk_dp_matches_unsharded).
         mesh = getattr(self.model, "mesh", None)
         dp = (
             int(mesh.devices.size)

@@ -184,7 +184,13 @@ class KVCache(NamedTuple):
     length: jax.Array  # () int32 — tokens currently in the cache
 
     @staticmethod
-    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32):
+    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32,
+             kv_sharding=None, length_sharding=None):
+        """`kv_sharding`/`length_sharding` allocate the buffers directly in
+        the target layout — the cache is the generation loop's dominant live
+        buffer, so materializing it unsharded and resharding after would
+        transiently hold the FULL (layers, B, kvH, max_len, hd) pair on one
+        device and OOM exactly the batches --dp exists to fit."""
         shape = (
             cfg.num_hidden_layers,
             batch,
@@ -192,10 +198,12 @@ class KVCache(NamedTuple):
             max_len,
             cfg.head_dim_,
         )
+        kw = {} if kv_sharding is None else {"device": kv_sharding}
+        lkw = {} if length_sharding is None else {"device": length_sharding}
         return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+            k=jnp.zeros(shape, dtype, **kw),
+            v=jnp.zeros(shape, dtype, **kw),
+            length=jnp.zeros((), jnp.int32, **lkw),
         )
 
 
@@ -949,7 +957,24 @@ def greedy_generate(
     # program O(1) in layer count (unrolled 8+-layer generate graphs exceed
     # compiler payload limits on some platforms).
     params = stack_layer_params(params)
-    cache = KVCache.init(cfg, B, max_len, dtype=dtype)
+    dp_active = (
+        batch_sharding is not None
+        and B % batch_sharding.mesh.devices.size == 0
+    )
+    if dp_active:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _mesh, _axis = batch_sharding.mesh, batch_sharding.spec[0]
+        # Allocate the cache's batch dim (dim 1 of (layers, B, kvH, len, hd))
+        # sharded from the start: each chip only ever holds its rows' slice.
+        _kv_spec = NamedSharding(_mesh, P(None, _axis, None, None, None))
+        cache = KVCache.init(
+            cfg, B, max_len, dtype=dtype,
+            kv_sharding=_kv_spec,
+            length_sharding=NamedSharding(_mesh, P()),
+        )
+    else:
+        cache = KVCache.init(cfg, B, max_len, dtype=dtype)
 
     if attention_mask is not None:
         import numpy as _np
@@ -988,12 +1013,9 @@ def greedy_generate(
             if isinstance(eos_token_id, (list, tuple))
             else (int(eos_token_id),)
         ) or None
-    if batch_sharding is not None and B % batch_sharding.mesh.devices.size == 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+    if dp_active:
         from ..parallel.data_parallel import place_rows
 
-        mesh, axis = batch_sharding.mesh, batch_sharding.spec[0]
         input_ids = place_rows(input_ids, batch_sharding)
         if inputs_embeds is not None:
             inputs_embeds = place_rows(inputs_embeds, batch_sharding)
@@ -1001,15 +1023,6 @@ def greedy_generate(
             full_mask = place_rows(full_mask, batch_sharding)
             prefill_pos = place_rows(prefill_pos, batch_sharding)
         lengths = place_rows(lengths, batch_sharding)
-        # Commit the cache's batch dim (dim 1 of (layers, B, kvH, len, hd))
-        # so each chip allocates only its rows' slice — the cache is the
-        # generation loop's dominant live buffer.
-        kv_spec = NamedSharding(mesh, P(None, axis, None, None, None))
-        cache = KVCache(
-            k=jax.device_put(cache.k, kv_spec),
-            v=jax.device_put(cache.v, kv_spec),
-            length=jax.device_put(cache.length, NamedSharding(mesh, P())),
-        )
     iv_spec, iv_args = _split_interventions(interventions)
     has_top_p = do_sample and top_p is not None and top_p < 1.0
     prefill_fn, decode_fn = _generate_fns(

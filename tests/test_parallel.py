@@ -294,6 +294,104 @@ def test_steering_dp_matches_unsharded():
     assert set(out) == {f"layers.1_feature{i}" for i in feats}
 
 
+def test_kv_cache_allocates_sharded_under_dp():
+    """Under `--dp` the KV cache — the decode loop's dominant live buffer —
+    must be ALLOCATED in the row-sharded layout, not materialized full-size
+    on one device and resharded after (which would transiently hold the
+    whole (layers, B, kvH, max_len, hd) pair on chip 0 and OOM exactly the
+    batches --dp exists to fit)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multimodal_sae_tpu.models.llama import KVCache
+
+    assert jax.device_count() >= 4
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    kv_spec = NamedSharding(mesh, P(None, "data", None, None, None))
+    cache = KVCache.init(
+        cfg, batch=8, max_len=16, dtype=jnp.bfloat16,
+        kv_sharding=kv_spec, length_sharding=NamedSharding(mesh, P()),
+    )
+    assert cache.k.sharding == kv_spec and cache.v.sharding == kv_spec
+    for arr in (cache.k, cache.v):
+        for shard in arr.addressable_shards:
+            assert shard.data.shape[1] == 2  # 8 rows over 4 devices
+
+
+def test_sampled_steering_ragged_chunk_dp_matches_unsharded():
+    """Sampling + a ragged steering chunk under `--dp`: the controller pads
+    the final 1-feature chunk up to the mesh multiple (B=1 -> 4), and the
+    padded generate must still draw the SAME tokens for the real row —
+    threefry noise is per-flat-index, so widening the (B, V) logits leaves
+    the real rows' gumbel draws unchanged (steering.py run())."""
+    from multimodal_sae_tpu.config import SaeConfig as _SC
+    from multimodal_sae_tpu.features.steering import SteeringController
+    from multimodal_sae_tpu.models.llama import LlamaModel
+    from multimodal_sae_tpu.parallel import replicate_saes, shard_subject_model_dp
+    from multimodal_sae_tpu.sae import Sae
+
+    assert jax.device_count() >= 4
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+
+    class Tok:
+        def apply_chat_template(self, conv, add_generation_prompt=False, tokenize=False):
+            return conv[0]["content"][0]["text"]
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [1] + [2 + ord(c) % 100 for c in text]}
+
+        def batch_decode(self, arr, **kw):
+            return [" ".join(str(int(t)) for t in row) for row in np.asarray(arr)]
+
+    feats = [3, 7, 11, 20, 33]  # fbs=4 -> one full chunk + a ragged B=1 tail
+
+    def run(model, sae):
+        return SteeringController(
+            sae=sae,
+            module_name="layers.1",
+            feature_idx=feats,
+            model=model,
+            processor=Tok(),
+            prompt="hello",
+            k=100.0,
+            max_new_tokens=6,
+            feature_batch_size=4,
+            generation_config={
+                "do_sample": True,
+                "temperature": 0.9,
+                "top_p": 0.8,
+                "seed": 7,
+            },
+        ).run()
+
+    ref = run(
+        LlamaModel(dict(params), cfg),
+        Sae(32, _SC(num_latents=128, k=8), key=jax.random.PRNGKey(1)),
+    )
+    dp_model, _ = shard_subject_model_dp(LlamaModel(dict(params), cfg), 4)
+    dp_sae = Sae(32, _SC(num_latents=128, k=8), key=jax.random.PRNGKey(1))
+    replicate_saes(dp_model, [dp_sae])
+    out = run(dp_model, dp_sae)
+    assert ref == out
+
+
 def test_sampled_generate_dp_matches_unsharded():
     """Sampling under `--dp`: JAX's threefry PRNG is partition-invariant, so
     a temperature+nucleus decode over the row-sharded mesh must draw the
