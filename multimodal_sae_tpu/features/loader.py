@@ -42,7 +42,11 @@ def _unique_nonneg(values: np.ndarray) -> np.ndarray:
     if values.size == 0:
         return np.unique(values)
     vmax = int(values.max())
-    if vmax < 1 << 24:
+    # bincount requires non-negative input (a negative id means cache
+    # corruption — fall back to the sort path, which still returns) and the
+    # count array is an int64 transient, so keep its bound tight: feature ids
+    # are < the SAE width (131k flagship), 1<<21 = 2M ids = 16 MB worst case.
+    if int(values.min()) >= 0 and vmax < 1 << 21:
         return np.nonzero(np.bincount(values, minlength=vmax + 1))[0]
     return np.unique(values)
 
@@ -85,14 +89,15 @@ class TensorBuffer:
             # float array, which the old searchsorted path tolerated but a
             # LUT index must not.
             requested = self.features.astype(np.int64, copy=False)
-            requested = requested[requested >= 0]
+            # Ids outside [0, feats.max()] cannot match any cached entry, so
+            # drop them BEFORE sizing the LUT: one corrupt/oversized id in a
+            # JSON filter must not allocate an arbitrarily large bool array.
+            requested = requested[(requested >= 0) & (requested <= int(feats.max()))]
             if requested.size:
-                # LUT spans the full observed range so the gather needs no
-                # clamp/compare passes; feature ids are < the SAE width, so
-                # this stays a few hundred KB.
-                lut = np.zeros(
-                    max(int(requested.max()), int(feats.max())) + 1, dtype=bool
-                )
+                # LUT spans only the split's observed range so the gather
+                # needs no clamp/compare passes; feature ids are < the SAE
+                # width, so this stays a few hundred KB.
+                lut = np.zeros(int(feats.max()) + 1, dtype=bool)
                 lut[requested] = True
                 member = lut[feats]
                 self.locations = self.locations[member]
@@ -114,10 +119,12 @@ class TensorBuffer:
     def _feature_slice(self, feature: int):
         lo = np.searchsorted(self._sorted_feats, feature, side="left")
         hi = np.searchsorted(self._sorted_feats, feature, side="right")
-        sel = self._order[lo:hi]
         # Preserve original (row-major) order like the boolean-mask reference.
-        sel.sort()
-        return sel
+        # np.sort returns a copy: basic slicing of `_order` yields a view, and
+        # an in-place sort would mutate the index as a side effect of a read
+        # (harmless today — lo:hi spans one feature's equal-key run — but
+        # fragile against refactors that slice differently or share _order).
+        return np.sort(self._order[lo:hi])
 
     def __len__(self):
         if self.features is not None:

@@ -255,6 +255,51 @@ def test_score_bench_smoke(tmp_path):
     assert {"unit", "vs_baseline"} <= set(out)
 
 
+def test_loader_hardening_advice_r4(tmp_path):
+    """Round-4 advisor findings on the loader fast paths (ADVICE.md r4):
+
+    1. an oversized requested id (direct TensorBuffer construction or a
+       corrupt JSON filter) must NOT size the membership LUT — it yields
+       nothing, like the old searchsorted path, instead of a MemoryError;
+    2. `_unique_nonneg` on a corrupted cache with a negative feature id falls
+       back to np.unique instead of raising from bincount;
+    3. `_feature_slice` returns a sorted COPY — reading a feature must not
+       mutate the shared `_order` index in place.
+    """
+    from safetensors.numpy import save_file
+
+    from multimodal_sae_tpu.features.loader import _unique_nonneg
+
+    locs = np.array(
+        [[0, 0, 5], [1, 0, 5], [0, 1, 9], [1, 1, 9]], dtype=np.int64
+    )
+    acts = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    d = tmp_path / "m"
+    d.mkdir()
+    save_file({"locations": locs, "activations": acts}, str(d / "0_63.safetensors"))
+
+    # (1) id 2**40 would be a ~1 TB LUT if it sized the table.
+    buf = TensorBuffer(
+        str(d / "0_63.safetensors"),
+        "m",
+        features=np.array([5, 2**40], dtype=np.int64),
+        min_examples=1,
+    )
+    outs = list(buf)
+    assert [o.feature.feature_index for o in outs] == [5]
+
+    # (2) negative id = cache corruption; must return, not raise.
+    vals = np.array([3, -1, 3, 7], dtype=np.int64)
+    np.testing.assert_array_equal(_unique_nonneg(vals), np.unique(vals))
+
+    # (3) reading one feature's slice must leave _order untouched.
+    buf2 = TensorBuffer(str(d / "0_63.safetensors"), "m", min_examples=1)
+    buf2._load()
+    before = buf2._order.copy()
+    buf2._feature_slice(9)
+    np.testing.assert_array_equal(buf2._order, before)
+
+
 def test_min_examples_skips(tmp_path):
     from safetensors.numpy import save_file
 
