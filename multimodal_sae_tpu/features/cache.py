@@ -138,6 +138,18 @@ class Cache:
         self.batch_size = batch_size
         self.shard_size = shard_size
 
+    def preallocate(self, module_path: str, n_entries: int):
+        """Pre-fault arena capacity for `n_entries` COO triples BEFORE the
+        device loop starts.  On this host class fresh pages fault at
+        ~0.13 GB/s (vs ~8 GB/s streaming to touched pages), so a mid-run
+        capacity doubling to ~1 GB stalls the producer ~7 s in one batch —
+        measured at the image-headline shape, see BASELINE.md host-persistence
+        row.  Paying it up front overlaps the cost with the first jit compile
+        (20-40 s) instead of the device loop.  An under-estimate is safe:
+        growth falls back to doubling from the reserved capacity."""
+        if n_entries > 0:
+            self._arenas[module_path].reserve(int(n_entries))
+
     def add_topk(
         self,
         vals: np.ndarray,
@@ -340,6 +352,23 @@ class FeatureCache:
             self._device_step(batch, skip_bos), batch_number, _batch_rows(batch)
         )
 
+    def _preallocate_arenas(self, n_tokens: int):
+        """Size each hookpoint's arena from the run-size hint: `n_tokens * k`
+        triples (every top-k entry of a TopK SAE is kept), scaled by the
+        filter's coverage fraction when one is active (features assumed
+        uniform; an under-estimate only resumes doubling growth).  Capped by
+        `MMSAE_PREALLOC_MAX_ENTRIES` (default 128M ~ 3.6 GB; 0 disables)."""
+        cap = int(os.environ.get("MMSAE_PREALLOC_MAX_ENTRIES", 128 * 1024 * 1024))
+        if cap <= 0 or n_tokens <= 0:
+            return
+        for module_path, sae in self.submodule_dict.items():
+            expected = n_tokens * sae.cfg.k
+            if self.cache.filters is not None:
+                sel = self.cache.filters.get(module_path)
+                if sel is not None and self.width:
+                    expected = int(expected * (len(sel) / self.width)) + 1
+            self.cache.preallocate(module_path, min(expected, cap))
+
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
         {"input_ids": ...} rows or prepared batches) and fill the cache
@@ -347,8 +376,11 @@ class FeatureCache:
 
         `n_tokens` is NOT a budget: like the reference (which accumulates
         `total_tokens` without ever breaking on it, cache.py:163-173), the
-        whole dataset is cached regardless; the parameter exists for API
-        parity only."""
+        whole dataset is cached regardless; the parameter is kept for API
+        parity — and reused here as the arena pre-reservation hint (see
+        `Cache.preallocate`; a dataset larger than `n_tokens` just resumes
+        doubling growth)."""
+        self._preallocate_arenas(n_tokens)
         iterator = _batched(tokens, self.batch_size)
         try:
             from tqdm import tqdm

@@ -144,6 +144,7 @@ class StreamingSplitWriter:
             dtype=np.int64,
         )
         self._appenders: Dict[Tuple[str, int], _SplitAppender] = {}
+        self._part_scratch: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._queue: "queue.Queue" = queue.Queue(maxsize=4)
         self._error: List[BaseException] = []
         self._aborted = False
@@ -263,10 +264,22 @@ class StreamingSplitWriter:
             self._error.append(e)
 
     def _append_chunk(self, module: str, locs: np.ndarray, acts: np.ndarray):
-        from ..native.coo import coo_partition_splits
+        from ..native.coo import coo_partition_splits, populated_empty
 
         if acts.dtype == np.float32:
-            parts = coo_partition_splits(locs, acts, self.boundaries)
+            # Persistent partition scratch: chunks arrive every batch at a
+            # steady size, so one reused pair (grown monotonically) replaces
+            # a per-batch 28 B/entry fresh-page allocation.  Safe because the
+            # per-split views are serialized to the appenders synchronously
+            # below, before the next chunk is partitioned.
+            if self._part_scratch is None or self._part_scratch[0].shape[0] < len(acts):
+                self._part_scratch = (
+                    populated_empty((len(acts), 3), np.int64),
+                    populated_empty((len(acts),), np.float32),
+                )
+            parts = coo_partition_splits(
+                locs, acts, self.boundaries, scratch=self._part_scratch
+            )
         else:  # the native partition is f32-only; never silently upcast
             feats = locs[:, 2]
             parts = [

@@ -106,6 +106,18 @@ def _load():
         i64p, ctypes.c_int64,
         i64p, i64p, f32p,
     ]
+    # int32-id extract entry point (r5); absent from pre-r5 binary-only .so
+    # installs, in which case the wrapper widens to int64 as before.
+    if hasattr(lib, "coo_extract_topk_i32"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.coo_extract_topk_i32.restype = ctypes.c_int64
+        lib.coo_extract_topk_i32.argtypes = [
+            f32p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, i64p, ctypes.c_int64,
+            ctypes.c_int64,
+            i64p, f32p,
+        ]
     _lib = lib
     return _lib
 
@@ -138,9 +150,17 @@ def coo_extract_topk(
     is returned — avoiding fresh-page allocations whose first-touch faults
     dominate the extraction cost on virtualized hosts."""
     vals = np.ascontiguousarray(vals, dtype=np.float32)
-    idx = np.ascontiguousarray(idx, dtype=np.int64)
-    B, S, K = vals.shape
     lib = _load()
+    # The device top-k emits int32 ids; read them natively instead of paying
+    # a ~100 ms/batch widening pass at the image-headline shape (the output
+    # locations are int64 either way — only the input layout differs).
+    use_i32 = (
+        lib is not None
+        and hasattr(lib, "coo_extract_topk_i32")
+        and np.asarray(idx).dtype == np.int32
+    )
+    idx = np.ascontiguousarray(idx, dtype=np.int32 if use_i32 else np.int64)
+    B, S, K = vals.shape
     if lib is None:
         mask = np.abs(vals) > threshold
         if filter_ids is not None:
@@ -173,11 +193,20 @@ def coo_extract_topk(
         fptr, flen = _i64p(filt), len(filt)
     else:
         filt, fptr, flen = None, ctypes.cast(None, ctypes.POINTER(ctypes.c_int64)), 0
-    n = lib.coo_extract_topk(
-        _f32p(vals), _i64p(idx), B, S, K,
-        ctypes.c_float(threshold), fptr, flen,
-        row_offset, _i64p(out_loc), _f32p(out_act),
-    )
+    if use_i32:
+        n = lib.coo_extract_topk_i32(
+            _f32p(vals),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, S, K,
+            ctypes.c_float(threshold), fptr, flen,
+            row_offset, _i64p(out_loc), _f32p(out_act),
+        )
+    else:
+        n = lib.coo_extract_topk(
+            _f32p(vals), _i64p(idx), B, S, K,
+            ctypes.c_float(threshold), fptr, flen,
+            row_offset, _i64p(out_loc), _f32p(out_act),
+        )
     if out is not None:
         return n
     return out_loc[:n].copy(), out_act[:n].copy()
@@ -187,11 +216,18 @@ def coo_partition_splits(
     locations: np.ndarray,
     activations: np.ndarray,
     boundaries: np.ndarray,
+    scratch: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ):
     """Partition a COO stream by feature ranges [boundaries[i], boundaries[i+1]).
 
     Returns a list of (locations_i, activations_i) per split, stable within
-    each split."""
+    each split.
+
+    `scratch`: optional (locations (cap, 3) int64, activations (cap,) f32)
+    pair the partitioned output is written into (and viewed from) when it is
+    large enough — a steady-state caller (the streaming writer) reuses one
+    pair across chunks instead of paying a fresh-page allocation per batch.
+    The returned views alias it: consume them before the next call."""
     locations = np.ascontiguousarray(locations, dtype=np.int64)
     activations = np.ascontiguousarray(activations, dtype=np.float32)
     boundaries = np.ascontiguousarray(boundaries, dtype=np.int64)
@@ -207,8 +243,18 @@ def coo_partition_splits(
         return out
 
     counts = np.zeros(n_splits, dtype=np.int64)
-    out_loc = populated_empty(locations.shape, np.int64)
-    out_act = populated_empty(activations.shape, np.float32)
+    if (
+        scratch is not None
+        and scratch[0].shape[0] >= N
+        and scratch[1].shape[0] >= N
+        and scratch[0].flags.c_contiguous
+        and scratch[1].flags.c_contiguous
+    ):
+        out_loc = scratch[0][:N]
+        out_act = scratch[1][:N]
+    else:
+        out_loc = populated_empty(locations.shape, np.int64)
+        out_act = populated_empty(activations.shape, np.float32)
     lib.coo_partition_splits(
         _i64p(locations), _f32p(activations), N,
         _i64p(boundaries), n_splits,

@@ -14,17 +14,16 @@
 #include <cstdint>
 #include <cstring>
 
-extern "C" {
+namespace {
 
-// Extract nonzero (|val| > threshold) triples from a (B, S, k) top-k batch.
-// vals: float32[B*S*k], idx: int64[B*S*k] (feature ids, sorted or not)
-// filter: optional sorted int64[filter_len] of allowed feature ids (NULL = all)
-// out_locations: int64[cap*3], out_activations: float32[cap]
-// row_offset is added to the batch-row coordinate.
-// Returns the number of triples written (<= B*S*k).
-int64_t coo_extract_topk(
+// Shared body for int64/int32 feature-id layouts.  The device top-k returns
+// int32 indices (lax.top_k), and upconverting 2.4M ids to int64 on the host
+// before extraction measured ~100 ms/batch at the image-headline shape —
+// a third of the producer budget — so the i32 entry point reads them as-is.
+template <typename IdxT>
+int64_t extract_topk_impl(
     const float* vals,
-    const int64_t* idx,
+    const IdxT* idx,
     int64_t B, int64_t S, int64_t K,
     float threshold,
     const int64_t* filter, int64_t filter_len,
@@ -39,7 +38,7 @@ int64_t coo_extract_topk(
         const float v = vals[base + j];
         const float av = v < 0 ? -v : v;
         if (av <= threshold) continue;
-        const int64_t f = idx[base + j];
+        const int64_t f = static_cast<int64_t>(idx[base + j]);
         if (filter != nullptr) {
           // binary search in the sorted filter
           int64_t lo = 0, hi = filter_len;
@@ -60,13 +59,49 @@ int64_t coo_extract_topk(
   return n;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Extract nonzero (|val| > threshold) triples from a (B, S, k) top-k batch.
+// vals: float32[B*S*k], idx: int64[B*S*k] (feature ids, sorted or not)
+// filter: optional sorted int64[filter_len] of allowed feature ids (NULL = all)
+// out_locations: int64[cap*3], out_activations: float32[cap]
+// row_offset is added to the batch-row coordinate.
+// Returns the number of triples written (<= B*S*k).
+int64_t coo_extract_topk(
+    const float* vals,
+    const int64_t* idx,
+    int64_t B, int64_t S, int64_t K,
+    float threshold,
+    const int64_t* filter, int64_t filter_len,
+    int64_t row_offset,
+    int64_t* out_locations,
+    float* out_activations) {
+  return extract_topk_impl<int64_t>(
+      vals, idx, B, S, K, threshold, filter, filter_len, row_offset,
+      out_locations, out_activations);
+}
+
+// Same, reading the ids as int32 (the device top-k's native index dtype) —
+// saves the host-side widening pass entirely.
+int64_t coo_extract_topk_i32(
+    const float* vals,
+    const int32_t* idx,
+    int64_t B, int64_t S, int64_t K,
+    float threshold,
+    const int64_t* filter, int64_t filter_len,
+    int64_t row_offset,
+    int64_t* out_locations,
+    float* out_activations) {
+  return extract_topk_impl<int32_t>(
+      vals, idx, B, S, K, threshold, filter, filter_len, row_offset,
+      out_locations, out_activations);
+}
+
 // Partition a COO stream into contiguous per-split segments by feature range.
 // boundaries: int64[n_splits+1] ascending; split i covers
 // [boundaries[i], boundaries[i+1]) (exclusive upper bound).
-// Stable within each split (preserves input order, matching the sequential
-// masked writes the python writer performs).
-// out_counts: int64[n_splits]; out_locations/out_activations sized like input.
-// Entries outside every range are dropped; returns total kept.
 int64_t coo_partition_splits(
     const int64_t* locations,  // N x 3
     const float* activations,
@@ -75,24 +110,41 @@ int64_t coo_partition_splits(
     int64_t* out_counts,
     int64_t* out_locations,
     float* out_activations) {
-  // Pass 1: count per split.
-  for (int64_t i = 0; i < n_splits; ++i) out_counts[i] = 0;
   const int64_t lo_all = boundaries[0];
   const int64_t hi_all = boundaries[n_splits];
-  for (int64_t r = 0; r < N; ++r) {
-    const int64_t f = locations[r * 3 + 2];
-    if (f < lo_all || f >= hi_all) continue;
-    // binary search: greatest i with boundaries[i] <= f
-    int64_t lo = 0, hi = n_splits;
+  // The linspace partition is uniform whenever width % n_splits == 0 (the
+  // flagship 131072/128 = 1024, a power of two): the per-entry split id is
+  // then a shift (or a division), not a 2x-per-entry binary search — the
+  // search was the single largest cost of the writer thread at headline
+  // scale (238 -> 57 ms per 2.4M entries; BASELINE.md host-persistence row).
+  const int64_t stride = n_splits > 0 ? boundaries[1] - boundaries[0] : 0;
+  bool uniform = stride > 0;
+  for (int64_t i = 0; uniform && i < n_splits; ++i)
+    uniform = (boundaries[i + 1] - boundaries[i]) == stride;
+  int shift = -1;
+  if (uniform && (stride & (stride - 1)) == 0) {
+    shift = 0;
+    while ((int64_t{1} << shift) != stride) ++shift;
+  }
+  const auto split_of = [&](int64_t f) -> int64_t {
+    if (shift >= 0) return (f - lo_all) >> shift;
+    if (uniform) return (f - lo_all) / stride;
+    int64_t lo = 0, hi = n_splits;  // greatest i with boundaries[i] <= f
     while (lo + 1 < hi) {
       const int64_t mid = (lo + hi) >> 1;
       if (boundaries[mid] <= f) lo = mid; else hi = mid;
     }
-    ++out_counts[lo];
+    return lo;
+  };
+  // Pass 1: count per split.
+  for (int64_t i = 0; i < n_splits; ++i) out_counts[i] = 0;
+  for (int64_t r = 0; r < N; ++r) {
+    const int64_t f = locations[r * 3 + 2];
+    if (f < lo_all || f >= hi_all) continue;
+    ++out_counts[split_of(f)];
   }
   // Prefix offsets.
   int64_t total = 0;
-  // reuse a small stack buffer when n_splits small; allocate otherwise
   int64_t* offsets = new int64_t[n_splits];
   for (int64_t i = 0; i < n_splits; ++i) {
     offsets[i] = total;
@@ -102,12 +154,7 @@ int64_t coo_partition_splits(
   for (int64_t r = 0; r < N; ++r) {
     const int64_t f = locations[r * 3 + 2];
     if (f < lo_all || f >= hi_all) continue;
-    int64_t lo = 0, hi = n_splits;
-    while (lo + 1 < hi) {
-      const int64_t mid = (lo + hi) >> 1;
-      if (boundaries[mid] <= f) lo = mid; else hi = mid;
-    }
-    const int64_t dst = offsets[lo]++;
+    const int64_t dst = offsets[split_of(f)]++;
     std::memcpy(out_locations + dst * 3, locations + r * 3, 3 * sizeof(int64_t));
     out_activations[dst] = activations[r];
   }

@@ -95,6 +95,39 @@ def test_cache_filters_and_offsets():
     np.testing.assert_allclose(acts, [0.5, 1.0])
 
 
+def test_cache_preallocate_and_run_hint():
+    """preallocate() reserves capacity without affecting content; run()'s
+    n_tokens hint pre-sizes arenas (an under-hint resumes doubling)."""
+    cache = Cache(shard_size=0, batch_size=2)
+    cache.preallocate("m", 5000)
+    arena = cache._arenas["m"]
+    assert arena.loc.shape[0] >= 5000 and arena.n == 0
+    vals = np.abs(np.random.default_rng(0).normal(size=(2, 3, 4))).astype(np.float32) + 0.1
+    idx = np.random.default_rng(1).integers(0, 64, size=(2, 3, 4)).astype(np.int64)
+    cache.add_topk(vals, idx, 0, "m")
+    cache.save()
+    ref = Cache(shard_size=0, batch_size=2)  # no preallocation
+    ref.add_topk(vals, idx, 0, "m")
+    ref.save()
+    np.testing.assert_array_equal(
+        cache.feature_locations["m"], ref.feature_locations["m"]
+    )
+    np.testing.assert_array_equal(
+        cache.feature_activations["m"], ref.feature_activations["m"]
+    )
+
+    # run() path: the hint reaches the arena before the first batch.
+    sae = _make_sae()
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}
+
+    fc = FeatureCache(capture_fn, {"layers.0": sae}, batch_size=2, shard_size=0)
+    h = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, 4, D_IN)))
+    fc.run(n_tokens=1000, tokens=[{"h": h[0]}, {"h": h[1]}], progress=False)
+    assert fc.cache._arenas["layers.0"].loc.shape[0] >= 1000 * sae.cfg.k
+
+
 def _fill_cache_via_pipeline(tmp_path, n_splits=4, n_batches=6, bs=2, seq=8):
     sae = _make_sae()
     keys = jax.random.split(jax.random.PRNGKey(3), n_batches)

@@ -77,6 +77,76 @@ def test_fallback_matches_native(monkeypatch):
     np.testing.assert_array_equal(act_n, act_f)
 
 
+def test_extract_int32_ids_match_int64():
+    """The i32 entry point (the device top-k's native index dtype) must
+    produce byte-identical triples to the int64 path."""
+    rng = np.random.default_rng(7)
+    B, S, K, L = 4, 33, 16, 131072
+    vals = rng.normal(size=(B, S, K)).astype(np.float32)
+    vals[vals < 0] = 0.0
+    idx64 = rng.integers(0, L, size=(B, S, K)).astype(np.int64)
+    idx32 = idx64.astype(np.int32)
+    filt = rng.choice(L, size=700, replace=False).astype(np.int64)
+    for f in (None, filt):
+        loc64, act64 = coo_extract_topk(vals, idx64, 1e-5, f, row_offset=3)
+        loc32, act32 = coo_extract_topk(vals, idx32, 1e-5, f, row_offset=3)
+        np.testing.assert_array_equal(loc32, loc64)
+        np.testing.assert_array_equal(act32, act64)
+
+
+def test_partition_uniform_nonpow2_stride():
+    """Uniform boundaries with a non-power-of-two stride take the division
+    fast path; must still match the per-split mask oracle."""
+    rng = np.random.default_rng(9)
+    N, L = 3000, 96
+    locations = np.stack(
+        [rng.integers(0, 50, N), rng.integers(0, 9, N), rng.integers(0, L, N)],
+        axis=1,
+    ).astype(np.int64)
+    activations = rng.normal(size=N).astype(np.float32)
+    boundaries = np.arange(0, L + 1, 12, dtype=np.int64)  # stride 12
+    parts = coo_partition_splits(locations, activations, boundaries)
+    feats = locations[:, 2]
+    for i in range(len(parts)):
+        m = (feats >= boundaries[i]) & (feats < boundaries[i + 1])
+        np.testing.assert_array_equal(parts[i][0], locations[m])
+        np.testing.assert_array_equal(parts[i][1], activations[m])
+
+
+def test_partition_scratch_reuse_matches_fresh():
+    """With a caller-provided scratch pair the partition must return views
+    into it (no fresh allocation) with content identical to the fresh-buffer
+    call, including when the scratch is oversized."""
+    if not native_available():
+        pytest.skip("native build unavailable")
+    rng = np.random.default_rng(11)
+    N, L = 2048, 512
+    locations = np.stack(
+        [rng.integers(0, 64, N), rng.integers(0, 16, N), rng.integers(0, L, N)],
+        axis=1,
+    ).astype(np.int64)
+    activations = rng.normal(size=N).astype(np.float32)
+    boundaries = np.linspace(0, L, 9).astype(np.int64)
+
+    fresh = coo_partition_splits(locations, activations, boundaries)
+    scratch = (
+        np.zeros((N + 100, 3), np.int64),
+        np.zeros((N + 100,), np.float32),
+    )
+    reused = coo_partition_splits(locations, activations, boundaries, scratch=scratch)
+    for (fl, fa), (rl, ra) in zip(fresh, reused):
+        np.testing.assert_array_equal(fl, rl)
+        np.testing.assert_array_equal(fa, ra)
+        if len(ra):
+            assert ra.base is scratch[1] or ra.base is None and len(ra) == 0
+    # An undersized scratch is ignored (fresh buffers), not an error.
+    small = (np.zeros((4, 3), np.int64), np.zeros((4,), np.float32))
+    again = coo_partition_splits(locations, activations, boundaries, scratch=small)
+    for (fl, fa), (al, aa) in zip(fresh, again):
+        np.testing.assert_array_equal(fl, al)
+        np.testing.assert_array_equal(fa, aa)
+
+
 def test_native_randomized_property_sweep():
     """Seeded fuzz vs the numpy oracle: random shapes, thresholds (incl.
     everything-filtered and everything-kept), negative activations (the
