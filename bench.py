@@ -597,6 +597,16 @@ def llava_image_bench(emit: bool = True):
     # buffers + Nx2432-token activations + ~9 GB weights); 4 is the widest
     # that fits. MMSAE_BENCH_IMAGES probes other widths.
     n_images = int(os.environ.get("MMSAE_BENCH_IMAGES", 4))
+    if n_images not in (1, 2, 4):
+        # Compile-hazard fence (VERDICT r4 item 7): B=5 fits but measured a
+        # 659 s compile that degraded the remote compile service for the
+        # rest of the session (BASELINE.md row 47). Warn loudly before the
+        # probe so nobody trips it by accident.
+        _log(
+            f"WARNING: MMSAE_BENCH_IMAGES={n_images} is outside the "
+            "validated widths (1, 2, 4) — B=5 measured a 659 s compile that "
+            "degraded the compile service; B>=6 OOMs (BASELINE.md row 47)"
+        )
     img = Image.fromarray(rng.integers(0, 255, size=(480, 640, 3), dtype="uint8"))
     prompt = [128000, 128256]  # BOS + <image>, the caching prompt shape
     topk = jax.jit(lambda p, h: topk_latents_step(p, h, sae_cfg))
@@ -881,6 +891,31 @@ def train_step_bench():
     _log(f"base: {t_base * 1e3:.1f} ms; timing with AuxK...")
     t_aux = _time(lambda p, h: make_step(dead)(p, h), params, x)
     _log(f"auxk: {t_aux * 1e3:.1f} ms")
+
+    approx_note = ""
+    if "--approx-topk" in sys.argv:
+        # VERDICT r4 item 4: approx_max_k's SAFE default mode (the crashy
+        # aggregate_to_topk=False probe stays retired) as the training
+        # selection threshold — training tolerates ~0.95 recall, the exact
+        # wide top-k is ~22 ms of the 165 ms step.
+        def make_step_approx():
+            def loss_fn(p, h):
+                out = sae_forward(p, h, cfg, None, approx_topk=True)
+                return out.fvu.astype(jnp.float32)
+
+            def step(p, h):
+                return jax.value_and_grad(loss_fn)(p, h)
+
+            return step
+
+        _log("timing grad step with approx_topk (recall~0.95)...")
+        t_approx = _time(lambda p, h: make_step_approx()(p, h), params, x)
+        _log(f"approx: {t_approx * 1e3:.1f} ms")
+        approx_note = (
+            f"; approx_topk {round(tokens / t_approx, 1)} tok/s "
+            f"({t_approx * 1e3:.0f} ms, {t_base / t_approx:.3f}x base)"
+        )
+
     print(
         json.dumps(
             {
@@ -888,8 +923,139 @@ def train_step_bench():
                 "value": round(tokens / t_aux, 1),
                 "unit": "tokens/s/chip @131k width with AuxK "
                 f"(base {round(tokens / t_base, 1)} tok/s, "
-                f"{t_base * 1e3:.0f} -> {t_aux * 1e3:.0f} ms)",
+                f"{t_base * 1e3:.0f} -> {t_aux * 1e3:.0f} ms{approx_note})",
                 "vs_baseline": round(t_base / t_aux, 3),
+            }
+        )
+    )
+
+
+def train_e2e_bench():
+    """`bench.py --train-e2e`: the COMPOSED training pipeline measured on
+    chip (VERDICT r4 item 2) — frozen 32-layer int8 8B subject forward with
+    layers.24 capture feeding the full `SaeTrainer.step` at 131k width
+    (accumulate / clip / apply on grad-acc boundaries / dead-feature
+    bookkeeping / the hiddens handoff), i.e. the reference's `torchrun -m
+    sae` inner loop (reference train/sae/sae/trainer.py:188-461) as ONE
+    measured number instead of the two isolated rows (capture ~20.3k tok/s,
+    grad step ~24.8k tok/s, whose series composition predicts ~11.2k).
+
+    Posture: bf16 SAE params + 8-bit Adam (`sae_dtype`/`adam_8bit`), and
+    only layers 0..24 of the subject RESIDENT — training a layers.24 SAE
+    never reads layers 25..31 (the capture forward already dead-code-
+    eliminates their compute when return_logits=False, so row 46's
+    20.3k tok/s capture number is a 25-layer compute number too; keeping
+    their ~1.5 GB of int8 weights in HBM would be pure waste the reference
+    only pays because torch cannot DCE).  Measured OOM boundary (r5): with
+    all 32 layers resident, static state is ~14.5 GB (8.0 subject + 2.16
+    SAE + 2.16 grad-acc + 2.15 adam8bit) and the accumulate OOMs 16 GB at
+    every micro_acc_steps in {1,2,4}; truncating to 25 layers frees 1.5 GB
+    and micro=2 fits.  grad_acc_steps=4 (reference train/sae/README.md:
+    33-44), auxk off (reference default auxk_alpha=0).  b_dec geometric-
+    median init and all compiles are amortized out by warmup steps;
+    completion is forced by a scalar readback (block_until_ready lies
+    through the tunnel).  `--approx-topk` measures the
+    TrainConfig.approx_topk posture instead.  Env overrides:
+    MMSAE_BENCH_TRAIN_BATCH (sequences/step, default 64) and
+    MMSAE_BENCH_TRAIN_MICRO (micro_acc_steps, default 2)."""
+    import dataclasses
+
+    import numpy as np
+
+    from multimodal_sae_tpu.config import TrainConfig
+    from multimodal_sae_tpu.models.llama import LlamaConfig, LlamaModel
+    from multimodal_sae_tpu.train.trainer import SaeTrainer
+
+    lcfg = LlamaConfig(
+        vocab_size=128256,
+        hidden_size=D_IN,
+        intermediate_size=14336,
+        # Layers 0..24 only — everything a layers.24 hookpoint can read
+        # (see docstring: resident weights, not just compute, are the 16 GB
+        # constraint; the 8B depth above the hookpoint is dead for training).
+        num_hidden_layers=25,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        tie_word_embeddings=True,  # training never touches the LM head
+        int8_matmul=True,  # the measured-fastest subject posture (row 46)
+    )
+    batch = int(os.environ.get("MMSAE_BENCH_TRAIN_BATCH", "64"))
+    micro = int(os.environ.get("MMSAE_BENCH_TRAIN_MICRO", "2"))
+    approx = "--approx-topk" in sys.argv
+
+    init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
+    _log("initializing 32-layer int8 subject on device...")
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
+    # Init the STACKED layer tree directly (vmap over layer keys): a
+    # per-layer list that LlamaModel then stacks holds both copies live
+    # (~16 GB) and OOMs the chip once the SAE + optimizer state land.
+    stacked = jax.jit(jax.vmap(init_quant_layer))(keys[: lcfg.num_hidden_layers])
+    lparams = {**init_quant_rest(keys[-1]), "layers": stacked}
+    model = LlamaModel(lparams, lcfg)
+    _log(f"  init done in {time.perf_counter() - t0:.1f}s")
+
+    cfg = TrainConfig(
+        sae=SaeConfig(num_latents=LATENTS, k=K),
+        batch_size=batch,
+        grad_acc_steps=4,
+        micro_acc_steps=micro,
+        hookpoints=["layers.24"],
+        adam_8bit=True,
+        sae_dtype="bfloat16",
+        approx_topk=approx,
+        log_to_wandb=False,
+        lr_warmup_steps=10,
+    )
+    # The trainer only reads len(dataset) (schedule horizon); batches are fed
+    # directly to .step below.
+    dummy = [{"input_ids": np.zeros(SEQ, dtype=np.int32)}] * (batch * 64)
+    trainer = SaeTrainer(cfg, dummy, model)
+    hook = "layers.24"
+    ids = np.asarray(
+        jax.device_get(
+            jax.random.randint(jax.random.PRNGKey(2), (batch, SEQ), 0, lcfg.vocab_size)
+        )
+    )
+    batch_dict = {"input_ids": ids}
+
+    def sync():
+        # Forces every enqueued step to finish: device execution is in-order,
+        # so a scalar readback of the latest params drains the queue.
+        return float(
+            jnp.sum(trainer.saes[hook].params["b_enc"].astype(jnp.float32))
+        )
+
+    _log("warmup (b_dec init + compiles + first apply boundary)...")
+    t0 = time.perf_counter()
+    for _ in range(8):  # two full grad-acc cycles
+        trainer.step(batch_dict)
+    sync()
+    _log(f"  warmup done in {time.perf_counter() - t0:.1f}s")
+
+    iters = 12  # three apply boundaries
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.step(batch_dict)
+    checksum = sync()
+    dt = (time.perf_counter() - t0) / iters
+    tokens = batch * SEQ
+    naive = 1.0 / (1.0 / 20319 + 1.0 / 24841)  # BASELINE rows 46+49 in series
+    _log(f"composed step: {dt * 1e3:.1f} ms ({checksum:.3e})")
+    print(
+        json.dumps(
+            {
+                "metric": "sae_train_e2e_tokens_per_sec",
+                "value": round(tokens / dt, 1),
+                "unit": "tokens/s/chip, composed capture->train loop "
+                f"(32-layer int8 8B fwd + layers.24 capture + full "
+                f"SaeTrainer.step @131k, bf16 SAE + adam8bit, "
+                f"batch {batch}x{SEQ} tok, grad_acc 4, micro {micro}"
+                + (", approx_topk rt=0.95" if approx else "")
+                + f"; {dt * 1e3:.0f} ms/step)",
+                # vs the series composition of the isolated r2 rows: >1 means
+                # the composed loop loses nothing to the handoff/dispatch.
+                "vs_baseline": round(tokens / dt / naive, 3),
             }
         )
     )
@@ -1234,6 +1400,8 @@ if __name__ == "__main__":
         full_depth_bench()
     elif "--full" in sys.argv:
         full_pipeline_bench()
+    elif "--train-e2e" in sys.argv:
+        train_e2e_bench()
     elif "--train" in sys.argv:
         train_step_bench()
     elif "--score" in sys.argv:

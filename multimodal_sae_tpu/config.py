@@ -90,6 +90,21 @@ class TrainConfig:
     dead_feature_threshold: int = 10_000_000
     """Number of tokens after which a feature is considered dead."""
 
+    sae_dtype: str = "float32"
+    """Parameter dtype for freshly initialized SAEs ("float32" or
+    "bfloat16").  bf16 halves SAE + grad-accumulator HBM (4.3 GB -> 2.15 GB
+    each at 131k width) — the posture that fits the 131k train step beside
+    an 8 GB int8 8B subject on one 16 GB chip.  float32 stays the default,
+    matching the reference's torch training dtype.  Ignored on resume
+    (checkpoints carry their own dtype)."""
+
+    approx_topk: bool = False
+    """Select training top-k via `approx_max_k`'s ~0.95-recall threshold
+    instead of the exact wide top-k (ops/sparse_decode.topk_mask_decode).
+    Training-only: slightly perturbs WHICH ~k latents fire each step (the
+    reference's own training tolerates selection noise — torch.topk ties
+    break arbitrarily); never used on the bit-parity caching path."""
+
     hookpoints: List[str] = field(default_factory=list)
     """List of hookpoints to train SAEs on (supports fnmatch wildcards)."""
 

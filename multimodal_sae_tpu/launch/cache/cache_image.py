@@ -57,12 +57,28 @@ def main(cfg: CacheConfig):
         prepared = model.prepare_inputs(images=images, prompt_ids=prompt_ids)
         return model.capture(prepared, hookpoints)
 
+    device_batch = cfg.batch_size * max(1, cfg.dp)
+    if device_batch not in (1, 2, 4):
+        # Measured compile hazard (BASELINE.md row 47): at the flagship anyres
+        # shape on a 16 GB v5e, image batch 5 fits but compiled for 659 s
+        # (vs the usual 27-80 s) and left the remote XLA compile service
+        # degraded for subsequent fresh compiles; 6 and 8 OOM outright. B=4
+        # is the measured optimum. Warn, don't refuse — other chips/shapes
+        # may behave differently.
+        logger.warning(
+            f"image batch {device_batch} (batch_size x dp) is outside the "
+            "validated widths (1, 2, 4): at the flagship anyres shape, B=5 "
+            "measured a 659 s compile that degraded the compile service and "
+            "B>=6 OOMs a 16 GB chip; B=4 is the measured throughput optimum "
+            "(BASELINE.md row 47)"
+        )
+
     cache = FeatureImageCache(
         capture_fn,
         submodule_dict,
         # --dp N feeds the device N x batch_size images per step (see
         # launch/cache/cache.py for the byte-parity rationale).
-        batch_size=cfg.batch_size * max(1, cfg.dp),
+        batch_size=device_batch,
         shard_size=shard_start,
         filters=filters,
     )

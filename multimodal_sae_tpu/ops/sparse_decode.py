@@ -147,7 +147,7 @@ sparse_decode.defvjp(_sparse_decode_fwd, _sparse_decode_bwd)
 
 
 def topk_mask_decode(
-    pre_acts: jax.Array, W_dec: jax.Array, k: int
+    pre_acts: jax.Array, W_dec: jax.Array, k: int, *, approx: bool = False
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Training fast path: decode the top-k of `pre_acts` without ever
     materializing (vals, idx).
@@ -184,7 +184,17 @@ def topk_mask_decode(
     # Once k is too large for cheap block-max filtering (multi-topk's 4k),
     # the bitwise exact k-th value is ~5x cheaper again (35 vs 165 ms at
     # k=1024) and costs the same for any k.
-    if k * 256 <= pre_acts.shape[-1]:
+    if approx:
+        # Opt-in training-only threshold via the TPU PartialReduce unit
+        # (jax.lax.approx_max_k, default aggregate_to_topk=True — the SAFE
+        # mode; the raw aggregate_to_topk=False probe is retired, it hangs
+        # this platform's compiler). ~0.95-recall k-th value: a few of the
+        # true top-k can fall below it and a few extras can pass, so the
+        # selected count is ~k not exactly k — tolerable during training
+        # (same territory as the tie semantics below), never used on the
+        # bit-parity cache path. Wired from TrainConfig.approx_topk.
+        kth = jax.lax.approx_max_k(pre_acts, k, recall_target=0.95)[0][..., -1:]
+    elif k * 256 <= pre_acts.shape[-1]:
         # assume_finite: pre_acts are ReLU'd by contract (docstring above),
         # so the -inf defense clamp (a materialized copy) is skipped.
         kth = top_k(pre_acts, k, assume_finite=True)[0][..., -1:]

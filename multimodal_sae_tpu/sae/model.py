@@ -173,6 +173,7 @@ def forward(
     *,
     fast: bool = True,
     return_topk: bool = False,
+    approx_topk: bool = False,
 ) -> ForwardOutput:
     """Full training forward (reference sae.py:193-247).
 
@@ -192,7 +193,10 @@ def forward(
     W_dec, b_dec = params["W_dec"], params["b_dec"]
 
     if fast:
-        y, dense, sel_mask = topk_mask_decode(pre, W_dec, cfg.k)
+        # approx_topk (training-only opt-in, TrainConfig.approx_topk): the
+        # selection threshold comes from approx_max_k's ~0.95-recall pass
+        # instead of the exact wide top-k — see topk_mask_decode.
+        y, dense, sel_mask = topk_mask_decode(pre, W_dec, cfg.k, approx=approx_topk)
         sae_out = y + b_dec
         # Fired = selected AND positive. `sel_mask` alone (pre >= kth) is
         # wrong when any row has fewer than k positive pre-activations: its

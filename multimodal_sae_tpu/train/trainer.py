@@ -126,8 +126,9 @@ class SaeTrainer:
 
         key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, len(self.local_hookpoints()))
+        sae_dtype = jnp.dtype(cfg.sae_dtype)
         self.saes: Dict[str, Sae] = {
-            hook: Sae(input_widths[hook], cfg.sae, key=k)
+            hook: Sae(input_widths[hook], cfg.sae, dtype=sae_dtype, key=k)
             for hook, k in zip(self.local_hookpoints(), keys)
         }
 
@@ -321,6 +322,7 @@ class SaeTrainer:
                     chunk,
                     cfg.sae,
                     dead_mask if cfg.auxk_alpha > 0 else None,
+                    approx_topk=cfg.approx_topk,
                 )
                 loss = (
                     out.fvu + cfg.auxk_alpha * out.auxk_loss + out.multi_topk_fvu / 8

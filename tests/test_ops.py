@@ -346,3 +346,24 @@ def test_decode_randomized_property_sweep():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
                 err_msg=f"grad {trial}",
             )
+
+
+def test_topk_mask_decode_approx_mode():
+    """approx=True thresholds via approx_max_k (TrainConfig.approx_topk).
+    On the CPU backend approx_max_k reduces to the exact top-k, so the mask
+    and reconstruction must match the exact path bit-for-bit here; on TPU
+    the contract is weaker (~0.95 recall), covered by the selection-count
+    sanity bound."""
+    _, _, W, pre = _random_sparse(jax.random.PRNGKey(7), n=16, k=8, L=256, d=64)
+    y_exact, _, sel_exact = topk_mask_decode(pre, W, 8)
+    y_approx, _, sel_approx = topk_mask_decode(pre, W, 8, approx=True)
+    n_sel = int(jnp.sum(sel_approx))
+    assert 16 * 8 * 0.9 <= n_sel <= 16 * 8 * 2, n_sel
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(
+            np.asarray(sel_exact), np.asarray(sel_approx)
+        )
+        np.testing.assert_allclose(y_approx, y_exact, rtol=1e-6, atol=1e-6)
+    # Gradients flow through the masked dense matmul, not the threshold.
+    g = jax.grad(lambda p: jnp.sum(topk_mask_decode(p, W, 8, approx=True)[0] ** 2))(pre)
+    assert np.isfinite(np.asarray(g)).all()

@@ -209,3 +209,41 @@ def test_wandb_log_frequency_zero_disables_logging():
     for batch in _batches(ds, 8):
         trainer.step(batch, {"layers.1": defaultdict(float)})
     assert trainer.global_step == 2
+
+
+def test_sae_dtype_bfloat16():
+    """TrainConfig.sae_dtype="bfloat16" initializes SAE params, grad
+    accumulators, and optimizer state in bf16 (halves HBM at 131k width —
+    the posture bench.py --train-e2e measures), and the step still runs
+    and updates finitely."""
+    model = SyntheticActivationSource(d_model=32, n_layers=2)
+    ds = _dataset(n=32)
+    trainer = SaeTrainer(_cfg(sae_dtype="bfloat16"), ds, model)
+    sae = trainer.saes["layers.1"]
+    assert sae.params["W_enc"].dtype == jnp.bfloat16
+    assert trainer.grad_accs["layers.1"]["W_enc"].dtype == jnp.bfloat16
+    p0 = np.asarray(sae.params["W_enc"], dtype=np.float32)
+    for batch in _batches(ds, 8):
+        trainer.step(batch)
+    p1 = np.asarray(sae.params["W_enc"], dtype=np.float32)
+    assert sae.params["W_enc"].dtype == jnp.bfloat16
+    assert np.isfinite(p1).all()
+    assert not np.array_equal(p0, p1)
+
+
+def test_approx_topk_trains():
+    """TrainConfig.approx_topk routes the training selection threshold
+    through approx_max_k (exact on the CPU backend, ~0.95 recall on TPU);
+    the loop must still converge like the exact path."""
+    from collections import defaultdict
+
+    model = SyntheticActivationSource(d_model=32, n_layers=2)
+    ds = _dataset(n=128)
+    trainer = SaeTrainer(_cfg(lr=5e-3, approx_topk=True), ds, model)
+    fvus = []
+    for _ in range(3):
+        for batch in _batches(ds, 8):
+            metrics = {"layers.1": defaultdict(float)}
+            trainer.step(batch, metrics)
+            fvus.append(metrics["layers.1"]["fvu"])
+    assert fvus[-1] < fvus[0] * 0.8, (fvus[0], fvus[-1])
