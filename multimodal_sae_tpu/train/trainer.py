@@ -56,12 +56,19 @@ def linear_warmup_schedule(warmup_steps: int, total_steps: int):
     to 0 at total_steps."""
 
     def schedule(step):
-        step = jnp.asarray(step, dtype=jnp.float32)
-        warm = step / jnp.maximum(1.0, warmup_steps)
-        decay = jnp.maximum(
-            0.0, (total_steps - step) / jnp.maximum(1.0, total_steps - warmup_steps)
+        # Pure host arithmetic (float32 to match the previous jnp version
+        # bit-for-bit): the scale feeds `apply` as a python float, so
+        # computing it on device forced a device_get sync that stalled the
+        # apply dispatch every grad-acc boundary (measured in the composed
+        # train loop, bench.py --train-e2e).
+        step = np.float32(step)
+        warm = step / np.maximum(np.float32(1.0), np.float32(warmup_steps))
+        decay = np.maximum(
+            np.float32(0.0),
+            (np.float32(total_steps) - step)
+            / np.maximum(np.float32(1.0), np.float32(total_steps - warmup_steps)),
         )
-        return jnp.where(step < warmup_steps, warm, decay)
+        return float(warm if step < warmup_steps else decay)
 
     return schedule
 
@@ -172,6 +179,15 @@ class SaeTrainer:
         self._did_fire = {
             name: np.zeros(sae.num_latents, dtype=bool) for name, sae in self.saes.items()
         }
+        # Host<->device traffic minimization (measured on the composed train
+        # loop, bench.py --train-e2e): per-step `fired` readbacks are a hard
+        # host sync each step (131 KB + queue drain), so fired masks are
+        # OR-accumulated ON DEVICE and read back once per grad-acc boundary;
+        # the dead mask similarly only changes at boundaries, so one
+        # device-resident copy is reused across the window instead of
+        # re-uploading 131 KB with every accumulate dispatch.
+        self._fired_dev: Dict[str, jax.Array] = {}
+        self._dead_mask_dev: Dict[str, jax.Array] = {}
         self._num_tokens_in_step = 0
         self._b_dec_initialized = False  # set on resume / after step 0
 
@@ -201,6 +217,17 @@ class SaeTrainer:
             self.grad_accs[name] = jax.tree_util.tree_map(
                 globalize, self.grad_accs[name]
             )
+
+    def _refresh_dead_mask(self, name: str):
+        """Recompute the device-resident dead mask from the host counters.
+        Called at grad-acc boundaries (the only time counters change) and on
+        first use / resume — not per step: the 131 KB upload otherwise rides
+        every accumulate dispatch."""
+        mask = self.num_tokens_since_fired[name] > self.cfg.dead_feature_threshold
+        self._dead_mask_dev[name] = jax.device_put(
+            mask, replicated_sharding(self._mesh_for(name))
+        )
+        return self._dead_mask_dev[name]
 
     def _globalize_hiddens(self, name: str, hiddens):
         """Assemble each process's local (rows, d) hiddens into one global
@@ -531,17 +558,22 @@ class SaeTrainer:
             if self.global_step == 0 and not self._b_dec_initialized:
                 sae.params = self._jitted("b_dec_init", name)(sae.params, hiddens)
 
-            # Plain numpy (not committed-to-device jnp): multi-process jit
-            # device_puts host arrays onto the replicated sharding itself.
-            dead_mask = (
-                self.num_tokens_since_fired[name] > cfg.dead_feature_threshold
-            )
+            # Device-resident dead mask, refreshed only when the counters
+            # change (grad-acc boundaries / resume) — already placed on the
+            # replicated sharding the jitted accumulate expects.
+            dead_mask = self._dead_mask_dev.get(name)
+            if dead_mask is None:
+                dead_mask = self._refresh_dead_mask(name)
             params, grad_acc, fired, metrics = self._jitted("accumulate", name)(
                 sae.params, self.grad_accs[name], hiddens, dead_mask
             )
             sae.params = params
             self.grad_accs[name] = grad_acc
-            self._did_fire[name] |= np.asarray(fired)
+            # OR on device (async dispatch), read back at the boundary.
+            prev = self._fired_dev.get(name)
+            self._fired_dev[name] = (
+                fired if prev is None else jnp.logical_or(prev, fired)
+            )
             if avg_metrics is not None and cfg.wandb_log_frequency:
                 # Guarded on wandb_log_frequency: 0 disables logging in
                 # _fit_loop, and would divide by zero here.
@@ -555,7 +587,9 @@ class SaeTrainer:
 
         step, substep = divmod(self.global_step + 1, cfg.grad_acc_steps)
         if substep == 0:
-            lr_scale = float(jax.device_get(self.schedule(self.opt_step)))
+            # schedule() is pure host arithmetic — no device sync before the
+            # apply dispatches.
+            lr_scale = self.schedule(self.opt_step)
             for name, sae in self.saes.items():
                 lr = self.base_lrs[name] * lr_scale
                 sae.params, self.opt_states[name], self.grad_accs[name] = self._jitted(
@@ -563,11 +597,17 @@ class SaeTrainer:
                 )(sae.params, self.opt_states[name], self.grad_accs[name], lr)
             self.opt_step += 1
 
-            # Dead-feature bookkeeping (reference trainer.py:404-414).
+            # Dead-feature bookkeeping (reference trainer.py:404-414) — the
+            # window's device-accumulated fired mask is read back here, once
+            # per boundary (after the applies were already dispatched).
             for name, counts in self.num_tokens_since_fired.items():
                 counts += self._num_tokens_in_step
+                fired_dev = self._fired_dev.pop(name, None)
+                if fired_dev is not None:
+                    self._did_fire[name] |= np.asarray(fired_dev)
                 counts[self._did_fire[name]] = 0
                 self._did_fire[name][:] = False
+                self._refresh_dead_mask(name)
             self._num_tokens_in_step = 0
 
         self.global_step += 1
@@ -652,6 +692,9 @@ class SaeTrainer:
                 flat, self.opt_states[name]
             )
         self._b_dec_initialized = True
+        # Restored counters invalidate any cached device-resident dead masks.
+        self._dead_mask_dev = {}
+        self._fired_dev = {}
         self._ensure_global_state()  # loaded arrays are process-local
 
 

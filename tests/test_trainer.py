@@ -247,3 +247,33 @@ def test_approx_topk_trains():
             trainer.step(batch, metrics)
             fvus.append(metrics["layers.1"]["fvu"])
     assert fvus[-1] < fvus[0] * 0.8, (fvus[0], fvus[-1])
+
+
+def test_fired_accumulates_across_grad_acc_window():
+    """The fired mask is OR-accumulated on device across the grad-acc window
+    and read back once at the boundary (r5 sync reduction): a latent that
+    fires in ANY of the window's steps must reset its counter at the
+    boundary, exactly as the old per-step numpy OR did; and the
+    device-cached dead mask must be refreshed there."""
+    model = SyntheticActivationSource(d_model=32, n_layers=2)
+    ds = _dataset(n=64)
+    trainer = SaeTrainer(_cfg(grad_acc_steps=2), ds, model)
+    batches = list(_batches(ds, 8))
+    trainer.step(batches[0])
+    # Mid-window: pending fired lives on device, counters untouched.
+    assert "layers.1" in trainer._fired_dev
+    assert trainer.num_tokens_since_fired["layers.1"].max() == 0
+    trainer.step(batches[1])
+    # Boundary: pending flushed, counters advanced by the window's tokens,
+    # fired latents reset, dead mask recomputed.
+    assert "layers.1" not in trainer._fired_dev
+    counts = trainer.num_tokens_since_fired["layers.1"]
+    assert counts.max() == 2 * 8 * 16
+    assert (counts == 0).sum() > 0
+    assert "layers.1" in trainer._dead_mask_dev
+    import numpy as _np
+
+    _np.testing.assert_array_equal(
+        _np.asarray(trainer._dead_mask_dev["layers.1"]),
+        counts > trainer.cfg.dead_feature_threshold,
+    )
