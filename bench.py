@@ -946,7 +946,9 @@ def train_e2e_bench():
     eliminates their compute when return_logits=False, so row 46's
     20.3k tok/s capture number is a 25-layer compute number too; keeping
     their ~1.5 GB of int8 weights in HBM would be pure waste the reference
-    only pays because torch cannot DCE).  Measured OOM boundary (r5): with
+    only pays because torch cannot DCE).  Users get the same posture with
+    `--truncate_layers 25` on the train/cache CLIs (launch/utils.py
+    load_subject_model; bit-identical below the cut, tested).  Measured OOM boundary (r5): with
     all 32 layers resident, static state is ~14.5 GB (8.0 subject + 2.16
     SAE + 2.16 grad-acc + 2.15 adam8bit) and the accumulate OOMs 16 GB at
     every micro_acc_steps in {1,2,4}; truncating to 25 layers frees 1.5 GB

@@ -39,6 +39,7 @@ def load_artifacts(args: RunConfig):
             tp=args.tp,
             dp=args.dp,
             hf_token=args.hf_token,
+            truncate_layers=args.truncate_layers,
         )
 
     if args.dataset.endswith(".bin"):

@@ -204,6 +204,17 @@ class RunConfig(TrainConfig):
     data_preprocessing_num_proc: int = 1
     """Number of processes to use for preprocessing data."""
 
+    truncate_layers: int = 0
+    """Keep only the first N transformer layers of the subject resident
+    (0 = all).  Training or caching at hookpoint `layers.K` never reads the
+    layers above K — their compute is already dead-code-eliminated by the
+    capture forward, but their WEIGHTS otherwise still occupy HBM
+    (measured r5: the 7 layers above the flagship layers.24 hookpoint are
+    1.5 GB of an int8 8B — the difference between the 131k composed train
+    step fitting a 16 GB chip and OOMing).  Requires every trained/cached
+    hookpoint to be below N; generation/logit flows (steering, attribution)
+    need the full depth and must not truncate."""
+
 
 @dataclass
 class ExperimentConfig:
@@ -317,6 +328,13 @@ class CacheConfig:
     eager attention materializes ~3 GB of f32 scores per layer at anyres
     sequence lengths. Opt-in: softmax reduction order differs from HF eager
     at the bf16 level, so the fp32 bit-parity guarantee keeps eager."""
+
+    truncate_layers: int = 0
+    """Keep only the first N subject transformer layers resident (0 = all).
+    Caching at `layers.K` never reads layers above K — truncation frees
+    their HBM without changing a single cached byte (activations at K are a
+    pure function of layers 0..K; see RunConfig.truncate_layers). Every
+    cached hookpoint must be below N."""
 
     split: str = "train"
     """Dataset split to use."""

@@ -30,6 +30,7 @@ def main(cfg: CacheConfig):
         tp=cfg.tp,
         dp=cfg.dp,
         hf_token=cfg.hf_token,
+        truncate_layers=cfg.truncate_layers,
     )
 
     logger.info(f"Load Dataset : {cfg.dataset}")

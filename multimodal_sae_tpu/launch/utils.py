@@ -41,6 +41,7 @@ def load_subject_model(
     tp: int = 0,
     dp: int = 0,
     hf_token: Optional[str] = None,
+    truncate_layers: int = 0,
 ) -> Tuple[object, Optional[object], object]:
     """Load the frozen subject model (reference maybe_load_llava_model,
     sae_auto_interp/utils.py:68-88): LLaVA-NeXT when the checkpoint is one
@@ -82,6 +83,14 @@ def load_subject_model(
     Mutually exclusive with `tp`: cross-process data parallelism over TP
     subjects is the multi-host composition (docs/DISTRIBUTED.md).
 
+    `truncate_layers > 0` keeps only the first N transformer layers of the
+    (LLaVA's language model / plain LLaMA) subject resident: hookpoints
+    below N are bit-identical to the full model (a layer-K activation is a
+    pure function of layers 0..K), and the dropped layers' weights never
+    reach HBM (measured r5: layers 25..31 of an int8 8B are 1.5 GB — the
+    margin that lets the 131k composed train step fit 16 GB). Capture-only
+    flows (training, caching); generation/logit flows need full depth.
+
     `model_name_or_path` must be a local HF checkpoint directory (this
     environment has no network egress; pre-download checkpoints)."""
     import dataclasses
@@ -108,12 +117,34 @@ def load_subject_model(
 
     from ..models.quant import quantize_llama_params
 
+    def _truncate_lm(lm_params: dict, lm_cfg):
+        """Drop layers >= truncate_layers BEFORE quantization/stacking, so
+        their weights never reach the device."""
+        if not truncate_layers or truncate_layers <= 0:
+            return lm_params, lm_cfg
+        if truncate_layers > lm_cfg.num_hidden_layers:
+            raise ValueError(
+                f"--truncate_layers {truncate_layers} exceeds the subject's "
+                f"{lm_cfg.num_hidden_layers} layers"
+            )
+        lm_params = dict(lm_params)
+        lm_params["layers"] = list(lm_params["layers"][:truncate_layers])
+        return lm_params, dataclasses.replace(
+            lm_cfg, num_hidden_layers=truncate_layers
+        )
+
     if _is_llava_checkpoint(model_name_or_path):
         from transformers import LlavaNextProcessor
 
         from ..models.llava_next import LlavaNextModel, load_llava_next
 
         params, cfg = load_llava_next(model_name_or_path, dtype=dtype)
+        if truncate_layers:
+            params = dict(params)
+            params["language_model"], text_cfg = _truncate_lm(
+                params["language_model"], cfg.text_config
+            )
+            cfg = dataclasses.replace(cfg, text_config=text_cfg)
         if load_in_8bit or int8_matmul:
             from ..models.quant import quantize_clip_params
 
@@ -142,6 +173,7 @@ def load_subject_model(
         from ..models.llama import LlamaModel
 
         params, cfg = load_llama(model_name_or_path, dtype=dtype)
+        params, cfg = _truncate_lm(params, cfg)
         if load_in_8bit or int8_matmul:
             params = quantize_llama_params(params)
         cfg = _merge_flags(cfg)
@@ -248,6 +280,7 @@ def load_subject_or_synthetic(cfg):
         tp=getattr(cfg, "tp", 0),
         dp=getattr(cfg, "dp", 0),
         hf_token=getattr(cfg, "hf_token", None),
+        truncate_layers=getattr(cfg, "truncate_layers", 0),
     )
 
 

@@ -656,3 +656,65 @@ def test_cache_cli_data_parallel_int8_subject(llama_dir_with_tokenizer, tmp_path
     assert set(dp_out) == set(ref_out) and len(dp_out) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
+
+
+def test_truncate_layers_bit_identical_capture_and_cache(
+    llama_dir_with_tokenizer, tmp_path
+):
+    """--truncate_layers N: hookpoints below N are BIT-identical to the full
+    model (a layer-K activation is a pure function of layers 0..K), the
+    dropped layers disappear from hookpoint_names, over-truncation raises,
+    and the cache CLI produces byte-identical splits (r5: the feature that
+    lets 131k training/caching fit 16 GB beside an 8B subject)."""
+    from datasets import Dataset
+
+    from multimodal_sae_tpu.config import CacheConfig, SaeConfig
+    from multimodal_sae_tpu.launch.cache import cache as cache_cli
+    from multimodal_sae_tpu.launch.utils import load_subject_model
+    from multimodal_sae_tpu.sae import Sae
+
+    full, _, _ = load_subject_model(llama_dir_with_tokenizer, dtype=jnp.float32)
+    trunc, _, _ = load_subject_model(
+        llama_dir_with_tokenizer, dtype=jnp.float32, truncate_layers=2
+    )
+    assert trunc.hookpoint_names() == ["layers.0", "layers.1"]
+    batch = {"input_ids": np.array([[1, 5, 9, 3, 7, 2]])}
+    a = np.asarray(full.capture(batch, ["layers.1"])["layers.1"])
+    b = np.asarray(trunc.capture(batch, ["layers.1"])["layers.1"])
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="truncate_layers"):
+        load_subject_model(llama_dir_with_tokenizer, truncate_layers=99)
+
+    rng = np.random.default_rng(3)
+    ds = Dataset.from_dict({"input_ids": rng.integers(1, 128, size=(8, 8)).tolist()})
+    ds_dir = tmp_path / "ds"
+    ds.save_to_disk(str(ds_dir))
+    sae_dir = tmp_path / "saes"
+    Sae(32, SaeConfig(num_latents=64, k=4), key=jax.random.PRNGKey(0)).save_to_disk(
+        sae_dir / "layers.1"
+    )
+
+    def run(truncate, out):
+        cache_cli.main(
+            CacheConfig(
+                model=llama_dir_with_tokenizer,
+                dataset=str(ds_dir),
+                sae_path=str(sae_dir),
+                save_dir=str(tmp_path / out),
+                batch_size=4,
+                ctx_len=8,
+                n_splits=2,
+                truncate_layers=truncate,
+            )
+        )
+        d = tmp_path / out / "layers.1"
+        return {f.name: f.read_bytes() for f in sorted(d.iterdir())}
+
+    full_out = run(0, "full")
+    trunc_out = run(2, "trunc")
+    assert set(full_out) == set(trunc_out) and len(full_out) == 2
+    for name in full_out:
+        assert full_out[name] == trunc_out[name], (
+            f"split {name} differs under --truncate_layers"
+        )
