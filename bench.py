@@ -986,7 +986,10 @@ def train_e2e_bench():
     approx = "--approx-topk" in sys.argv
 
     init_quant_layer, init_quant_rest = _make_int8_init(lcfg)
-    _log("initializing 32-layer int8 subject on device...")
+    _log(
+        f"initializing int8 subject ({lcfg.num_hidden_layers} resident "
+        "layers of the 32-layer 8B) on device..."
+    )
     t0 = time.perf_counter()
     keys = jax.random.split(jax.random.PRNGKey(0), lcfg.num_hidden_layers + 1)
     # Init the STACKED layer tree directly (vmap over layer keys): a
@@ -1050,7 +1053,9 @@ def train_e2e_bench():
                 "metric": "sae_train_e2e_tokens_per_sec",
                 "value": round(tokens / dt, 1),
                 "unit": "tokens/s/chip, composed capture->train loop "
-                f"(32-layer int8 8B fwd + layers.24 capture + full "
+                f"(int8 8B fwd with layers 0..{lcfg.num_hidden_layers - 1} "
+                "resident (--truncate_layers posture; compute above the "
+                "hookpoint is DCE'd either way) + layers.24 capture + full "
                 f"SaeTrainer.step @131k, bf16 SAE + adam8bit, "
                 f"batch {batch}x{SEQ} tok, grad_acc 4, micro {micro}"
                 + (", approx_topk rt=0.95" if approx else "")

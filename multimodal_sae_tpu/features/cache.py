@@ -138,7 +138,7 @@ class Cache:
         self.batch_size = batch_size
         self.shard_size = shard_size
 
-    def preallocate(self, module_path: str, n_entries: int):
+    def preallocate(self, module_path: str, n_entries: int, act_dtype=np.float32):
         """Pre-fault arena capacity for `n_entries` COO triples BEFORE the
         device loop starts.  On this host class fresh pages fault at
         ~0.13 GB/s (vs ~8 GB/s streaming to touched pages), so a mid-run
@@ -146,9 +146,14 @@ class Cache:
         measured at the image-headline shape, see BASELINE.md host-persistence
         row.  Paying it up front overlaps the cost with the first jit compile
         (20-40 s) instead of the device loop.  An under-estimate is safe:
-        growth falls back to doubling from the reserved capacity."""
+        growth falls back to doubling from the reserved capacity.
+
+        `act_dtype` must match what `append` will write: the arena's
+        activation dtype is fixed at first allocation, so preallocating at
+        the default f32 would silently upcast a non-f32
+        `FeatureCache(activation_dtype=...)` run on disk (review r5)."""
         if n_entries > 0:
-            self._arenas[module_path].reserve(int(n_entries))
+            self._arenas[module_path].reserve(int(n_entries), act_dtype=act_dtype)
 
     def add_topk(
         self,
@@ -352,22 +357,36 @@ class FeatureCache:
             self._device_step(batch, skip_bos), batch_number, _batch_rows(batch)
         )
 
-    def _preallocate_arenas(self, n_tokens: int):
-        """Size each hookpoint's arena from the run-size hint: `n_tokens * k`
-        triples (every top-k entry of a TopK SAE is kept), scaled by the
-        filter's coverage fraction when one is active (features assumed
-        uniform; an under-estimate only resumes doubling growth).  Capped by
-        `MMSAE_PREALLOC_MAX_ENTRIES` (default 128M ~ 3.6 GB; 0 disables)."""
+    def _preallocate_arenas(self, n_tokens: int, tokens=None):
+        """Size each hookpoint's arena from the RUN-WIDE token estimate:
+        the CLIs call `run(cfg.ctx_len, dataset)` (reference API), so
+        `n_tokens` is per-ROW — multiply by the dataset length when it has
+        one (review r5: sizing from ctx_len alone reserved ~0.5M of a ~31M
+        entry run, leaving the ~7 s mid-run fault stall this exists to
+        remove).  Each token contributes k triples (every top-k entry of a
+        TopK SAE is kept), scaled by the filter's coverage fraction when one
+        is active (features assumed uniform).  Anyres image rows expand past
+        ctx_len and prepared-batch iterables count batches, not rows — both
+        only under-estimate, which is safe (growth resumes doubling).
+        Capped by `MMSAE_PREALLOC_MAX_ENTRIES` (default 128M ~ 3.6 GB; 0
+        disables)."""
         cap = int(os.environ.get("MMSAE_PREALLOC_MAX_ENTRIES", 128 * 1024 * 1024))
         if cap <= 0 or n_tokens <= 0:
             return
+        try:
+            n_rows = len(tokens) if tokens is not None else 0
+        except TypeError:  # generator/iterator input: no length to use
+            n_rows = 0
+        total_tokens = n_tokens * n_rows if n_rows else n_tokens
         for module_path, sae in self.submodule_dict.items():
-            expected = n_tokens * sae.cfg.k
+            expected = total_tokens * sae.cfg.k
             if self.cache.filters is not None:
                 sel = self.cache.filters.get(module_path)
                 if sel is not None and self.width:
                     expected = int(expected * (len(sel) / self.width)) + 1
-            self.cache.preallocate(module_path, min(expected, cap))
+            self.cache.preallocate(
+                module_path, min(expected, cap), act_dtype=self.activation_dtype
+            )
 
     def run(self, n_tokens: int, tokens, progress: bool = True, skip_bos: bool = False):
         """Iterate fixed-size batches over `tokens` (a sequence/dataset of
@@ -377,10 +396,11 @@ class FeatureCache:
         `n_tokens` is NOT a budget: like the reference (which accumulates
         `total_tokens` without ever breaking on it, cache.py:163-173), the
         whole dataset is cached regardless; the parameter is kept for API
-        parity — and reused here as the arena pre-reservation hint (see
-        `Cache.preallocate`; a dataset larger than `n_tokens` just resumes
-        doubling growth)."""
-        self._preallocate_arenas(n_tokens)
+        parity (the CLIs pass ctx_len) — and reused, together with
+        `len(tokens)` when available, as the arena pre-reservation hint
+        (see `Cache.preallocate`; an under-estimate just resumes doubling
+        growth)."""
+        self._preallocate_arenas(n_tokens, tokens)
         iterator = _batched(tokens, self.batch_size)
         try:
             from tqdm import tqdm
@@ -407,6 +427,22 @@ class FeatureCache:
                 self._stream.abort()
                 self._stream = None
             raise
+        if pending is not None:  # at least one batch was processed
+            for module_path in self.submodule_dict:
+                if self.cache._arenas[module_path].n == 0:
+                    # Almost always a hookpoint-name mismatch (wrong prefix,
+                    # or the layer was dropped by --truncate_layers): the
+                    # capture returned nothing and hours of forwards would
+                    # otherwise end in silently-empty shards. A filtered
+                    # module CAN be legitimately empty, hence warn not raise.
+                    from ..logger import logger
+
+                    logger.warning(
+                        f"hookpoint '{module_path}' produced 0 cache entries "
+                        "over the entire run — check it matches the "
+                        "subject's hookpoint names (prefix, layer index, "
+                        "--truncate_layers); its shards will be empty"
+                    )
         self.cache.save()
 
     # ---- persistence (format identical to the reference) -------------------

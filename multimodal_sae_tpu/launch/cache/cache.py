@@ -47,6 +47,9 @@ def main(cfg: CacheConfig):
     replicate_saes(model, submodule_dict.values())
 
     hookpoints = list(submodule_dict.keys())
+    from ..utils import validate_hookpoints
+
+    validate_hookpoints(model, hookpoints)
 
     def capture_fn(batch):
         return model.capture(batch, hookpoints)

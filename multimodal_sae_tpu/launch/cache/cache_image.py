@@ -50,6 +50,9 @@ def main(cfg: CacheConfig):
     replicate_saes(model, submodule_dict.values())
 
     hookpoints = list(submodule_dict.keys())
+    from ..utils import validate_hookpoints
+
+    validate_hookpoints(model, hookpoints)
     tokenizer_ids = tokenizer("<image>", add_special_tokens=True)["input_ids"]
 
     def capture_fn(batch):

@@ -263,6 +263,23 @@ def load_any_dataset(name_or_path: str, split: str = "train"):
     return load_dataset(name_or_path, split=split, trust_remote_code=True)
 
 
+def validate_hookpoints(model, hookpoints) -> None:
+    """Fail fast when a requested hookpoint does not exist on the subject
+    (wrong prefix like `layers.24` vs `model.layers.24`, a layer index past
+    the model's depth, or a layer dropped by --truncate_layers).  Without
+    this, capture simply never returns the module and a full run ends in
+    silently-empty shards / an untrained SAE (review r5)."""
+    available = set(model.hookpoint_names())
+    missing = [h for h in hookpoints if h not in available]
+    if missing:
+        sample = model.hookpoint_names()
+        raise ValueError(
+            f"hookpoint(s) {missing} not present on the subject model "
+            f"(it exposes {sample[0]} .. {sample[-1]}; "
+            f"--truncate_layers drops layers from the top)"
+        )
+
+
 def load_subject_or_synthetic(cfg):
     """`synthetic://dM,L,V` builds the deterministic test model (same scheme
     as the train CLI, __main__.py); anything else is a real checkpoint via

@@ -245,10 +245,17 @@ def coo_partition_splits(
     counts = np.zeros(n_splits, dtype=np.int64)
     if (
         scratch is not None
+        and scratch[0].ndim == 2
         and scratch[0].shape[0] >= N
+        and scratch[0].shape[1] == 3
         and scratch[1].shape[0] >= N
         and scratch[0].flags.c_contiguous
         and scratch[1].flags.c_contiguous
+        # dtype legs: the buffers go straight through raw ctypes pointers —
+        # a float64 scratch would be reinterpreted as float32 and produce
+        # silently corrupt shards (review r5).
+        and scratch[0].dtype == np.int64
+        and scratch[1].dtype == np.float32
     ):
         out_loc = scratch[0][:N]
         out_act = scratch[1][:N]

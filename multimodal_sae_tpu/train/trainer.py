@@ -109,6 +109,18 @@ class SaeTrainer:
                 cfg.layers = list(range(0, n_layers, cfg.layer_stride))
             layers_name = model.layers_name()
             cfg.hookpoints = [f"{layers_name}.{i}" for i in cfg.layers]
+            # Unlike the fnmatch path above (which can only select existing
+            # names), --layers fabricates names — validate them, or a layer
+            # index past the model's depth (or one dropped by
+            # --truncate_layers) trains nothing and checkpoints an untouched
+            # SAE without any error (review r5).
+            missing = [h for h in cfg.hookpoints if h not in all_names]
+            if missing:
+                raise ValueError(
+                    f"--layers resolved to hookpoint(s) {missing} that do "
+                    f"not exist on the subject (it has {len(all_names)} "
+                    "layers; --truncate_layers drops layers from the top)"
+                )
 
         if not cfg.hookpoints:
             raise ValueError(

@@ -646,3 +646,60 @@ def test_load_threaded_propagates_constructor_errors(tmp_path):
     ds = FeatureDataset(str(tmp_path), fcfg, modules=["layers.0"])
     out = list(ds.load(constructor=skipping, num_workers=4))
     assert all(records == [] for records in out)  # every record skipped
+
+
+def test_preallocate_preserves_activation_dtype_and_scales_hint():
+    """Review r5: (a) preallocating at the default f32 must not silently
+    upcast a non-f32 activation_dtype cache — the arena's dtype is fixed at
+    first allocation; (b) run()'s hint is per-ROW (the CLIs pass ctx_len),
+    so the reservation must scale by the dataset length."""
+    sae = _make_sae()
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}
+
+    fc = FeatureCache(
+        capture_fn,
+        {"layers.0": sae},
+        batch_size=2,
+        shard_size=0,
+        activation_dtype=np.float16,
+    )
+    rows = [
+        {"h": np.asarray(jax.random.normal(jax.random.PRNGKey(i), (4, D_IN)))}
+        for i in range(4)
+    ]
+    fc.run(n_tokens=4, tokens=rows, progress=False)
+    arena = fc.cache._arenas["layers.0"]
+    assert arena.act.dtype == np.float16, arena.act.dtype
+    # hint = n_tokens(per row) * len(rows) * k, not n_tokens * k.
+    assert arena.loc.shape[0] >= 4 * len(rows) * sae.cfg.k
+    locs, acts = fc.cache.feature_locations["layers.0"], None
+    assert len(locs) > 0
+
+
+def test_feature_cache_warns_on_hookpoint_with_zero_entries(caplog):
+    """A hookpoint whose capture never matches (name mismatch / truncated
+    layer) must warn loudly instead of ending in silently-empty shards."""
+    import logging
+
+    sae = _make_sae()
+
+    def capture_fn(batch):
+        return {"layers.0": batch["h"]}  # never returns "layers.9"
+
+    fc = FeatureCache(
+        capture_fn,
+        {"layers.0": sae, "layers.9": sae},
+        batch_size=2,
+        shard_size=0,
+    )
+    rows = [
+        {"h": np.asarray(jax.random.normal(jax.random.PRNGKey(i), (4, D_IN)))}
+        for i in range(2)
+    ]
+    with caplog.at_level(logging.WARNING):
+        fc.run(n_tokens=4, tokens=rows, progress=False)
+    assert fc.cache._arenas["layers.0"].n > 0  # the real hookpoint cached
+    assert any("layers.9" in r.message for r in caplog.records)
+    assert not any("'layers.0'" in r.message for r in caplog.records)

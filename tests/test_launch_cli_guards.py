@@ -132,3 +132,20 @@ def test_load_artifacts_returns_tokenizer(tmp_path):
     # load_any_dataset handled the save_to_disk dir (no ValueError
     # message-matching involved).
     assert "input_ids" in dataset.column_names
+
+
+def test_validate_hookpoints_rejects_missing():
+    """Cache CLIs fail fast on hookpoints the subject does not expose (wrong
+    prefix / truncated layer) — otherwise a full run ends in silently-empty
+    shards (review r5)."""
+    import pytest
+
+    from multimodal_sae_tpu.launch.utils import validate_hookpoints
+    from multimodal_sae_tpu.models import SyntheticActivationSource
+
+    model = SyntheticActivationSource(d_model=16, n_layers=4)
+    validate_hookpoints(model, ["layers.0", "layers.3"])  # ok
+    with pytest.raises(ValueError, match="layers.9"):
+        validate_hookpoints(model, ["layers.9"])
+    with pytest.raises(ValueError, match="model.layers.1"):
+        validate_hookpoints(model, ["model.layers.1"])  # wrong prefix

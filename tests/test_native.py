@@ -188,3 +188,30 @@ def test_native_randomized_property_sweep():
                 m = (feats >= boundaries[i]) & (feats < boundaries[i + 1])
                 np.testing.assert_array_equal(parts[i][0], loc_n[m], err_msg=str(trial))
                 np.testing.assert_array_equal(parts[i][1], act_n[m], err_msg=str(trial))
+
+
+def test_partition_ignores_wrong_dtype_or_shape_scratch():
+    """The scratch pair feeds raw ctypes pointers: wrong-dtype or 1-D
+    buffers must be ignored (fresh allocation) rather than reinterpreted
+    into corrupt shards (review r5)."""
+    rng = np.random.default_rng(0)
+    N = 1000
+    locations = np.stack(
+        [rng.integers(0, 50, N), rng.integers(0, 8, N), rng.integers(0, 64, N)],
+        axis=1,
+    ).astype(np.int64)
+    activations = rng.normal(size=N).astype(np.float32)
+    boundaries = np.array([0, 16, 32, 64], dtype=np.int64)
+    ref = coo_partition_splits(locations, activations, boundaries)
+    bad_scratches = [
+        (np.zeros((N, 3), np.int32), np.zeros(N, np.float32)),  # wrong int dtype
+        (np.zeros((N, 3), np.int64), np.zeros(N, np.float64)),  # wrong act dtype
+        (np.zeros(N, np.int64), np.zeros(N, np.float32)),  # 1-D locations
+    ]
+    for scratch in bad_scratches:
+        parts = coo_partition_splits(
+            locations, activations, boundaries, scratch=scratch
+        )
+        for (l1, a1), (l2, a2) in zip(parts, ref):
+            np.testing.assert_array_equal(l1, l2)
+            np.testing.assert_array_equal(a1, a2)

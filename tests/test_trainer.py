@@ -277,3 +277,12 @@ def test_fired_accumulates_across_grad_acc_window():
         _np.asarray(trainer._dead_mask_dev["layers.1"]),
         counts > trainer.cfg.dead_feature_threshold,
     )
+
+
+def test_layers_past_model_depth_raises():
+    """--layers fabricates hookpoint names (unlike the fnmatch path), so an
+    index past the subject's depth — or one dropped by --truncate_layers —
+    must fail loudly instead of training nothing (review r5)."""
+    model = SyntheticActivationSource(d_model=16, n_layers=6)
+    with pytest.raises(ValueError, match="do not exist"):
+        SaeTrainer(_cfg(hookpoints=[], layers=[2, 30]), _dataset(), model)
