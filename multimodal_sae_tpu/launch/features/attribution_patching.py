@@ -77,6 +77,12 @@ def main(cfg: AttributionConfig):
         selected_sae=cfg.selected_sae,
         feature_batch=cfg.feature_batch,
     )
+    from ..utils import validate_hookpoints
+
+    # --selected_sae names the splice hookpoint; one the subject doesn't
+    # expose must fail here, not deep inside suffix_params/capture
+    # (review r5 silent-failure class).
+    validate_hookpoints(model, list(attribution.sae_dict))
     from ...parallel import replicate_saes
 
     replicate_saes(model, attribution.sae_dict.values())

@@ -128,6 +128,13 @@ def main():
         processor = tokenizer
     filters = load_filter(args.filters)
     sae_dict = load_saes(args.sae_path, filters)
+    from ..utils import validate_hookpoints
+
+    # A module name the subject doesn't expose would silently no-op the
+    # clamp intervention (the layer loop ignores unknown keys) and emit
+    # unsteered generations labeled as steered — same silent-failure class
+    # as the cache CLIs (review r5).
+    validate_hookpoints(model, list(sae_dict))
     from ...parallel import replicate_saes
 
     replicate_saes(model, sae_dict.values())
