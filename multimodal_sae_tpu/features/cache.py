@@ -511,7 +511,16 @@ class FeatureCache:
             self._stream = None
             for module_path, n in counts.items():
                 have = self.cache._arenas[module_path].n
-                assert n == have, (module_path, n, have)
+                # Explicit raise, not `assert`: this is the ONLY guard that
+                # catches a streaming writer losing a chunk, and asserts are
+                # compiled out under python -O (review r5) — truncated shards
+                # must never persist silently.
+                if n != have:
+                    raise RuntimeError(
+                        f"streaming writer persisted {n} entries for "
+                        f"'{module_path}' but the arena holds {have} — the "
+                        "shards on disk are incomplete; do not merge them"
+                    )
             return
         from safetensors.numpy import save_file
 
@@ -572,7 +581,17 @@ class FeatureCache:
                         f"{module_dir}; a rank's save_splits output is missing"
                     )
                 locations, activations = [], []
-                for fname in sorted(shard_files):
+                # NUMERIC rank order, not lexicographic: sorted() alone
+                # interleaves Rank10 between Rank1 and Rank2 at world >= 10,
+                # breaking the merged file's row-major dataset ordering
+                # (review r5). The reference is worse on both counts — its
+                # single-digit regex `Rank[0-9]_` silently DROPS ranks >= 10
+                # and it merges in unordered os.listdir order (reference
+                # cache.py:259-268); both are deliberate fixes here.
+                for fname in sorted(
+                    shard_files,
+                    key=lambda f: int(re.match(r"Rank([0-9]+)_", f).group(1)),
+                ):
                     data = load_file(os.path.join(module_dir, fname))
                     locations.append(data["locations"])
                     activations.append(data["activations"])
@@ -592,6 +611,14 @@ class FeatureImageCache(FeatureCache):
     position is dropped before encoding (reference cache.py:402-409)."""
 
     def run(self, n_tokens: int, tokens, progress: bool = True, **kw):
+        if kw:
+            # Previously **kw silently swallowed e.g. an explicit
+            # skip_bos=False while forcing True anyway (review r5).
+            raise TypeError(
+                f"FeatureImageCache.run got unexpected kwargs {sorted(kw)}; "
+                "the image cache always drops the BOS position "
+                "(reference cache.py:402-409)"
+            )
         super().run(n_tokens, tokens, progress=progress, skip_bos=True)
 
 
@@ -639,4 +666,8 @@ def _collate(chunk: Sequence):
                     pass
             out[key] = vals
         return out
-    return np.stack([np.asarray(c) for c in chunk])
+    # Raw (non-dict) rows are token-id sequences, the reference's plain
+    # tensor-dataset shape (reference cache.py:159-173). Wrap them as an
+    # input_ids batch: a bare ndarray would crash _batch_rows/capture_fn
+    # downstream with an obscure AttributeError (review r5).
+    return {"input_ids": np.stack([np.asarray(c) for c in chunk])}

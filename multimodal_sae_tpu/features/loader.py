@@ -130,8 +130,13 @@ class TensorBuffer:
         if self.features is not None:
             return len(self.features)
         if self.locations is None:
-            self._load()
-        return len(_unique_nonneg(self.locations[:, 2]))
+            self._load()  # sets self.features for full-split buffers
+        if self.features is None:
+            # Pre-loaded locations without a feature set: compute once and
+            # memoize (review r5: this used to recompute the O(N) unique on
+            # every len() call, duplicating the pass _load had just done).
+            self.features = _unique_nonneg(self.locations[:, 2])
+        return len(self.features)
 
     def __iter__(self):
         if self.locations is None:
@@ -197,6 +202,20 @@ class FeatureDataset:
             modules = list(features)
         for module in modules:
             selected = np.asarray(features[module])
+            # Range-validate BEFORE bucketizing (review r5): filter JSONs are
+            # user-authored, and an id == width (a common off-by-one) indexed
+            # one past the last edge (raw IndexError), while a negative id
+            # wrapped to a nonsense '{width}_{-1}.safetensors' path that only
+            # failed at load time. TensorBuffer._load's own LUT hardening
+            # never runs for ids this far gone.
+            bad = selected[(selected < 0) | (selected >= self.cfg.width)]
+            if bad.size:
+                raise ValueError(
+                    f"feature filter for '{module}' contains id(s) outside "
+                    f"[0, {self.cfg.width}): {bad[:5].tolist()}"
+                    f"{'...' if bad.size > 5 else ''} — check the filter "
+                    "against the SAE width"
+                )
             # torch.bucketize(right=True) == searchsorted(side="right").
             bucketized = np.searchsorted(edges, selected, side="right")
             for bucket in np.unique(bucketized):

@@ -171,7 +171,11 @@ def fast_attribution_maps(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         feature_sharding = NamedSharding(mesh, P("data"))
-        dp_min = int(mesh.devices.size)
+        # The 'data' axis size, not the total device count: on a future
+        # multi-axis mesh (('data','model')), rounding chunks to a multiple
+        # of ALL devices inflates the OOM-retry floor by the model-axis
+        # factor (review r5; identical on today's 1-D meshes).
+        dp_min = int(mesh.shape["data"])
         # The chunk width must divide over the mesh: round up to a multiple
         # of dp (the ragged-tail pad below already tops chunks up to it).
         feature_batch = max(feature_batch, dp_min)

@@ -82,6 +82,10 @@ def train(
         random.seed(seed)
         return random.sample(examples, n_train)
     elif train_type == "quantile":
+        # Reference-pinned quirk (reference samplers.py:65): `seed` is NOT
+        # forwarded — split_quantiles always re-seeds with its own default
+        # 22, so quantile draws ignore the caller's seed exactly as the
+        # reference's do. Forwarding it would break selection bit-parity.
         return split_quantiles(examples, n_quantiles, n_train)
     raise ValueError(f"Invalid train_type: {train_type}")
 

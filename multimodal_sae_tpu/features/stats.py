@@ -96,6 +96,12 @@ def get_neighbors(submodule_dict: Dict[str, object], feature_filter: Dict, k: in
         order = jnp.argsort(-cos_sim, axis=-1)[:, :k]
         values = jnp.take_along_axis(cos_sim, order, axis=-1)
 
+        # Reference-pinned shape (reference stats.py:112-118): entries are
+        # keyed by POSITION in the filter (not by feature id), and [1:]
+        # drops the top-1 assuming it is the feature itself — with exactly
+        # duplicated decoder rows a tie could drop a real neighbor instead.
+        # Consumers map keys back through the filter's order, as the
+        # reference's do.
         for i in range(order.shape[0]):
             neighbors_dict[module_path][i] = {
                 "indices": np.asarray(order[i]).tolist()[1:],

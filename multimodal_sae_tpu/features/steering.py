@@ -210,7 +210,12 @@ class SteeringController:
         out = {}
         for key, val in self.batch.items():
             if isinstance(val, list):
-                out[key] = [v for v in val for _ in range(n)] if len(val) == 1 else list(val) * n
+                # Per-ELEMENT repeat ([a,a,b,b]), matching np.repeat's axis-0
+                # semantics below — whole-list tiling ([a,b,a,b]) would pair
+                # row i's list values with row j's array values once a batch
+                # carries more than one prompt (review r5; single-prompt
+                # batches, today's only caller, are unaffected either way).
+                out[key] = [v for v in val for _ in range(n)]
             else:
                 arr = np.asarray(val)
                 out[key] = np.repeat(arr, n, axis=0)
@@ -241,7 +246,9 @@ class SteeringController:
         # test_sampled_steering_ragged_chunk_dp_matches_unsharded).
         mesh = getattr(self.model, "mesh", None)
         dp = (
-            int(mesh.devices.size)
+            # 'data' axis size, not total devices (review r5: identical on
+            # today's 1-D meshes, wrong padding on a multi-axis one).
+            int(mesh.shape["data"])
             if mesh is not None and "data" in mesh.axis_names
             else 1
         )

@@ -703,3 +703,82 @@ def test_feature_cache_warns_on_hookpoint_with_zero_entries(caplog):
     assert fc.cache._arenas["layers.0"].n > 0  # the real hookpoint cached
     assert any("layers.9" in r.message for r in caplog.records)
     assert not any("'layers.0'" in r.message for r in caplog.records)
+
+
+def test_concate_merges_ranks_in_numeric_order(tmp_path):
+    """Rank shards must merge in NUMERIC rank order at world >= 10 —
+    lexicographic sorting interleaves Rank10 between Rank1 and Rank2,
+    breaking the merged file's row-major dataset ordering. (The reference
+    is worse: its single-digit regex silently DROPS ranks >= 10 and its
+    os.listdir order is arbitrary; both deliberately fixed.)"""
+    from safetensors.numpy import load_file, save_file
+
+    sae = _make_sae()
+    fc = FeatureCache(lambda b: {}, {"layers.0": sae}, batch_size=1, shard_size=0)
+    module_dir = tmp_path / "layers.0"
+    module_dir.mkdir(parents=True)
+    n_ranks = 12
+    split_indices = fc._generate_split_indices(1)
+    (start, end) = split_indices[0]
+    for r in range(n_ranks):
+        save_file(
+            {
+                # One row per rank whose dataset-row column IS the rank.
+                "locations": np.array([[r, 0, 0]], dtype=np.int64),
+                "activations": np.array([float(r)], dtype=np.float32),
+            },
+            str(module_dir / f"Rank{r}_{start}_{end}.safetensors"),
+        )
+    # concate reads modules from the cache's arenas; touch layers.0.
+    fc.cache._arenas["layers.0"]
+    fc.concate_safetensors(1, str(tmp_path))
+    merged = load_file(str(module_dir / f"{start}_{end}.safetensors"))
+    np.testing.assert_array_equal(
+        merged["locations"][:, 0], np.arange(n_ranks, dtype=np.int64)
+    )
+    np.testing.assert_array_equal(
+        merged["activations"], np.arange(n_ranks, dtype=np.float32)
+    )
+
+
+def test_feature_dataset_rejects_out_of_range_filter_ids(tmp_path):
+    """A filter id at/over the SAE width (or negative) must fail with a
+    clear ValueError at construction, not a raw IndexError or a nonsense
+    shard path at load time."""
+    _fill_cache_via_pipeline(tmp_path)
+    for bad in (np.array([L]), np.array([-3])):
+        with pytest.raises(ValueError, match="outside"):
+            FeatureDataset(
+                str(tmp_path),
+                FeatureConfig(width=L, n_splits=4, min_examples=1),
+                modules=["layers.0"],
+                features={"layers.0": bad},
+            )
+
+
+def test_run_accepts_raw_token_rows():
+    """The reference's plain tensor-dataset shape: raw (non-dict) rows are
+    token-id sequences and must flow end-to-end as an input_ids batch."""
+    sae = _make_sae()
+    embed = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (32, D_IN), dtype=jnp.float32)
+    )
+
+    def capture_fn(batch):
+        return {"layers.0": embed[np.asarray(batch["input_ids"])]}
+
+    fc = FeatureCache(capture_fn, {"layers.0": sae}, batch_size=2, shard_size=0)
+    rows = np.random.default_rng(0).integers(0, 32, size=(4, 8))
+    fc.run(n_tokens=8, tokens=rows, progress=False)
+    assert fc.cache._arenas["layers.0"].n > 0
+
+
+def test_image_cache_rejects_unknown_run_kwargs(tmp_path):
+    """FeatureImageCache.run used to swallow **kw silently — an explicit
+    skip_bos=False was discarded while True was forced."""
+    from multimodal_sae_tpu.features import FeatureImageCache
+
+    sae = _make_sae()
+    fc = FeatureImageCache(lambda b: {}, {"layers.0": sae}, batch_size=1, shard_size=0)
+    with pytest.raises(TypeError, match="skip_bos"):
+        fc.run(4, [], skip_bos=False)

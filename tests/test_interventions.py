@@ -369,3 +369,27 @@ def test_fast_attribution_oom_fallback(monkeypatch):
     sal = out["layers.0"]
     assert len(sal) == 5
     assert [float(s[0, 0]) for s in sal] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_replicate_batch_aligns_list_and_array_keys():
+    """_replicate_batch must repeat per-ELEMENT ([a,a,b,b]) for list values,
+    matching np.repeat's axis-0 semantics for arrays — whole-list tiling
+    ([a,b,a,b]) would pair row i's list values with row j's array values in
+    a multi-prompt batch (review r5)."""
+    import numpy as np
+
+    from multimodal_sae_tpu.features.steering import SteeringController
+
+    ctrl = SteeringController.__new__(SteeringController)
+    ctrl.batch = {
+        "ids": np.array([[1, 2], [3, 4]]),
+        "sizes": [(10, 20), (30, 40)],
+    }
+    out = ctrl._replicate_batch(3)
+    np.testing.assert_array_equal(
+        out["ids"], np.repeat(np.array([[1, 2], [3, 4]]), 3, axis=0)
+    )
+    assert out["sizes"] == [(10, 20)] * 3 + [(30, 40)] * 3
+    # Row i of every key describes the same source prompt.
+    for i, row in enumerate(out["ids"][:, 0].tolist()):
+        assert out["sizes"][i] == ((10, 20) if row == 1 else (30, 40))
