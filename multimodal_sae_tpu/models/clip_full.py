@@ -202,8 +202,13 @@ def jax_clip_metric(model_path: str, dtype=jnp.float32):
     )
     tokenizer = AutoTokenizer.from_pretrained(model_path)
 
+    # Params ride as a jit ARGUMENT, never a closure capture: closing over
+    # them bakes the whole CLIP weight tree into the executable as constants
+    # — a second on-device copy (~1.7 GB fp32 at CLIP-L) plus constant-fold
+    # compile bloat, on chips already carrying an 8B subject (review r5;
+    # same rule llama.py's _generate_fns documents).
     score_fn = jax.jit(
-        lambda pv, ids: clip_score(params, vision_cfg, text_cfg, pv, ids)
+        lambda p, pv, ids: clip_score(p, vision_cfg, text_cfg, pv, ids)
     )
 
     def metric(image, text: str) -> float:
@@ -215,6 +220,6 @@ def jax_clip_metric(model_path: str, dtype=jnp.float32):
             truncation=True,
             return_tensors="np",
         )["input_ids"]
-        return float(score_fn(jnp.asarray(pv), jnp.asarray(ids))[0])
+        return float(score_fn(params, jnp.asarray(pv), jnp.asarray(ids))[0])
 
     return metric

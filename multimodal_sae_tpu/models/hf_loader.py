@@ -93,10 +93,14 @@ def llama_params_from_state_dict(
         "layers": layers,
         "norm": _v(sd, f"{prefix}norm.weight", dtype),
     }
-    # The head lives beside (not under) the decoder: strip one trailing
-    # "model." segment from the prefix (a plain .replace() would strip every
-    # occurrence, e.g. "language_model.model." -> "language_lm_head.weight").
-    sibling = prefix[: -len("model.")] if prefix.endswith("model.") else prefix
+    # The head lives beside (not under) the decoder: drop the prefix's LAST
+    # dotted segment, whatever it is. A fixed `[:-len("model.")]` strip is
+    # wrong for the post-4.52 nested layout "model.language_model." (it
+    # chopped 6 chars out of "language_model.", yielding the garbage sibling
+    # "model.language_"), and a plain .replace() would strip every
+    # occurrence (review r5).
+    parts = prefix.rstrip(".").split(".") if prefix else []
+    sibling = ".".join(parts[:-1]) + "." if len(parts) > 1 else ""
     head_key = None
     for cand in (
         "lm_head.weight",
@@ -108,14 +112,18 @@ def llama_params_from_state_dict(
             break
     if not cfg.tie_word_embeddings:
         if head_key is None:
-            import warnings
-
-            warnings.warn(
-                f"untied checkpoint but no lm_head.weight found under "
-                f"prefix {prefix!r}; logits will reuse embed_tokens"
+            # Hard error, not a warning: silently reusing embed_tokens for
+            # an UNTIED head makes every logit-reading flow (steering,
+            # attribution metrics, generation) numerically wrong with no
+            # further signal (review r5) — the same reasoning behind the
+            # NotImplementedError for unsupported rope_scaling above.
+            raise KeyError(
+                f"untied checkpoint (tie_word_embeddings=false) but no "
+                f"lm_head.weight found beside prefix {prefix!r} "
+                f"(tried bare/sibling/nested candidates); refusing to "
+                "fall back to embed_tokens — logits would be wrong"
             )
-        else:
-            params["lm_head"] = _t(sd, head_key, dtype)
+        params["lm_head"] = _t(sd, head_key, dtype)
     return params
 
 

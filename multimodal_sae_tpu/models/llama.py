@@ -207,6 +207,24 @@ class KVCache(NamedTuple):
         )
 
 
+def pad_text_rows(rows) -> dict:
+    """RIGHT-pad ragged token-id rows into a rectangular batch dict with an
+    attention mask (none when already rectangular — an absent mask keeps the
+    flash path's segment-id-free 512-wide blocks).  Shared by the text-only
+    `prepare_inputs` of LlamaModel and LlavaNextModel; `_repack_left_padded`
+    converts for last-position-logit readers."""
+    rows = [np.asarray(r, dtype=np.int64).reshape(-1) for r in rows]
+    width = max((len(r) for r in rows), default=0)
+    if all(len(r) == width for r in rows):
+        return {"input_ids": np.stack(rows) if rows else np.zeros((0, 0), np.int64)}
+    ids = np.zeros((len(rows), width), dtype=np.int64)
+    mask = np.zeros((len(rows), width), dtype=np.int64)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+        mask[i, : len(r)] = 1
+    return {"input_ids": ids, "attention_mask": mask}
+
+
 def stack_layer_params(params: dict) -> dict:
     """Stack the per-layer param dicts into leading-axis arrays for
     `lax.scan` over layers (O(1) program size in depth — the unrolled loop's
@@ -812,6 +830,45 @@ class LlamaModel:
             out = self._capture_jit[key](self.params, ids, amask)
             return {k: v[:n_rows] for k, v in out.items()}
         return self._capture_jit[key](self.params, ids, amask)
+
+    def prepare_inputs(self, images=None, input_ids=None, prompt_ids=None):
+        """Text-only analogue of LlavaNextModel.prepare_inputs (review r5:
+        the attribution flow calls this uniformly on any subject — it used
+        to crash with AttributeError on plain-LLaMA checkpoints).  Ragged
+        rows are RIGHT-padded with an attention mask, like the LLaVA path;
+        rectangular input gets no mask (keeps the flash fast path)."""
+        if images is not None:
+            raise ValueError(
+                "LlamaModel is text-only; image inputs need a LLaVA "
+                "checkpoint (LlavaNextModel)"
+            )
+        rows = input_ids if input_ids is not None else prompt_ids
+        return pad_text_rows(rows)
+
+    def forward(
+        self,
+        batch: dict,
+        capture: Sequence[str] = (),
+        interventions: Optional[Dict[str, InterventionFn]] = None,
+        return_logits: bool = True,
+    ):
+        """Traceable full forward with capture/interventions — the generic
+        SAE-splice path's entry point (features/patching/utils.py calls
+        `model.forward` inside its own jit/value_and_grad, so no jit here;
+        mirrors LlavaNextModel.forward's contract).  Review r5: LlamaModel
+        previously lacked this, so the multi-hookpoint attribution path only
+        worked on LLaVA subjects (tests papered over it with a local
+        wrapper)."""
+        amask = batch.get("attention_mask")
+        return llama_forward(
+            self.params,
+            self.cfg,
+            jnp.asarray(batch["input_ids"]),
+            attention_mask=None if amask is None else jnp.asarray(amask),
+            capture=tuple(capture),
+            interventions=interventions,
+            return_logits=return_logits,
+        )
 
     def suffix_params(self, hookpoint: str) -> dict:
         """Host-side slice of the weights `forward_from_layer` needs (the

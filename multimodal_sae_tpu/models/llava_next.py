@@ -338,6 +338,33 @@ class LlavaNextModel:
         self.cfg = cfg
         self._jit_cache: Dict = {}
 
+    _JIT_CACHE_CAP = 64
+
+    def _jit_cached(self, key, build):
+        """LRU-capped compiled-program cache (review r5: the uncapped dict,
+        with legacy closure interventions keyed by id(), retained every
+        compiled executable AND its captured arrays forever while also
+        recompiling per fresh closure — the same hazard llama.py's
+        _GENERATE_CACHE caps at 64 with an eviction warning)."""
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            # Refresh recency: dicts evict in insertion order.
+            self._jit_cache[key] = self._jit_cache.pop(key)
+            return fn
+        if len(self._jit_cache) >= self._JIT_CACHE_CAP:
+            evicted = next(iter(self._jit_cache))
+            self._jit_cache.pop(evicted)
+            from ..logger import logger
+
+            logger.warning(
+                f"llava jit cache full ({self._JIT_CACHE_CAP}); evicting "
+                f"{evicted[0]!r} program — churning closure-based "
+                "interventions? Use Intervention objects for stable keys"
+            )
+        fn = build()
+        self._jit_cache[key] = fn
+        return fn
+
     # ---- ActivationSource ------------------------------------------------
     def hookpoint_names(self) -> List[str]:
         return [
@@ -367,7 +394,14 @@ class LlavaNextModel:
         (`_repack_left_padded`).
         """
         if images is None:
-            return {"input_ids": np.asarray(input_ids)}
+            # Text-only batch: either arg names the rows. Ragged rows are
+            # right-padded with a mask (review r5: a text dataset through
+            # the attribution flow passes ragged prompt_ids and no
+            # input_ids — np.asarray(None) was the old result).
+            from .llama import pad_text_rows
+
+            rows = input_ids if input_ids is not None else prompt_ids
+            return pad_text_rows(rows)
         if prompt_ids is not None and len(prompt_ids) != len(images):
             # zip() below would silently truncate to the shorter list,
             # dropping prompt rows (or failing later with an opaque
@@ -440,8 +474,8 @@ class LlavaNextModel:
         """ONE jitted dispatch for a group of same-geometry images: vision
         tower + projector + anyres pack, vmapped over the group."""
         key = ("projpack", pv_stacked.shape, tuple(size), str(pv_stacked.dtype))
-        fn = self._jit_cache.get(key)
-        if fn is None:
+
+        def build():
             cfg_ = self.cfg
             size_ = (int(size[0]), int(size[1]))
 
@@ -454,7 +488,9 @@ class LlavaNextModel:
 
                 return jax.vmap(one)(pv)
 
-            self._jit_cache[key] = fn
+            return fn
+
+        fn = self._jit_cached(key, build)
         out = fn(
             {
                 "vision_tower": self.params["vision_tower"],
@@ -463,7 +499,16 @@ class LlavaNextModel:
             self.params["image_newline"],
             pv_stacked,
         )
-        assert out.shape[1] == n_tokens, (out.shape, n_tokens)
+        if out.shape[1] != n_tokens:
+            # Explicit raise, not `assert` (stripped under python -O): a
+            # packed-feature count that disagrees with the placeholder
+            # expansion would silently scatter image features onto wrong
+            # token positions (review r5).
+            raise ValueError(
+                f"anyres pack produced {out.shape[1]} features per image, "
+                f"expected {n_tokens} (geometry {tuple(size)}) — "
+                "pinpoint/processor mismatch"
+            )
         return out
 
     def _embed_multimodal(self, batch: dict):
@@ -547,9 +592,16 @@ class LlavaNextModel:
             memo_key = (id(pv), tuple(size))
             n_tokens = distinct[memo_key]
             positions = np.nonzero(ids[b] == tok)[0]
-            assert len(positions) == n_tokens, (
-                f"image token count {len(positions)} != packed features {n_tokens}"
-            )
+            if len(positions) != n_tokens:
+                # Explicit raise, not `assert` (stripped under python -O):
+                # this is the ONLY guard keeping the scatter index arrays
+                # aligned when ids come from an external tokenizer instead
+                # of prepare_inputs (review r5).
+                raise ValueError(
+                    f"row {b}: {len(positions)} <image> placeholder tokens "
+                    f"!= {n_tokens} packed features — input_ids were not "
+                    "expanded by prepare_inputs (or geometry mismatch)"
+                )
             rows.append(np.full(n_tokens, b, np.int32))
             cols.append(positions.astype(np.int32))
             fidx.append(offsets[memo_key] + np.arange(n_tokens, dtype=np.int32))
@@ -561,9 +613,7 @@ class LlavaNextModel:
             str(flat_feats.dtype),
             sum(len(r) for r in rows),
         )
-        afn = self._jit_cache.get(akey)
-        if afn is None:
-
+        def build_afn():
             @jax.jit
             def afn(embed_tokens, ids, flat_feats, rows, cols, fidx):
                 embeds = qembed(embed_tokens, ids, leaf_dtype(embed_tokens))
@@ -571,7 +621,9 @@ class LlavaNextModel:
                     flat_feats[fidx].astype(embeds.dtype)
                 )
 
-            self._jit_cache[akey] = afn
+            return afn
+
+        afn = self._jit_cached(akey, build_afn)
         return afn(
             lm["embed_tokens"],
             jnp.asarray(ids),
@@ -657,8 +709,8 @@ class LlavaNextModel:
             )
 
         key = ("fwd", cap, bool(return_logits), _iv_cache_key(iv))
-        fn = self._jit_cache.get(key)
-        if fn is None:
+
+        def build_fwd():
             text_cfg = self.cfg.text_config
             iv_fixed = iv  # legacy closures: captured in the program
 
@@ -677,7 +729,9 @@ class LlavaNextModel:
                     return_logits=return_logits,
                 )
 
-            self._jit_cache[key] = fn
+            return fn
+
+        fn = self._jit_cached(key, build_fwd)
         from .llama import _split_interventions
 
         _, iv_args = _split_interventions(iv)
@@ -695,8 +749,6 @@ class LlavaNextModel:
             }
             if "logits" in out:
                 out["logits"] = out["logits"][:n_rows, :S]
-            if "hidden" in out:
-                out["hidden"] = out["hidden"][:n_rows, :S]
         out["captured"] = {
             orig_by_stripped[k]: v for k, v in out["captured"].items()
         }

@@ -631,3 +631,108 @@ def test_bias_checkpoint_config_raises():
         LlamaConfig.from_hf({"hidden_size": 64, "attention_bias": True})
     with pytest.raises(NotImplementedError, match="bias"):
         LlamaConfig.from_hf({"hidden_size": 64, "mlp_bias": True})
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        vocab_size=64,
+        hidden_size=16,
+        intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def test_untied_missing_lm_head_raises_and_nested_sibling_resolves():
+    """Review r5: an untied checkpoint with no findable lm_head must raise
+    (the old warn-and-reuse-embed fallback made every logit silently wrong),
+    and the sibling candidate for the post-4.52 nested prefix
+    'model.language_model.' must be 'model.lm_head.weight' (the old
+    fixed-6-char strip produced 'model.language_lm_head.weight')."""
+    import torch
+
+    from multimodal_sae_tpu.models.hf_loader import llama_params_from_state_dict
+
+    cfg = _tiny_cfg(tie_word_embeddings=False)
+
+    def sd_for(prefix, head_key=None):
+        H, kvH, hd = 2, 1, 8
+        D, I, V = 16, 32, 64
+        sd = {
+            f"{prefix}embed_tokens.weight": torch.zeros(V, D),
+            f"{prefix}norm.weight": torch.ones(D),
+        }
+        for i in range(2):
+            p = f"{prefix}layers.{i}."
+            sd.update(
+                {
+                    p + "input_layernorm.weight": torch.ones(D),
+                    p + "self_attn.q_proj.weight": torch.zeros(H * hd, D),
+                    p + "self_attn.k_proj.weight": torch.zeros(kvH * hd, D),
+                    p + "self_attn.v_proj.weight": torch.zeros(kvH * hd, D),
+                    p + "self_attn.o_proj.weight": torch.zeros(D, H * hd),
+                    p + "post_attention_layernorm.weight": torch.ones(D),
+                    p + "mlp.gate_proj.weight": torch.zeros(I, D),
+                    p + "mlp.up_proj.weight": torch.zeros(I, D),
+                    p + "mlp.down_proj.weight": torch.zeros(D, I),
+                }
+            )
+        if head_key:
+            sd[head_key] = torch.full((V, D), 3.0)
+        return sd
+
+    with pytest.raises(KeyError, match="lm_head"):
+        llama_params_from_state_dict(sd_for("model."), cfg, prefix="model.")
+
+    # Nested post-4.52 layout: head at the true sibling path.
+    nested = "model.language_model."
+    params = llama_params_from_state_dict(
+        sd_for(nested, head_key="model.lm_head.weight"), cfg, prefix=nested
+    )
+    assert "lm_head" in params
+    np.testing.assert_allclose(np.asarray(params["lm_head"])[0, 0], 3.0)
+
+
+def test_llama_model_prepare_inputs_and_generic_forward():
+    """Review r5: LlamaModel now implements prepare_inputs (ragged rows
+    right-padded with a mask) and a traceable forward() — the generic
+    SAE-splice path's contract — matching the direct capture path."""
+    from multimodal_sae_tpu.models.llama import LlamaModel, init_llama_params
+
+    cfg = _tiny_cfg()
+    model = LlamaModel(init_llama_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    batch = model.prepare_inputs(prompt_ids=[[1, 2, 3], [4, 5]])
+    assert batch["input_ids"].shape == (2, 3)
+    np.testing.assert_array_equal(batch["attention_mask"], [[1, 1, 1], [1, 1, 0]])
+    with pytest.raises(ValueError, match="text-only"):
+        model.prepare_inputs(images=[object()], prompt_ids=[[1]])
+
+    out = model.forward(batch, capture=("layers.1",))
+    assert out["logits"].shape == (2, 3, cfg.vocab_size)
+    caps = model.capture(batch, ["layers.1"])
+    # capture() is jitted, forward() traceable-eager: fp32 fusion noise only.
+    np.testing.assert_allclose(
+        np.asarray(out["captured"]["layers.1"]),
+        np.asarray(caps["layers.1"]),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+    # The generic splice path runs on the REAL model now (not a test shim).
+    from multimodal_sae_tpu.config import SaeConfig
+    from multimodal_sae_tpu.features.patching.utils import (
+        spliced_forward_with_delta,
+    )
+    from multimodal_sae_tpu.sae import Sae
+
+    sae = Sae(16, SaeConfig(num_latents=32, k=4), key=jax.random.PRNGKey(1))
+    zeros = {"layers.1": jnp.zeros((2, 3, 16))}
+    logits, cache = spliced_forward_with_delta(
+        model, batch, {"layers.1": sae}, zeros
+    )
+    assert logits.shape == (2, 3, cfg.vocab_size)
+    assert cache["layers.1"].shape == (2, 3, 16)

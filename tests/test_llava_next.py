@@ -435,3 +435,43 @@ def test_prepare_inputs_threaded_matches_sequential(tiny, images):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # Duplicate rows share ONE preprocessed array (memo input downstream).
     assert threaded["pixel_values"][0] is threaded["pixel_values"][2]
+
+
+def test_text_only_prepare_inputs_pads_ragged_rows(tiny):
+    """Review r5: text-only prepare_inputs with ragged prompt_ids (the
+    attribution flow's call shape) used to return np.asarray(None); now it
+    right-pads with a mask like the image path."""
+    from multimodal_sae_tpu.models.llava_next import LlavaNextModel
+
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    batch = model.prepare_inputs(images=None, prompt_ids=[[1, 2, 3], [4, 5]])
+    assert batch["input_ids"].shape == (2, 3)
+    np.testing.assert_array_equal(
+        batch["attention_mask"], [[1, 1, 1], [1, 1, 0]]
+    )
+
+
+def test_jit_cache_lru_cap(tiny):
+    """Review r5: the compiled-program cache is LRU-capped — churning
+    closure interventions can no longer pin unbounded executables (and
+    their captured arrays)."""
+    from multimodal_sae_tpu.models.llava_next import LlavaNextModel
+
+    _, cfg, params = tiny
+    model = LlavaNextModel(params, cfg)
+    model._jit_cache.clear()
+    cap = model._JIT_CACHE_CAP
+    try:
+        LlavaNextModel._JIT_CACHE_CAP = 3
+        for i in range(5):
+            model._jit_cached(("k", i), lambda: object())
+        assert len(model._jit_cache) == 3
+        assert ("k", 4) in model._jit_cache and ("k", 0) not in model._jit_cache
+        # Recency refresh: touching an old key saves it from eviction.
+        model._jit_cached(("k", 2), lambda: object())
+        model._jit_cached(("k", 5), lambda: object())
+        assert ("k", 2) in model._jit_cache and ("k", 3) not in model._jit_cache
+    finally:
+        LlavaNextModel._JIT_CACHE_CAP = cap
+        model._jit_cache.clear()
