@@ -81,17 +81,19 @@ def _use_pallas() -> bool:
     # interpreter mode; stays opt-in until its throughput is characterized
     # against XLA's row gather at production shapes (the dev platform's
     # remote-compile path is too slow for reliable microbenchmarks).
+    if os.environ.get("MMSAE_DISABLE_PALLAS") == "1":
+        # The documented kill switch (review r5: pallas_topk honored it but
+        # this kernel did not — the two must agree on the env contract).
+        return False
     if os.environ.get("MMSAE_ENABLE_PALLAS") != "1":
         return False
-    try:
-        # TPU devices only (same detection as pallas_topk._on_tpu): the
-        # Mosaic kernel does not lower on GPU, and silently falling into
-        # interpret mode there would be a perf trap — non-TPU platforms take
-        # the jnp.take path instead.  (Tests drive interpret mode by calling
-        # `pallas_gather_rows(..., interpret=True)` directly.)
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    # TPU devices only: the Mosaic kernel does not lower on GPU, and
+    # silently falling into interpret mode there would be a perf trap —
+    # non-TPU platforms take the jnp.take path instead.  (Tests drive
+    # interpret mode by calling `pallas_gather_rows(..., interpret=True)`.)
+    from .pallas_topk import _on_tpu
+
+    return _on_tpu()
 
 
 def gather_rows(W: jax.Array, idx: jax.Array) -> jax.Array:

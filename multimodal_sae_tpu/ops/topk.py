@@ -242,6 +242,21 @@ def blockmax_top_k(
         # to the generic two-pass selection — exact, and these are small
         # widths where blockmax has no advantage anyway.
         return blockwise_top_k(x, k)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # The -inf defense clamp and (historically) the pad fill use
+        # jnp.finfo; integer inputs crashed at trace time while the
+        # narrow-width path accepted them (review r5) — route to the
+        # generic exact path instead of an inconsistent ValueError.
+        return blockwise_top_k(x, k)
+    if width % block:
+        # REMOVED pad path (review r5, confirmed by repro): padding with
+        # finfo.min mis-ranks pads ABOVE real -inf elements (the pad beats
+        # -inf block maxima, and after the clamp it ties AHEAD of real
+        # candidates from later-ranked blocks), returning indices past the
+        # row end on -inf-dominated rows. Non-divisible widths take the
+        # generic exact path; the top_k dispatcher only routes divisible
+        # widths here, so the hot shapes (131072 % 64 == 0) are unaffected.
+        return blockwise_top_k(x, k)
     # -inf inputs (common masking pattern) are handled by clamping the
     # one-hot gather operand inside `_block_filter` (0 * -inf = NaN there);
     # returned *values* for -inf entries therefore read finfo.min instead of
@@ -251,13 +266,6 @@ def blockmax_top_k(
     # post-ReLU latents.
     x2 = x.reshape(-1, width)
     n = x2.shape[0]
-    pad = (-width) % block
-    if pad:
-        # Finite fill: -inf would produce 0*inf = NaN inside the one-hot
-        # gather matmul.
-        fill = jnp.full((n, pad), jnp.finfo(x2.dtype).min, dtype=x2.dtype)
-        x2 = jnp.concatenate([x2, fill], axis=-1)
-        width += pad
 
     # Index-translation gathers run as one-hot matmuls when exactness allows
     # (values < 2^24): XLA's per-row gather costs ~10 ms/call here.

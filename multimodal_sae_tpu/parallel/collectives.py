@@ -70,9 +70,15 @@ def all_gather_objects(obj: Any) -> List[Any]:
     from jax.experimental import multihost_utils
 
     payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
-    lengths = multihost_utils.process_allgather(
-        np.array([payload.size], dtype=np.int64)
-    ).reshape(-1)
+    # Lengths ride as TWO int32 halves: under the default x64-disabled JAX
+    # config process_allgather silently downcasts int64 to int32, wrapping
+    # payloads over 2 GiB negative (review r5 — and this module's docstring
+    # explicitly anticipates multi-GB merges).
+    n = int(payload.size)
+    halves = multihost_utils.process_allgather(
+        np.array([n >> 31, n & 0x7FFFFFFF], dtype=np.int32)
+    ).reshape(-1, 2)
+    lengths = (halves[:, 0].astype(np.int64) << 31) | halves[:, 1].astype(np.int64)
     max_len = int(lengths.max())
     world = lengths.shape[0]
     buffers = [np.empty((int(lengths[r]),), dtype=np.uint8) for r in range(world)]

@@ -7,9 +7,13 @@ on one A100, and the explainer LLMs are delegated to sglang's
 so the subject model itself needs megatron-style TP over the ICI mesh.
 
 With pjit this is purely a placement problem: q/k/v/gate/up projections are
-column-sharded, o/down row-sharded, the embedding and lm_head sharded over
-the vocab/feature dim, and XLA inserts the all-reduces where row-sharded
-matmuls meet the replicated residual stream.  `shard_llama_params` applies
+column-sharded, o/down row-sharded, the lm_head vocab-sharded, and XLA
+inserts the all-reduces where row-sharded matmuls meet the replicated
+residual stream.  The EMBEDDING is deliberately replicated (P(None, None),
+~1.05 GB bf16 at 8B): a vocab-sharded table turns every token lookup into a
+cross-chip gather/psum on the critical path, and a hidden-sharded table
+would shard the residual stream the rest of the placement keeps replicated
+— the HBM cost buys a collective-free embed.  `shard_llama_params` applies
 the placement; any jitted forward over these params then runs tensor-parallel
 with no code changes to the model.
 """

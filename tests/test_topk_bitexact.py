@@ -51,3 +51,45 @@ def test_blockmax_neg_inf_inputs_no_nan():
             np.sort(np.asarray(v[r])),
             np.sort(np.maximum(np.asarray(v_ref[r]), np.finfo(np.float32).min)),
         )
+
+
+def test_blockmax_nondivisible_width_neginf_rows_exact():
+    """Review r5 (confirmed repro): the old padded path returned indices
+    PAST the row end (pads filled at finfo.min beat real -inf elements) on
+    -inf-dominated rows at width % block != 0. Non-divisible widths now take
+    the generic exact path."""
+    from multimodal_sae_tpu.ops.topk import blockmax_top_k
+
+    width, k = 2924, 46
+    x = np.full((1, width), -np.inf, dtype=np.float32)
+    x[0, 2900] = 4.0
+    vals, idx = blockmax_top_k(jnp.asarray(x), k, block=64)
+    idx = np.asarray(idx)
+    assert idx.max() < width, idx.max()
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(x), k)
+    # Set equality is the contract (ties order arbitrarily); the single
+    # finite element must be ranked first in both.
+    assert int(idx[0, 0]) == 2900 and float(np.asarray(vals)[0, 0]) == 4.0
+
+
+def test_top_k_integer_dtype_wide_width():
+    """Review r5: integer inputs crashed at trace time (jnp.finfo) once the
+    width crossed the blockmax threshold while narrower widths worked; they
+    now route to the generic path at any width."""
+    from multimodal_sae_tpu.ops.topk import top_k
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 1 << 20, size=(2, 40960)), dtype=jnp.int32)
+    vals, idx = top_k(x, 16)
+    ref_vals, ref_idx = jax.lax.top_k(x, 16)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+
+
+def test_pallas_gather_honors_disable_env(monkeypatch):
+    """Review r5: MMSAE_DISABLE_PALLAS is the documented kill switch and
+    must gate this kernel like pallas_topk's."""
+    from multimodal_sae_tpu.ops import pallas_gather
+
+    monkeypatch.setenv("MMSAE_ENABLE_PALLAS", "1")
+    monkeypatch.setenv("MMSAE_DISABLE_PALLAS", "1")
+    assert pallas_gather._use_pallas() is False
