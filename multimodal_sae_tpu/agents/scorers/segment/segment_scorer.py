@@ -129,7 +129,18 @@ class SegmentScorer:
 
     # ---- setup -------------------------------------------------------------
     def _build_dataset(self, activation_dir, width, n_splits, selected_layer):
-        self.modules = os.listdir(activation_dir)
+        # Only the SELECTED layer's module dir (deliberate fix vs the
+        # reference's os.listdir, reference segment_scorer.py:70): the
+        # features dict below is keyed by selected_layer alone, so a cache
+        # holding any OTHER hookpoint's subdir crashed FeatureDataset with
+        # KeyError before scoring started (review r5).
+        if not os.path.isdir(os.path.join(activation_dir, selected_layer)):
+            raise FileNotFoundError(
+                f"no '{selected_layer}' module dir under {activation_dir} "
+                f"(found {sorted(os.listdir(activation_dir))[:5]}...) — "
+                "check --selected-layer against the cached hookpoints"
+            )
+        self.modules = [selected_layer]
         self.width = width
         self.n_splits = n_splits
         self.activation_dir = activation_dir

@@ -115,7 +115,13 @@ async def retry_chat(
     raw: bool = False,
     **kwargs,
 ) -> Union[str, dict]:
-    """Retry-with-backoff request loop (reference sglang.py:68-93)."""
+    """Retry-with-backoff request loop (reference sglang.py:68-93).
+
+    Deterministic client errors (HTTP 4xx other than 408/429) abort
+    immediately: a wrong model name or oversized prompt fails identically
+    on every attempt, and a pipeline of thousands of records would
+    otherwise multiply max_retries requests + sleeps into every one
+    (review r5). 408/429 and all 5xx/transport errors stay retryable."""
     last_err = None
     for attempt in range(max_retries):
         try:
@@ -127,8 +133,13 @@ async def retry_chat(
             last_err = e
             logger.warning(f"Attempt {attempt + 1}: Invalid JSON response, retrying... {e}")
         except Exception as e:
+            status = getattr(getattr(e, "response", None), "status_code", None)
+            if status is not None and 400 <= status < 500 and status not in (408, 429):
+                logger.error(f"Non-retryable HTTP {status}: {e}")
+                raise
             last_err = e
             logger.warning(f"Attempt {attempt + 1}: {e}, retrying...")
-        await asyncio.sleep(1)
+        if attempt + 1 < max_retries:  # no pointless sleep after the last try
+            await asyncio.sleep(1)
     logger.error(f"All retry attempts failed. Most recent error: {last_err}")
     raise last_err

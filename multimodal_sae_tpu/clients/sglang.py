@@ -67,7 +67,12 @@ class SRT(Client):
         if "llava" in model:
             args.extend(["--chat-template", "chatml-llava"])
         logger.info(f"Launching sglang server: {' '.join(args)}")
-        proc = subprocess.Popen(args)
+        # New session: sglang forks tp-worker/scheduler subprocesses, and
+        # clean()'s SIGKILL fallback cannot be forwarded to them through the
+        # parent — killpg over the session is the only way the "kill the
+        # spawned server tree" contract holds (review r5: orphaned tp=8
+        # workers kept the accelerators and the port after a crash).
+        proc = subprocess.Popen(args, start_new_session=True)
         _wait_health(base_url, proc)
         return proc
 
@@ -145,13 +150,28 @@ class SRT(Client):
         return response["choices"][0]["message"]["content"]
 
     def clean(self):
-        """Kill the spawned server tree (reference sglang.py:184-185)."""
+        """Kill the spawned server tree (reference sglang.py:184-185): the
+        whole process GROUP (see _launch's start_new_session), so sglang's
+        tp workers die with the parent even on the SIGKILL path."""
         if self.process is not None:
-            self.process.terminate()
+            import os
+            import signal
+
+            def _signal_group(sig, fallback):
+                try:
+                    os.killpg(os.getpgid(self.process.pid), sig)
+                except (ProcessLookupError, PermissionError, OSError):
+                    fallback()  # already dead, or not a group leader
+
+            _signal_group(signal.SIGTERM, self.process.terminate)
             try:
                 self.process.wait(timeout=10)
             except subprocess.TimeoutExpired:
-                self.process.kill()
+                _signal_group(signal.SIGKILL, self.process.kill)
+                try:
+                    self.process.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    pass
 
 
 def _sglang_available() -> bool:

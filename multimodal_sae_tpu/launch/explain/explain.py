@@ -6,7 +6,6 @@ windows → SimpleExplainer over an OpenAI-compatible endpoint → append
 from __future__ import annotations
 
 import asyncio
-import json
 import os
 from functools import partial
 
@@ -18,13 +17,6 @@ from ...logger import logger
 from ...pipeline import Pipeline, process_wrapper
 from ...train.data import chunk_and_tokenize
 from ..utils import build_feature_loader, parse_feature_experiment
-
-
-def _append_explanation_row(path: str, feature, explanation: str, prompt) -> None:
-    rows = json.load(open(path, "r")) if os.path.exists(path) else []
-    rows.append({f"{feature}": f"{explanation}", "prompt": prompt})
-    with open(path, "w") as f:
-        json.dump(rows, f, indent=4, ensure_ascii=False)
 
 
 def main(args):
@@ -57,14 +49,18 @@ def main(args):
     logger.info("Setup server")
     client = SRT(model=args.experiment.explainer, tp=8)
 
+    # Buffered writer: the per-result full-file rewrite was O(n^2) JSON IO
+    # over the run (review r5; same artifact format, batched flushes).
+    from ._writer import ModuleRowWriter
+
+    writer = ModuleRowWriter(explanation_dir)
+
     def on_result(result):
         content, _reply, result = result
         module_name = result.record.feature.module_name.replace(".", "_")
-        _append_explanation_row(
-            f"{explanation_dir}/{module_name}.json",
-            result.record.feature,
-            result.explanation,
-            content,
+        writer.append(
+            f"{module_name}.json",
+            {f"{result.record.feature}": f"{result.explanation}", "prompt": content},
         )
         return result
 
@@ -76,7 +72,9 @@ def main(args):
         asyncio.run(pipeline.run(max_processes=4))
     finally:
         # Always reap the spawned serving subprocess, even when the
-        # pipeline raises (it holds every accelerator at tp=8).
+        # pipeline raises (it holds every accelerator at tp=8) — and land
+        # any buffered rows first.
+        writer.close()
         client.clean()
 
 

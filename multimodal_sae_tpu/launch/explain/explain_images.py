@@ -8,7 +8,6 @@ scorer reads back, reference clip_scorer.py:68-75)."""
 from __future__ import annotations
 
 import asyncio
-import json
 import os
 from functools import partial
 
@@ -33,13 +32,6 @@ def _save_feature_assets(base_dir: str, record) -> None:
             f"{base_dir}/activated_images/top{rank}_activated.jpg"
         )
         example.mask.save(f"{base_dir}/masks/{rank}_mask.jpg")
-
-
-def _append_row(path: str, feature, explanation: str) -> None:
-    rows = json.load(open(path, "r")) if os.path.exists(path) else []
-    rows.append({f"{feature}": f"{explanation}"})
-    with open(path, "w") as f:
-        json.dump(rows, f, indent=4, ensure_ascii=False)
 
 
 def main(args):
@@ -68,12 +60,18 @@ def main(args):
     logger.info("Setup server")
     client = SRT(model=EXPLAINER_MODEL, tp=8, base_url="http://localhost:12345")
 
+    # Buffered writer: the per-result full-file rewrite was O(n^2) JSON IO
+    # (review r5; same artifact format, batched flushes).
+    from ._writer import ModuleRowWriter
+
+    writer = ModuleRowWriter(explanation_dir)
+
     def on_result(result):
         _content, _reply, result = result
         record = result.record
         module_name = record.feature.module_name.replace(".", "_")
-        _append_row(
-            f"{explanation_dir}/{module_name}.json", record.feature, result.explanation
+        writer.append(
+            f"{module_name}.json", {f"{record.feature}": f"{result.explanation}"}
         )
         _save_feature_assets(
             f"{explanation_dir}/images/{module_name}/{record.feature}", record
@@ -87,6 +85,7 @@ def main(args):
     try:
         asyncio.run(pipeline.run(max_processes=4))
     finally:
+        writer.close()
         client.clean()
 
 

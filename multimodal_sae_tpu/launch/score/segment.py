@@ -27,7 +27,15 @@ def parse_args():
     parser.add_argument("--activation-dir", type=str, help="Cached activation dir")
     parser.add_argument("--explanation_dir", type=str, help="Explanation dir")
     parser.add_argument("--width", type=int, default=131072)
-    parser.add_argument("--n-splits", type=int, default=1024)
+    parser.add_argument(
+        "--n-splits",
+        type=int,
+        default=None,
+        help="Splits the cache was written with; inferred from the cache "
+        "dir when omitted (review r5: a fixed default silently disagreed "
+        "with the cache CLI's n_splits=2 and failed mid-run with "
+        "FileNotFoundError; the reference makes it a mandatory flag)",
+    )
     parser.add_argument("--detector", type=str, default="IDEA-Research/grounding-dino-base")
     parser.add_argument("--segmentor", type=str, default="facebook/sam-vit-huge")
     parser.add_argument("--refine-cache", type=str, default=None)
@@ -61,6 +69,11 @@ def main():
 
     from datasets import load_dataset
     from transformers import AutoProcessor
+
+    if args.n_splits is None:
+        from ..utils import infer_n_splits
+
+        args.n_splits = infer_n_splits(args.activation_dir, args.selected_layer)
 
     tokens = load_dataset(args.dataset_path, split=args.dataset_split)
     processor = AutoProcessor.from_pretrained(args.model_name)

@@ -263,6 +263,36 @@ def load_any_dataset(name_or_path: str, split: str = "train"):
     return load_dataset(name_or_path, split=split, trust_remote_code=True)
 
 
+def infer_n_splits(activation_dir: str, module: str) -> int:
+    """Count the merged `{start}_{end}.safetensors` splits in a cache's
+    module dir — the value every reader must agree on with the writer.
+    Lets CLIs default to the cache's actual layout instead of a fixed
+    number that silently disagrees with the cache CLI's default."""
+    import os as _os
+    import re as _re
+
+    d = _os.path.join(activation_dir, module)
+    if not _os.path.isdir(d):
+        raise FileNotFoundError(
+            f"no '{module}' module dir under {activation_dir} — cannot "
+            "infer --n-splits; check --selected-layer / the cache path"
+        )
+    n = len(
+        [
+            f
+            for f in _os.listdir(d)
+            if _re.fullmatch(r"\d+_\d+\.safetensors", f)
+        ]
+    )
+    if n == 0:
+        raise FileNotFoundError(
+            f"no merged '<start>_<end>.safetensors' splits in {d} — was the "
+            "cache merged (concate_safetensors)? Unmerged Rank* shards "
+            "cannot be scored"
+        )
+    return n
+
+
 def validate_hookpoints(model, hookpoints) -> None:
     """Fail fast when a requested hookpoint does not exist on the subject
     (wrong prefix like `layers.24` vs `model.layers.24`, a layer index past

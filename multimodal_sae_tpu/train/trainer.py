@@ -469,7 +469,17 @@ class SaeTrainer:
             n = self.global_step * cfg.batch_size
             ds = ds.select(range(n, len(self.dataset)))
 
-        avg_metrics = {name: defaultdict(float) for name in self.saes}
+        # No sink, no metric accumulation: step()'s avg_metrics path calls
+        # float() on the jitted accumulate's scalars — a blocking
+        # host-device sync per batch per hookpoint that the rest of the hot
+        # loop was explicitly de-synced around (device-side fired masks,
+        # device-resident dead mask). With wandb off and no log_fn, skip it
+        # entirely (review r5).
+        avg_metrics = (
+            {name: defaultdict(float) for name in self.saes}
+            if (wandb is not None or log_fn is not None)
+            else None
+        )
 
         pbar = None
         try:
@@ -496,7 +506,7 @@ class SaeTrainer:
             self.step(batch, avg_metrics)
 
             step, substep = divmod(self.global_step, cfg.grad_acc_steps)
-            if substep == 0 and cfg.wandb_log_frequency and (
+            if avg_metrics is not None and substep == 0 and cfg.wandb_log_frequency and (
                 step % cfg.wandb_log_frequency == 0
             ):
                 info = {}

@@ -157,3 +157,63 @@ def test_openrouter_shared_transport(server):
     assert req["path"] == "/api/v1/chat/completions"
     assert req["headers"]["Authorization"] == "Bearer or-key"
     assert req["body"]["messages"][0]["content"] == "hi"
+
+
+def test_retry_chat_aborts_on_4xx(monkeypatch):
+    """Review r5: deterministic HTTP 4xx (bad model name, oversized prompt)
+    must fail fast instead of burning max_retries identical requests +
+    sleeps per pipeline record; 429 stays retryable."""
+    import asyncio
+
+    import httpx
+
+    from multimodal_sae_tpu.clients.client import retry_chat
+
+    calls = {"n": 0}
+
+    class Stub404:
+        async def chat(self, model, messages, **kw):
+            calls["n"] += 1
+            resp = httpx.Response(404, request=httpx.Request("POST", "http://x/v1"))
+            raise httpx.HTTPStatusError("404", request=resp.request, response=resp)
+
+    with pytest.raises(httpx.HTTPStatusError):
+        asyncio.run(retry_chat(Stub404(), "m", [], max_retries=3))
+    assert calls["n"] == 1  # no retries on a deterministic client error
+
+    calls["n"] = 0
+
+    class Stub429:
+        async def chat(self, model, messages, **kw):
+            calls["n"] += 1
+            resp = httpx.Response(429, request=httpx.Request("POST", "http://x/v1"))
+            raise httpx.HTTPStatusError("429", request=resp.request, response=resp)
+
+    with pytest.raises(httpx.HTTPStatusError):
+        asyncio.run(retry_chat(Stub429(), "m", [], max_retries=2))
+    assert calls["n"] == 2  # rate limiting keeps retrying
+
+
+def test_module_row_writer_matches_per_row_format(tmp_path):
+    """Review r5: the buffered explain writer must produce the exact artifact
+    the per-row rewrites did, flush on threshold, and land pending rows on
+    close()."""
+    import json
+
+    from multimodal_sae_tpu.launch.explain._writer import ModuleRowWriter
+
+    w = ModuleRowWriter(str(tmp_path), flush_every=3)
+    rows = [{"f%d" % i: "expl%d" % i} for i in range(5)]
+    for r in rows[:3]:
+        w.append("m.json", r)
+    # Threshold flush already landed the first three.
+    assert json.load(open(tmp_path / "m.json")) == rows[:3]
+    w.append("m.json", rows[3])
+    w.append("other.json", {"g": "h"})
+    w.close()
+    assert json.load(open(tmp_path / "m.json")) == rows[:4]
+    assert json.load(open(tmp_path / "other.json")) == [{"g": "h"}]
+    # Appending to a pre-existing file extends it (the resume case).
+    w2 = ModuleRowWriter(str(tmp_path), flush_every=1)
+    w2.append("m.json", rows[4])
+    assert json.load(open(tmp_path / "m.json")) == rows

@@ -149,3 +149,28 @@ def test_validate_hookpoints_rejects_missing():
         validate_hookpoints(model, ["layers.9"])
     with pytest.raises(ValueError, match="model.layers.1"):
         validate_hookpoints(model, ["model.layers.1"])  # wrong prefix
+
+
+def test_infer_n_splits(tmp_path):
+    """Review r5: segment scoring's --n-splits defaults to the cache's
+    actual split count (counted from the merged shard files) instead of a
+    fixed number that silently disagreed with the cache CLI's default."""
+    from multimodal_sae_tpu.launch.utils import infer_n_splits
+
+    d = tmp_path / "model.layers.24"
+    d.mkdir()
+    for name in ("0_31.safetensors", "32_63.safetensors"):
+        (d / name).write_bytes(b"")
+    (d / "Rank0_0_31.safetensors").write_bytes(b"")  # unmerged shard: ignored
+    assert infer_n_splits(str(tmp_path), "model.layers.24") == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="selected-layer|module dir"):
+        infer_n_splits(str(tmp_path), "model.layers.9")
+    import shutil
+
+    for f in d.glob("*_*.safetensors"):
+        f.unlink()
+    with _pytest.raises(FileNotFoundError, match="merged"):
+        infer_n_splits(str(tmp_path), "model.layers.24")

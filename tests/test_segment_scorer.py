@@ -373,3 +373,33 @@ def test_segment_scorer_loads_actual_feature_ids(tmp_path):
     # filters select by VALUE: [5] must score feature 5, not feature 0.
     scores = SegmentScorer(**common, filters=[5])()
     assert [s["feature"] for s in scores] == ["model.layers.24_feature5"]
+
+
+def test_scorer_tolerates_extra_module_dirs(tmp_path):
+    """Review r5: a cache holding OTHER hookpoints' subdirs crashed the
+    scorer with KeyError at construction (modules came from os.listdir but
+    the filter dict is keyed by the selected layer only)."""
+    # An unrelated module dir beside the selected one.
+    (tmp_path / "acts" / "model.layers.10").mkdir(parents=True, exist_ok=True)
+    scores = _build_scorer(tmp_path)()
+    assert len(scores) > 0
+
+    # And a missing selected layer fails with a clear error, not KeyError.
+    import shutil
+
+    shutil.rmtree(tmp_path / "acts" / "model.layers.24")
+    with pytest.raises(FileNotFoundError, match="selected-layer"):
+        SegmentScorer(
+            explanation_dir=str(tmp_path / "expl"),
+            activation_dir=str(tmp_path / "acts"),
+            tokens=[],
+            processor=None,
+            selected_layer="model.layers.24",
+            width=64,
+            n_splits=1,
+            num_image_tokens=4,
+            min_examples=1,
+            max_examples=2,
+            detect_fn=_top_half_detect,
+            segment_fn=_box_fill_segment,
+        )
