@@ -29,7 +29,7 @@ from multimodal_sae_tpu.features.constructors import pool_max_activation_windows
 from multimodal_sae_tpu.features.samplers import sample, sample_with_explanation
 from multimodal_sae_tpu.features.steering import clamp_features_max
 from multimodal_sae_tpu.interp_utils import load_explanation, load_filter, load_saes
-from multimodal_sae_tpu.launch.explain.explain import _append_explanation_row
+from multimodal_sae_tpu.launch.explain._writer import ModuleRowWriter
 from multimodal_sae_tpu.models.hf_loader import load_llama
 from multimodal_sae_tpu.models.llama import LlamaModel, llama_forward
 from multimodal_sae_tpu.pipeline import Pipeline, process_wrapper
@@ -113,19 +113,20 @@ def test_research_loop(tmp_path):
         activations=True,
     )
 
+    writer = ModuleRowWriter(str(explanation_dir))
+
     def on_result(result):
         content, _reply, result = result
         module = result.record.feature.module_name.replace(".", "_")
-        _append_explanation_row(
-            f"{explanation_dir}/{module}.json",
-            result.record.feature,
-            result.explanation,
-            content,
+        writer.append(
+            f"{module}.json",
+            {f"{result.record.feature}": f"{result.explanation}", "prompt": content},
         )
         return result
 
     pipeline = Pipeline(loader, process_wrapper(explainer, postprocess=on_result))
     asyncio.run(pipeline.run(max_processes=2))
+    writer.close()
 
     explanations = load_explanation(str(explanation_dir))
     assert explanations, "explain stage produced no explanations"
