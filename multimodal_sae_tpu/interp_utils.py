@@ -29,11 +29,22 @@ def load_explanation(explanation_dir: str) -> Dict[str, str]:
     files = [
         e
         for e in os.listdir(explanation_dir)
-        if os.path.isfile(os.path.join(explanation_dir, e))
+        # *.json only (the explain writers only ever produce {module}.json):
+        # users are pointed at this directory directly, and a stray
+        # notes.txt / editor swap file previously crashed every consumer at
+        # startup with a raw JSONDecodeError (review r5).
+        if e.endswith(".json") and os.path.isfile(os.path.join(explanation_dir, e))
     ]
     for file in files:
-        with open(os.path.join(explanation_dir, file), "r") as f:
-            data = json.load(f)
+        path = os.path.join(explanation_dir, file)
+        with open(path, "r") as f:
+            try:
+                data = json.load(f)
+            except json.JSONDecodeError as e:
+                from .logger import logger
+
+                logger.warning(f"skipping unparsable explanation file {path}: {e}")
+                continue
         for da in data:
             for key_name, content in da.items():
                 if key_name != "prompt":

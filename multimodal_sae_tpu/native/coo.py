@@ -50,6 +50,13 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a per-PID temp path and rename into place: writing g++
+    # output directly over the .so races other processes that have the old
+    # library mapped (truncating a dlopen'd file SIGBUSes them) or are
+    # loading it mid-write (review r5). rename is atomic on one filesystem;
+    # the old inode stays valid for processes that already mapped it, and
+    # concurrent builders simply last-write-wins identical binaries.
+    tmp = _LIB.with_suffix(f".so.build.{os.getpid()}")
     try:
         subprocess.run(
             [
@@ -60,13 +67,18 @@ def _build() -> bool:
                 "-fPIC",
                 str(_SRC),
                 "-o",
-                str(_LIB),
+                str(tmp),
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

@@ -54,12 +54,24 @@ class Pipeline:
         return value
 
     async def run(self, max_processes: int = 100, collate: bool = False):
+        """Run every record through the pipes with bounded concurrency.
+
+        One record's failure must not abort the run (review r5: a single
+        explainer error past the client's retries previously re-raised out
+        of as_completed, orphaning every in-flight task and losing the
+        whole buffer): failed records are logged and skipped, and the first
+        failure is re-raised at the END only if NOTHING succeeded — a
+        systematically broken endpoint still fails loudly instead of
+        burning through the whole dataset."""
         semaphore = asyncio.Semaphore(max_processes)
 
         async def bounded(record):
             async with semaphore:
                 return await self._chain(record)
 
+        failures = 0
+        successes = 0
+        first_error: Exception | None = None
         source = self.generator(collate)
         # collate=True yields one flat list of records rather than a
         # per-buffer generator of lists; treat it as a single batch.
@@ -68,9 +80,27 @@ class Pipeline:
             tasks = [asyncio.create_task(bounded(r)) for r in records]
             progress = _progress_bar(len(tasks))
             for finished in asyncio.as_completed(tasks):
-                await finished
+                try:
+                    await finished
+                    successes += 1
+                except Exception as e:  # noqa: BLE001 — isolate per record
+                    failures += 1
+                    if first_error is None:
+                        first_error = e
+                    from .logger import logger
+
+                    logger.error(f"pipeline record failed (skipping): {e!r}")
                 if progress is not None:
                     progress.update(1)
+        if failures:
+            from .logger import logger
+
+            logger.warning(
+                f"pipeline finished with {failures} failed / "
+                f"{successes} succeeded records"
+            )
+            if successes == 0 and first_error is not None:
+                raise first_error
 
 
 def _progress_bar(total: int):

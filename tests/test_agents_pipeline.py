@@ -243,3 +243,49 @@ def test_load_tokenizer_runs_on_installed_transformers(tmp_path):
     tokenizer = load_tokenizer(str(tmp_path))
     assert tokenizer.padding_side == "left"
     assert tokenizer.pad_token == tokenizer.eos_token == "1"
+
+
+def test_pipeline_isolates_record_failures():
+    """Review r5: one record's failure must not abort the run (it previously
+    re-raised out of as_completed, orphaning every in-flight task); a run
+    where NOTHING succeeds still fails loudly."""
+    import asyncio
+
+    from multimodal_sae_tpu.pipeline import Pipeline
+
+    done = []
+
+    async def flaky(record):
+        if record == 2:
+            raise RuntimeError("boom")
+        done.append(record)
+        return record
+
+    def gen(collate):
+        return [[0, 1, 2, 3, 4]]
+
+    asyncio.run(Pipeline(gen, flaky).run(max_processes=2))
+    assert sorted(done) == [0, 1, 3, 4]
+
+    async def always_fails(record):
+        raise RuntimeError("endpoint down")
+
+    with pytest.raises(RuntimeError, match="endpoint down"):
+        asyncio.run(Pipeline(gen, always_fails).run(max_processes=2))
+
+
+def test_load_explanation_skips_stray_files(tmp_path):
+    """Review r5: a notes.txt or unparsable file in explanation_dir crashed
+    every consumer at startup; now only *.json is read and unparsable json
+    is warn-skipped."""
+    import json as _json
+
+    from multimodal_sae_tpu.interp_utils import load_explanation
+
+    (tmp_path / "layers_1.json").write_text(
+        _json.dumps([{"layers.1_feature0": "a cat", "prompt": "p"}])
+    )
+    (tmp_path / "notes.txt").write_text("not json at all")
+    (tmp_path / "broken.json").write_text("{truncated")
+    out = load_explanation(str(tmp_path))
+    assert out == {"layers.1_feature0": "a cat"}

@@ -105,7 +105,14 @@ def main():
         for completed in asyncio.as_completed(tasks):
             feature, result = await completed
             consistency_score[feature] = result
-            json.dump(consistency_score, open(args.save_path, "w"), indent=4)
+            # Atomic rewrite (review r5): dumping straight over save_path
+            # leaves truncated JSON if the process dies mid-write, and the
+            # next run's json.load crashes — breaking the resume this cache
+            # exists for.
+            tmp = args.save_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(consistency_score, f, indent=4)
+            os.replace(tmp, args.save_path)
 
     asyncio.run(_process())
 
