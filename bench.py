@@ -1123,6 +1123,18 @@ def _score_measure():
             )
         np.save(f"{root}/tokens.npy", rng.integers(0, 32000, size=(rows, ctx)))
 
+    # Feature-index sidecars: our cache merger writes these at merge time
+    # (features/split_index.py), so the bench layout matches what the
+    # framework's own cache CLIs produce.  ensure_index is a no-op when they
+    # are already present and valid; for pre-r5 /tmp caches it retrofits
+    # them once, OUTSIDE the timed region (it is cache-creation work).
+    # MMSAE_NO_FEATIDX=1 measures the scan path instead.
+    from multimodal_sae_tpu.features.split_index import ensure_index
+
+    n_built = ensure_index(root)
+    if n_built:
+        _log(f"built {n_built} feature-index sidecar(s) under {root}")
+
     tokens = np.load(f"{root}/tokens.npy")
     fcfg = FeatureConfig(
         width=width, n_splits=n_splits, min_examples=1, max_examples=20,

@@ -596,12 +596,24 @@ class FeatureCache:
                     locations.append(data["locations"])
                     activations.append(data["activations"])
                     os.remove(os.path.join(module_dir, fname))
+                merged_locations = np.concatenate(locations, axis=0)
                 save_file(
                     {
-                        "locations": np.concatenate(locations, axis=0),
+                        "locations": merged_locations,
                         "activations": np.concatenate(activations, axis=0),
                     },
                     f"{module_dir}/{start}_{end}.safetensors",
+                )
+                # Feature-index sidecar (.featidx): near-free here — the
+                # merged data is already in memory — and it makes every later
+                # filtered load O(selected entries) instead of O(split).  The
+                # canonical .safetensors above stays byte-identical to the
+                # reference format; best-effort by design (split_index.py).
+                from .split_index import write_index
+
+                write_index(
+                    f"{module_dir}/{start}_{end}.safetensors",
+                    merged_locations[:, 2],
                 )
 
 

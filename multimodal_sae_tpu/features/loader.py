@@ -22,6 +22,12 @@ import numpy as np
 
 from ..config import FeatureConfig
 from .features import Feature, FeatureRecord
+from .split_index import (
+    UnsupportedSplitFormat,
+    mmap_safetensors,
+    read_index,
+    write_index,
+)
 
 
 class BufferOutput(NamedTuple):
@@ -51,6 +57,18 @@ def _unique_nonneg(values: np.ndarray) -> np.ndarray:
     return np.unique(values)
 
 
+def _unique_sorted(sorted_vals: np.ndarray) -> np.ndarray:
+    """Ascending unique of an ALREADY-SORTED column (one compare pass —
+    the sidecar's `feats` column arrives sorted, so neither the bincount
+    nor the sort of `_unique_nonneg` is needed)."""
+    if sorted_vals.size == 0:
+        return np.asarray(sorted_vals[:0], dtype=np.int64)
+    keep = np.empty(sorted_vals.shape[0], dtype=bool)
+    keep[0] = True
+    np.not_equal(sorted_vals[1:], sorted_vals[:-1], out=keep[1:])
+    return sorted_vals[keep].astype(np.int64, copy=False)
+
+
 class TensorBuffer:
     """Lazy per-split reader (reference loader.py:28-118)."""
 
@@ -72,12 +90,36 @@ class TensorBuffer:
         self._sorted_feats: Optional[np.ndarray] = None
 
     def _load(self):
-        from safetensors.numpy import load_file
+        # Zero-copy mmap views by default: `load_file` memcpys the whole
+        # split, which a feature filter is about to discard ~99% of at the
+        # flagship 2000-of-131k scoring shape (see split_index.py; the copies
+        # measured ~40% of that path's wall time).  `MMSAE_NO_MMAP=1` or an
+        # un-viewable dtype (BF16) falls back to the full read.
+        split_data = None
+        if os.environ.get("MMSAE_NO_MMAP", "") in ("", "0"):
+            try:
+                split_data = mmap_safetensors(self.tensor_path)
+            except UnsupportedSplitFormat:
+                split_data = None
+        if split_data is None:
+            from safetensors.numpy import load_file
 
-        split_data = load_file(self.tensor_path)
+            split_data = load_file(self.tensor_path)
         self.activations = split_data["activations"]
         self.locations = split_data["locations"]
         feats = self.locations[:, 2]
+        index = read_index(self.tensor_path, feats.shape[0])
+        if index is not None:
+            # Sidecar fast path: the feature-sorted permutation was persisted
+            # at merge time (or healed by an earlier full-split load), so this
+            # load does NO O(N) work at all — `_feature_slice` searchsorts the
+            # global index and gathers only member rows from the mmap.  The
+            # yielded slices are identical either way: both paths return each
+            # feature's entries in original row-major order.
+            self._order, self._sorted_feats = index
+            if self.features is None:
+                self.features = _unique_sorted(self._sorted_feats)
+            return
         if self.features is not None and feats.size:
             # A feature subset was requested (the common explain/score path):
             # drop non-member entries BEFORE building the sort index, via an
@@ -115,10 +157,22 @@ class TensorBuffer:
         self._sorted_feats = feats[self._order]
         if self.features is None:
             self.features = _unique_nonneg(feats)
+            # Self-heal: a full-split load just paid the exact sort the
+            # sidecar stores — persist it (best-effort; read-only cache dirs
+            # only cost speed) so later filtered loads skip the O(N) scan.
+            # Never from the filtered branch above: there `_order` permutes
+            # the member-compacted arrays, not the file.
+            write_index(self.tensor_path, feats, order=self._order)
 
     def _feature_slice(self, feature: int):
-        lo = np.searchsorted(self._sorted_feats, feature, side="left")
-        hi = np.searchsorted(self._sorted_feats, feature, side="right")
+        # Needle in the ARRAY's dtype: searchsorted with a Python int against
+        # an int32 index (the sidecar's compact dtype) silently promotes the
+        # whole array to int64 on EVERY call — an O(N) copy that measured
+        # 148 us/feature vs ~1 us for the actual binary search.  Feature ids
+        # are < the SAE width, so the cast is always lossless.
+        needle = self._sorted_feats.dtype.type(feature)
+        lo = np.searchsorted(self._sorted_feats, needle, side="left")
+        hi = np.searchsorted(self._sorted_feats, needle, side="right")
         # Preserve original (row-major) order like the boolean-mask reference.
         # np.sort returns a copy: basic slicing of `_order` yields a view, and
         # an in-place sort would mutate the index as a side effect of a read

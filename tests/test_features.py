@@ -149,8 +149,14 @@ def _fill_cache_via_pipeline(tmp_path, n_splits=4, n_batches=6, bs=2, seq=8):
 
 def test_split_roundtrip_and_merge(tmp_path):
     fc, _ = _fill_cache_via_pipeline(tmp_path)
-    files = sorted(os.listdir(tmp_path / "layers.0"))
+    listing = sorted(os.listdir(tmp_path / "layers.0"))
+    files = [f for f in listing if f.endswith(".safetensors")]
     assert files == ["0_15.safetensors", "16_31.safetensors", "32_47.safetensors", "48_63.safetensors"]
+    # The merger also emits one .featidx read-index sidecar per split (r5,
+    # features/split_index.py); the canonical splits above are unchanged.
+    assert [f for f in listing if f.endswith(".featidx")] == [
+        "0_15.featidx", "16_31.featidx", "32_47.featidx", "48_63.featidx"
+    ]
     # Re-read all splits: together they must reproduce the full COO set.
     from safetensors.numpy import load_file
 

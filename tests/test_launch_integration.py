@@ -153,6 +153,8 @@ def test_cache_cli_tensor_parallel(llama_dir_with_tokenizer, tmp_path):
         merged = {}
         for f in sorted((tmp_path / out / "layers.1").iterdir()):
             assert not f.name.startswith("Rank")
+            if f.suffix != ".safetensors":  # skip .featidx sidecars (r5)
+                continue
             merged[f.name] = load_file(str(f))
         return merged
 
@@ -254,6 +256,8 @@ def test_cache_cli_int8_sae(llama_dir_with_tokenizer, tmp_path):
         )
         m = {}
         for f in sorted((tmp_path / out / "layers.1").iterdir()):
+            if f.suffix != ".safetensors":  # skip .featidx sidecars (r5)
+                continue
             data = load_file(str(f))
             for loc, act in zip(data["locations"], data["activations"]):
                 m[tuple(loc)] = act
@@ -516,7 +520,9 @@ def test_cache_cli_data_parallel(llama_dir_with_tokenizer, tmp_path):
     # batch_size=4 run; 10 rows -> 2 full batches + a dropped ragged tail.
     dp_out = run(2, 2, "cache_dp")
     ref_out = run(0, 4, "cache_dp_ref")
-    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    # 2 canonical splits + their .featidx sidecars (r5), all byte-compared.
+    assert set(dp_out) == set(ref_out)
+    assert len([f for f in dp_out if f.endswith(".safetensors")]) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
 
@@ -653,7 +659,9 @@ def test_cache_cli_data_parallel_int8_subject(llama_dir_with_tokenizer, tmp_path
 
     dp_out = run(2, 1, "cache_dp_int8")
     ref_out = run(0, 2, "cache_ref_int8")
-    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    # 2 canonical splits + their .featidx sidecars (r5), all byte-compared.
+    assert set(dp_out) == set(ref_out)
+    assert len([f for f in dp_out if f.endswith(".safetensors")]) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
 
@@ -713,7 +721,9 @@ def test_truncate_layers_bit_identical_capture_and_cache(
 
     full_out = run(0, "full")
     trunc_out = run(2, "trunc")
-    assert set(full_out) == set(trunc_out) and len(full_out) == 2
+    # 2 canonical splits + their .featidx sidecars (r5), all byte-compared.
+    assert set(full_out) == set(trunc_out)
+    assert len([f for f in full_out if f.endswith(".safetensors")]) == 2
     for name in full_out:
         assert full_out[name] == trunc_out[name], (
             f"split {name} differs under --truncate_layers"

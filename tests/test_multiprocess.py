@@ -126,8 +126,10 @@ def test_cache_two_process_merge_contains_both_ranks(token_dataset, tmp_path):
     run_procs("mp_cache.py", [token_dataset, sae_dir, save_dir])
 
     module_dir = save_dir / "layers.1"
-    files = sorted(os.listdir(module_dir))
-    assert all(not f.startswith("Rank") for f in files), f"unmerged shards: {files}"
+    listing = sorted(os.listdir(module_dir))
+    assert all(not f.startswith("Rank") for f in listing), f"unmerged shards: {listing}"
+    # Canonical splits only; the merger's .featidx sidecars (r5) ride alongside.
+    files = [f for f in listing if f.endswith(".safetensors")]
     assert len(files) == 2  # n_splits=2
 
     rows = set()
@@ -513,8 +515,10 @@ def test_cache_image_two_process_merge_byte_equals_solo(llava_ckpt, tmp_path):
     )
 
     module_dir = save_dir / "model.layers.1"
-    files = sorted(os.listdir(module_dir))
-    assert all(not f.startswith("Rank") for f in files), f"unmerged: {files}"
+    listing = sorted(os.listdir(module_dir))
+    assert all(not f.startswith("Rank") for f in listing), f"unmerged: {listing}"
+    # Canonical splits only; the merger's .featidx sidecars (r5) ride alongside.
+    files = [f for f in listing if f.endswith(".safetensors")]
     assert len(files) == 2  # n_splits=2
 
     # Solo oracle, in-process (world=1).
@@ -609,7 +613,9 @@ def test_cache_image_cli_data_parallel_byte_equals_solo(llava_ckpt, tmp_path):
 
     dp_out = run(2, 1, "img_dp")
     ref_out = run(0, 2, "img_ref")
-    assert set(dp_out) == set(ref_out) and len(dp_out) == 2
+    # 2 canonical splits + their .featidx sidecars (r5), all byte-compared.
+    assert set(dp_out) == set(ref_out)
+    assert len([f for f in dp_out if f.endswith(".safetensors")]) == 2
     for name in ref_out:
         assert dp_out[name] == ref_out[name], f"split {name} differs under --dp"
 
@@ -663,8 +669,12 @@ def test_cache_two_process_with_inprocess_dp_byte_equals_solo(tmp_path):
     run_procs("mp_cache_dp.py", [ckpt, ds_dir, sae_dir, save_mp], timeout=360)
 
     module_dir = save_mp / "layers.1"
-    files = sorted(os.listdir(module_dir))
-    assert all(not f.startswith("Rank") for f in files) and len(files) == 2
+    listing = sorted(os.listdir(module_dir))
+    assert all(not f.startswith("Rank") for f in listing)
+    # Byte-compare the .featidx sidecars too: identical merged splits must
+    # index identically across process topologies (split_index.py).
+    files = listing
+    assert len([f for f in files if f.endswith(".safetensors")]) == 2
 
     # Oracle 1: the same driver at world=1 (still dp=2 on its 2 devices).
     save_solo = tmp_path / "cache_solo_dp"

@@ -79,6 +79,8 @@ def test_streamed_merged_files_byte_identical(tmp_path):
 
     files = sorted(os.listdir(buf_dir / "layers.0"))
     assert files == sorted(os.listdir(str_dir / "layers.0"))
+    # Byte-identity covers the .featidx sidecars too: identical merged splits
+    # must index identically (split_index.py keeps the sidecar deterministic).
     for f in files:
         assert (buf_dir / "layers.0" / f).read_bytes() == (
             str_dir / "layers.0" / f
@@ -120,7 +122,18 @@ def test_streamed_empty_module_splits(tmp_path):
     high = load_file(str(tmp_path / "layers.0" / files[-1]))
     assert high["locations"].shape == (0, 3)
     fc.concate_safetensors(N_SPLITS, str(tmp_path))
-    assert len(os.listdir(tmp_path / "layers.0")) == N_SPLITS
+    # N_SPLITS canonical splits; the merger's .featidx sidecars (r5) ride
+    # alongside and are not counted here.
+    assert (
+        len(
+            [
+                f
+                for f in os.listdir(tmp_path / "layers.0")
+                if f.endswith(".safetensors")
+            ]
+        )
+        == N_SPLITS
+    )
 
 
 def test_writer_thread_death_surfaces_instead_of_hanging(tmp_path):
@@ -179,7 +192,10 @@ def test_streamed_zero_entry_module_still_gets_shards(tmp_path):
         data = load_file(str(tmp_path / "layers.1" / f))
         assert data["locations"].shape == (0, 3)
     fc.concate_safetensors(N_SPLITS, str(tmp_path))
-    assert len(os.listdir(tmp_path / "layers.1")) == N_SPLITS
+    merged = sorted(os.listdir(tmp_path / "layers.1"))
+    # N_SPLITS canonical splits + N_SPLITS .featidx sidecars (r5 merger).
+    assert len([f for f in merged if f.endswith(".safetensors")]) == N_SPLITS
+    assert len([f for f in merged if f.endswith(".featidx")]) == N_SPLITS
 
 
 def test_concate_raises_on_missing_rank_shards(tmp_path):
